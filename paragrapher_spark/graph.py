@@ -1,0 +1,113 @@
+"""Graph assembly: corpus -> vertices + canonical COO edge table.
+
+Spark-native equivalent of `paragrapher_open_graph` +
+`paragrapher_csx_get_offsets` (`src/paragrapher.c:69-82,109-123`): the
+"graph handle" is a pair of DataFrames plus cached metadata counts
+(the reference parses |V|/|E| from the `.properties` file,
+`src/webgraph.c:376-387`; here they are computed once and carried).
+
+- ``vertices(id: long, repo: string, path: string)`` — dense ids minted by
+  global key rank (operators.indexing.dense_ids; the reference's ID space
+  is dense by construction, SURVEY.md §1.4).
+- ``edges(src: long, dst: long, weight: long)`` — deduplicated, weight =
+  number of import sites.
+- ``degrees`` / ``offsets`` — the CSR offsets analogue
+  (`src/WG400AP.java:198-296`) as a prefix-sum table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paragrapher_spark.functions.extract import extract_import_keys, vertex_key
+from paragrapher_spark.operators.indexing import dense_ids, prefix_sum
+
+
+@dataclass
+class Graph:
+    """The engine's graph handle (reference: `paragrapher_graph`,
+    `include/paragrapher.h:21`)."""
+
+    vertices: DataFrame  # id, repo, path
+    edges: DataFrame  # src, dst, weight
+    num_vertices: int
+    num_edges: int
+
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("in_degree")
+        )
+
+    def offsets(self) -> DataFrame:
+        """CSR offsets: offset[v] = edges before v's adjacency, covering all
+        vertices (degree 0 included), ending such that the last vertex's
+        offset + degree == |E| (`src/WG400AP.java:255` invariant)."""
+        deg = (
+            self.vertices.select("id")
+            .join(self.out_degrees(), on="id", how="left")
+            .select("id", F.coalesce("out_degree", F.lit(0)).alias("out_degree"))
+        )
+        return prefix_sum(deg, ["id"], "out_degree", out_col="offset")
+
+
+def edges_from_corpus(corpus: DataFrame, num_partitions: int | None = None) -> Graph:
+    """Extract the import graph from a corpus table.
+
+    Unresolved imports (no matching (repo, path) row) are dropped via the
+    inner join against the vertex table — the corpus generator produces
+    only resolvable targets, and the tests assert zero loss.
+    """
+    vertices = dense_ids(
+        corpus.select("repo", "path"), ["repo", "path"], id_col="id",
+        num_partitions=num_partitions,
+    )
+    vkeys = vertices.select(
+        vertex_key(F.col("repo"), F.col("path")).alias("key"), "id"
+    )
+    sites = extract_import_keys(corpus)
+    src_map = vkeys.select(F.col("key").alias("src_key"), F.col("id").alias("src"))
+    dst_map = vkeys.select(F.col("key").alias("dst_key"), F.col("id").alias("dst"))
+    edges = (
+        sites.join(src_map, on="src_key")
+        .join(dst_map, on="dst_key")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    n_v = vertices.count()
+    edges = edges.persist()
+    n_e = edges.count()
+    return Graph(vertices=vertices, edges=edges, num_vertices=n_v, num_edges=n_e)
+
+
+def graph_from_edges(edges: DataFrame, weight: bool = False) -> Graph:
+    """Wrap a raw (src, dst[, weight]) edge table as a Graph; vertices are
+    the distinct endpoint ids (no name attributes)."""
+    if not weight:
+        edges = edges.select("src", "dst").withColumn("weight", F.lit(1).cast("long"))
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("repo", F.lit(None).cast("string"))
+        .withColumn("path", F.lit(None).cast("string"))
+    )
+    edges = edges.persist()
+    n_e = edges.count()
+    n_v = vertices.count()
+    return Graph(vertices=vertices, edges=edges, num_vertices=n_v, num_edges=n_e)
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: edges ∪ reversed edges, distinct (paper §5 dataset
+    prep; needed by CC/LP/triangles)."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()

@@ -1,0 +1,189 @@
+"""PageRank as iterative DataFrame supersteps — the flagship kernel.
+
+Semantics: standard damped PageRank with dangling-mass redistribution,
+probability-normalized (Σ ranks == 1 every iteration):
+
+    r'(v) = (1-d)/N + d * ( Σ_{u->v} r(u)/outdeg(u) + dangling_mass/N )
+
+Convergence: L∞(r' - r) < tol (the allclose-1e-6 contract, BASELINE.md).
+
+Scale design (SURVEY.md §7 step 5):
+
+- the edge table is joined with the rank table on ``src`` every superstep;
+  edges are repartitioned on ``src`` ONCE and persisted, so each iteration
+  shuffles only the rank table (|V| rows, not |E|) into co-location —
+  the gather; the ``groupBy(dst)`` scatter is the one unavoidable |E|
+  shuffle, with map-side partial aggregation.
+- per-edge contribution coefficients (1/outdeg) are precomputed into the
+  persisted edge table — no per-iteration degree join.
+- hub skew: AQE skew-join splits oversized src partitions at runtime
+  (session defaults); ``n_salts`` adds explicit deterministic salting for
+  single-key hotspots beyond AQE's reach (operators.salting) — the
+  reference splits giant adjacencies across buffers the same way
+  (`src/webgraph.c:957-971`).
+- driver work is O(1) scalars per superstep (delta, dangling mass) —
+  the reference's serial-phase mistake (paper §5.6, 0.475 scaling
+  efficiency) is what the ≥0.8 target forbids.
+- every superstep localCheckpoints (truncates the growing join lineage);
+  every ``checkpoint_every`` supersteps the rank table is snapshotted via
+  CheckpointManager for resume (north rule: resumable mid-iteration with
+  per-partition lineage + metrics).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paragrapher_spark.operators.salting import explode_salts, salt_column
+from paragrapher_spark.plans.checkpoint import CheckpointManager
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id, rank)
+    iterations: int
+    converged: bool
+    final_delta: float
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+    n_salts: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+) -> PageRankResult:
+    """Run PageRank over edges(src, dst). Returns ranks (id, rank).
+
+    ``vertices`` (id) may be supplied to include isolated vertices; by
+    default the vertex set is the distinct endpoints of ``edges``.
+    """
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        vertices = vertices.select("id")
+    vertices = vertices.repartition(n_part, "id").persist()
+    n = vertices.count()
+    if n == 0:
+        empty = vertices.select("id", F.lit(0.0).alias("rank"))
+        return PageRankResult(
+            ranks=empty, iterations=0, converged=True, final_delta=0.0, history=[]
+        )
+
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # contribution coefficient folded into the persisted edge table:
+    # no degree join inside the loop
+    edges_w = (
+        edges.select("src", "dst")
+        .join(out_deg, on="src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("coef"))
+        .repartition(n_part, "src")
+        .persist()
+    )
+    edges_w.count()
+
+    # dangling vertices: no out-edges; their rank mass is redistributed
+    dangling = vertices.join(out_deg, vertices.id == out_deg.src, "left_anti").persist()
+    has_dangling = dangling.count() > 0
+
+    # resume path
+    start_iter = 0
+    ranks: DataFrame | None = None
+    if checkpoint is not None:
+        resumed = checkpoint.resume(spark)
+        if resumed is not None:
+            start_iter, ranks = resumed
+            ranks = ranks.repartition(n_part, "id").localCheckpoint(eager=True)
+    if ranks is None:
+        ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+        ranks = ranks.repartition(n_part, "id").localCheckpoint(eager=True)
+
+    history: list[dict[str, Any]] = []
+    converged = False
+    delta = float("inf")
+    it = start_iter
+    for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.monotonic()
+        dm = 0.0
+        if has_dangling:
+            dm = (
+                ranks.join(dangling, on="id", how="left_semi")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+
+        ranks_src = ranks.withColumnRenamed("id", "src")
+        if n_salts:
+            e = salt_column(edges_w, "src", n_salts)
+            r = explode_salts(ranks_src, n_salts)
+            joined = e.join(r, on=["src", "_salt"])
+        else:
+            joined = edges_w.join(ranks_src, on="src")
+        sums = (
+            joined.select(F.col("dst").alias("id"), (F.col("rank") * F.col("coef")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("mass"))
+        )
+        base = (1.0 - damping) / n + damping * dm / n
+        new_ranks = (
+            ranks.withColumnRenamed("rank", "old_rank")
+            .join(sums, on="id", how="left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("rank"),
+                "old_rank",
+            )
+            .repartition(n_part, "id")
+            .persist()
+        )
+        delta = (
+            new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("old_rank")))).collect()[0][0]
+            or 0.0
+        )
+        ranks = new_ranks.select("id", "rank").localCheckpoint(eager=True)
+        new_ranks.unpersist()
+        dt = time.monotonic() - t0
+
+        metrics = {
+            "delta": delta,
+            "dangling_mass": dm,
+            "frontier_size": n,
+            "duration_s": dt,
+        }
+        history.append({"iteration": it, **metrics})
+        if checkpoint is not None:
+            if it % checkpoint_every == 0:
+                checkpoint.save(it, ranks, metrics)
+            else:
+                checkpoint.log_metrics(it, metrics)
+        if delta < tol:
+            converged = True
+            break
+
+    if checkpoint is not None and converged:
+        checkpoint.save(it, ranks, {"delta": delta, "converged": True})
+    edges_w.unpersist()
+    vertices.unpersist()
+    dangling.unpersist()
+    return PageRankResult(
+        ranks=ranks, iterations=it, converged=converged, final_delta=delta,
+        history=history,
+    )

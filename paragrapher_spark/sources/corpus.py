@@ -1,0 +1,141 @@
+"""Deterministic synthetic source-code corpus.
+
+The engine's raw input (BASELINE.json ``input_hint``) is an Iceberg-style
+table of source files::
+
+    corpus(repo: string, path: string, commit: string, lang: string,
+           content: string)
+
+where ``content`` holds import statements that resolve to other rows'
+``(repo, path)``. This generator plays the role of the reference's bundled
+test datasets (`test/Makefile:61-96` downloads cnr-2000 / MS1 / WDC-2012;
+`test/datasets/small.properties` is the tiny fixture): a seeded, wall-clock
+free corpus whose link structure is power-law skewed, so the salting path
+is exercised (the reference splits giant adjacencies across buffers,
+`src/webgraph.c:957-971`).
+
+Everything is built from ``spark.range`` + built-in expressions (xxhash64,
+transform, concat) — fully JVM-side, whole-stage-codegen friendly, and
+embarrassingly parallel: at 10^12 rows this is a single map stage with no
+shuffle.
+
+Layout (n files, R repos; R even, n even):
+
+- file ``i``: repo ``repo_{i mod R}``, ``k = i div R``,
+  path ``pkg{k mod 4}/f{k}{ext}``; bijective ``(repo, path) <-> i``.
+- lang: ``python`` when ``i`` is even else ``c`` (R even => repo parity ==
+  file parity, so a repo is single-language).
+- imports: ``deg(i)`` uniform in [0, max_out); target ``t`` is drawn with a
+  Zipf-ish bias toward small ids plus a hard hub boost (~25% of edges land
+  on the ``2*hub_count`` smallest ids) — the skew fixture. Targets share
+  the source's parity so Python files import Python modules and C files
+  include C headers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEED = 42
+N_PATH_DIRS = 4
+
+
+def synth_corpus(
+    spark: SparkSession,
+    n_files: int = 2000,
+    n_repos: int = 8,
+    max_out: int = 12,
+    seed: int = SEED,
+    hub_count: int = 16,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Return corpus(repo, path, commit, lang, content) with n_files rows."""
+    if n_files % 2 or n_repos % 2:
+        raise ValueError("n_files and n_repos must be even (parity = language)")
+
+    def h(tag: str, *cols: Column) -> Column:
+        return F.xxhash64(F.lit(tag), F.lit(seed), *cols)
+
+    def pm(c: Column, m: int) -> Column:
+        return F.pmod(c, F.lit(m))
+
+    def repo_of(t: Column) -> Column:
+        return F.concat(F.lit("repo_"), F.lpad((t % n_repos).cast("string"), 3, "0"))
+
+    def path_of(t: Column, t_ext: Column) -> Column:
+        tk = (t / n_repos).cast("long")
+        return F.concat(
+            F.lit("pkg"),
+            (tk % N_PATH_DIRS).cast("string"),
+            F.lit("/f"),
+            tk.cast("string"),
+            t_ext,
+        )
+
+    def module_of(t: Column) -> Column:
+        tk = (t / n_repos).cast("long")
+        return F.concat(
+            F.lit("pkg"), (tk % N_PATH_DIRS).cast("string"), F.lit(".f"), tk.cast("string")
+        )
+
+    df = spark.range(0, n_files, 1, partitions or max(2, min(32, n_files // 250)))
+    i = F.col("id")
+    is_py = (i % 2) == 0
+    ext = F.when(is_py, ".py").otherwise(".h")
+    deg = pm(h("deg", i), max_out)
+
+    def target(j: Column) -> Column:
+        """Deterministic skewed same-parity target for import #j of file i."""
+        m = pm(h("m", i, j), n_files) + 1
+        base = F.pmod(h("t", i, j), m)  # Zipf-ish: uniform in [0, m)
+        hub = pm(h("hub", i, j), 4) == 0
+        t0 = F.when(hub, pm(h("hb", i, j), hub_count * 2)).otherwise(base)
+        # force source parity (same language), stay in range, avoid self
+        t1 = t0 - (t0 % 2) + (i % 2)
+        t2 = F.when(t1 >= n_files, t1 - 2).otherwise(t1)
+        return F.when(t2 == i, (t2 + 2) % n_files).otherwise(t2)
+
+    imports = F.when(deg > 0,
+        F.transform(
+            F.sequence(F.lit(1), deg),
+            lambda j: F.when(
+                is_py,
+                F.concat(
+                    F.lit("from "), repo_of(target(j)), F.lit(" import "),
+                    module_of(target(j)),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('#include "'), repo_of(target(j)), F.lit("/"),
+                    path_of(target(j), F.lit(".h")), F.lit('"'),
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    header = F.when(is_py, F.concat(F.lit("# file "), i.cast("string"))).otherwise(
+        F.concat(F.lit("// file "), i.cast("string"))
+    )
+    filler_val = pm(h("fill", i), 1000000).cast("string")
+    filler = F.when(
+        is_py, F.concat(F.lit("x_"), i.cast("string"), F.lit(" = "), filler_val)
+    ).otherwise(
+        F.concat(F.lit("static int v_"), i.cast("string"), F.lit(" = "), filler_val, F.lit(";"))
+    )
+    content = F.concat_ws("\n", F.concat(F.array(header), imports, F.array(filler)))
+
+    return df.select(
+        repo_of(i).alias("repo"),
+        path_of(i, ext).alias("path"),
+        F.substring(
+            F.sha2(F.concat(F.lit("commit"), i.cast("string")), 256), 1, 40
+        ).alias("commit"),
+        F.when(is_py, F.lit("python")).otherwise(F.lit("c")).alias("lang"),
+        content.alias("content"),
+    )
+
+
+def content_sha256(df: DataFrame) -> DataFrame:
+    """Per-row invariant column (input_hint: content sha256 equality)."""
+    return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))

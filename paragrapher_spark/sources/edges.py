@@ -1,0 +1,64 @@
+"""Edge-table sources over the driver's parquet testdata.
+
+The reference consumes pre-built graph files; here graphs are *derived*
+from relational tables (the Spark-native analogue of its format converters,
+`test/test3..6*.c`). Two canonical derivations over
+``/root/testdata/sf*/``:
+
+- ``copurchase_edges``: undirected part co-purchase graph from ``lineitem``
+  (parts appearing in the same order), oriented ``src < dst``. Non-bipartite
+  (has triangles), power-law-ish — the workhorse graph for kernel queries.
+- ``customer_order_edges``: directed bipartite customer->order graph for
+  degree/offset queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edges(src, dst) with src < dst, distinct: parts sharing an order.
+
+    Self-join on l_orderkey: a shuffle-hash/sort-merge join on the order
+    key; order sizes are bounded (few lineitems per order) so the join
+    fans out mildly and AQE handles any residual skew.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def customer_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed bipartite edges customer -> order."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst"))
+        .distinct()
+    )
+
+
+COPURCHASE_EDGES_SQL = """
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+"""
+
+CUSTOMER_ORDER_EDGES_SQL = """
+    SELECT DISTINCT o_custkey AS src, o_orderkey AS dst FROM orders
+"""

@@ -1,0 +1,73 @@
+"""PageRank vs numpy power-iteration oracle (allclose 1e-6 contract)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from paragrapher_spark.fixtures import (
+    cycle_graph,
+    dangling_graph,
+    powerlaw_graph,
+    small5x14,
+    star_graph,
+)
+from paragrapher_spark.kernels.pagerank import pagerank
+from tests.oracles import pagerank_oracle
+
+ATOL = 1e-6
+
+
+def _run_and_compare(spark, edges_df, **kw):
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    res = pagerank(edges_df, tol=1e-9, max_iter=60, **kw)
+    got = {r.id: r.rank for r in res.ranks.collect()}
+    want = pagerank_oracle(edges, tol=1e-9, max_iter=60)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=ATOL), f"vertex {v}"
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)  # teleport conservation
+    return res
+
+
+def test_cycle_uniform(spark):
+    res = _run_and_compare(spark, cycle_graph(spark, 10))
+    got = {r.id: r.rank for r in res.ranks.collect()}
+    for v, r in got.items():
+        assert r == pytest.approx(0.1, abs=1e-9)
+
+
+def test_star_skew(spark):
+    _run_and_compare(spark, star_graph(spark, 301))
+
+
+def test_star_salted_matches_unsalted(spark):
+    """Salting must not change results — determinism contract."""
+    edges_df = star_graph(spark, 301)
+    plain = pagerank(edges_df, tol=1e-9, max_iter=40)
+    salted = pagerank(edges_df, tol=1e-9, max_iter=40, n_salts=4)
+    a = {r.id: r.rank for r in plain.ranks.collect()}
+    b = {r.id: r.rank for r in salted.ranks.collect()}
+    assert a.keys() == b.keys()
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_dangling_mass(spark):
+    _run_and_compare(spark, dangling_graph(spark))
+
+
+def test_small5x14(spark):
+    _run_and_compare(spark, small5x14(spark))
+
+
+def test_powerlaw(spark):
+    _run_and_compare(spark, powerlaw_graph(spark, n=400, m=3))
+
+
+def test_convergence_flag(spark):
+    res = pagerank(cycle_graph(spark, 10), tol=1e-6, max_iter=50)
+    assert res.converged
+    assert res.final_delta < 1e-6
+    assert res.history[-1]["delta"] < 1e-6

@@ -1,0 +1,127 @@
+"""Synchronous label propagation with deterministic min-label tie-break.
+
+Not in the reference's client set, but part of the north rule's kernel
+quartet. Deterministic by construction (north rule: exact-match outputs):
+synchronous updates, the vote includes the vertex's own current label
+(damps 2-cycle oscillation on bipartite structures), winner = highest vote
+count with ties broken by smallest label — expressed with ``max_by`` over
+``struct(cnt, -label)``, an aggregation, not a window (no per-key sort at
+scale).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paragrapher_spark.plans.checkpoint import CheckpointManager
+
+
+@dataclass
+class LabelPropResult:
+    labels: DataFrame  # (id, label)
+    iterations: int
+    converged: bool
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 20,
+    num_partitions: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+) -> LabelPropResult:
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(n_part, "dst")
+        .persist()
+    )
+    und.count()
+
+    all_vertices = (
+        vertices.select("id")
+        if vertices is not None
+        else edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+    start_iter = 0
+    labels: DataFrame | None = None
+    if checkpoint is not None:
+        resumed = checkpoint.resume(spark)
+        if resumed is not None:
+            start_iter, labels = resumed
+            labels = labels.localCheckpoint(eager=True)
+    if labels is None:
+        labels = all_vertices.select("id", F.col("id").alias("label"))
+        labels = labels.localCheckpoint(eager=True)
+
+    history: list[dict[str, Any]] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.monotonic()
+        # neighbor votes: vertex src receives the label of each neighbor dst
+        nbr_votes = (
+            und.join(labels.withColumnRenamed("id", "dst"), on="dst")
+            .select(F.col("src").alias("id"), "label")
+        )
+        self_votes = labels.select("id", "label")
+        winners = (
+            nbr_votes.unionByName(self_votes)
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("new_label")
+            )
+        )
+        joined = (
+            labels.join(winners, on="id", how="left")
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .persist()
+        )
+        changed = joined.where(F.col("new_label") != F.col("old_label")).count()
+        labels = joined.select(
+            "id", F.col("new_label").alias("label")
+        ).localCheckpoint(eager=True)
+        joined.unpersist()
+        dt = time.monotonic() - t0
+        metrics = {"changed": changed, "duration_s": dt}
+        history.append({"iteration": it, **metrics})
+        if checkpoint is not None:
+            if it % checkpoint_every == 0:
+                checkpoint.save(it, labels, metrics)
+            else:
+                checkpoint.log_metrics(it, metrics)
+        if changed == 0:
+            converged = True
+            break
+
+    und.unpersist()
+    if checkpoint is not None and converged:
+        checkpoint.save(it, labels, {"converged": True}, kind="final")
+    return LabelPropResult(
+        labels=labels, iterations=it, converged=converged, history=history
+    )

@@ -179,7 +179,7 @@ def pagerank(
             break
 
     if checkpoint is not None and converged:
-        checkpoint.save(it, ranks, {"delta": delta, "converged": True})
+        checkpoint.save(it, ranks, {"delta": delta, "converged": True}, kind="final")
     edges_w.unpersist()
     vertices.unpersist()
     dangling.unpersist()

@@ -1,0 +1,105 @@
+"""Exact triangle counting via degree orientation + wedge closure.
+
+Not a reference client workload, but part of the north rule's quartet.
+The classic shuffle-native exact algorithm (cf. Suri & Vassilvitskii,
+"Counting Triangles and the Curse of the Last Reducer", WWW'11 — the
+power-law mitigation the north rule demands):
+
+1. canonicalize to undirected distinct edges,
+2. orient every edge from the endpoint with smaller (degree, id) to the
+   larger — caps oriented out-degree at O(sqrt(|E|)), so the wedge
+   self-join's fan-out is bounded even on hub vertices (the same skew the
+   reference's edge-balanced blocks address, `src/webgraph.c:957-971`),
+3. wedges = oriented ⋈ oriented on the apex, ordered by (degree, id) to
+   count each wedge once,
+4. close each wedge against the oriented edge set — every triangle is
+   counted exactly once, at its lowest-(degree,id) apex.
+
+Joins: the closure join is a join of the wedge set against the edge set on
+the full (v, w) pair — equi-join on two columns, sort-merge/shuffle-hash;
+AQE skew-split applies. No Python in the path; whole-stage codegen
+throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """(src, dst, sdeg, ddeg): src -> dst iff (deg, id) of src < of dst."""
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), on="a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), on="b")
+    )
+    a_first = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    return withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """All triangles as (u, v, w) vertex triples, each exactly once."""
+    o = _oriented(edges).persist()
+    o.count()
+    x = o.select(
+        F.col("src").alias("apex"),
+        F.col("dst").alias("v"),
+        F.col("ddeg").alias("vdeg"),
+    )
+    y = o.select(
+        F.col("src").alias("apex"),
+        F.col("dst").alias("w"),
+        F.col("ddeg").alias("wdeg"),
+    )
+    wedges = x.join(y, on="apex").where(
+        F.struct(F.col("vdeg"), F.col("v")) < F.struct(F.col("wdeg"), F.col("w"))
+    )
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, on=["v", "w"]).select("apex", "v", "w")
+    return tris
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Single-row (triangles: long) — global exact count."""
+    return triangles(edges).agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def triangles_per_vertex(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
+    """(id, triangles) — per-vertex incident triangle counts; vertices with
+    zero triangles included when ``vertices`` is given."""
+    tris = triangles(edges)
+    member = (
+        tris.select(F.col("apex").alias("id"))
+        .unionByName(tris.select(F.col("v").alias("id")))
+        .unionByName(tris.select(F.col("w").alias("id")))
+    )
+    counts = member.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    if vertices is not None:
+        counts = (
+            vertices.select("id")
+            .join(counts, on="id", how="left")
+            .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+        )
+    return counts

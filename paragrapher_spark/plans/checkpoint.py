@@ -61,6 +61,7 @@ class CheckpointManager:
         iteration: int,
         df: DataFrame,
         metrics: dict[str, Any] | None = None,
+        kind: str = "state",
     ) -> str:
         """Snapshot ``df`` for ``iteration`` and append a manifest record.
 
@@ -89,6 +90,7 @@ class CheckpointManager:
         record = {
             "iteration": iteration,
             "status": "complete",
+            "kind": kind,
             "checkpoint_path": final,
             "partitions": {str(r["partition"]): r["rows"] for r in lineage_rows},
             "metrics": metrics or {},
@@ -114,8 +116,12 @@ class CheckpointManager:
 
     # -- read path ----------------------------------------------------------
 
-    def last_complete(self) -> dict[str, Any] | None:
-        complete = [r for r in self._records if r["status"] == "complete"]
+    def last_complete(self, kind: str = "state") -> dict[str, Any] | None:
+        complete = [
+            r
+            for r in self._records
+            if r["status"] == "complete" and r.get("kind", "state") == kind
+        ]
         return complete[-1] if complete else None
 
     def resume(self, spark: SparkSession) -> tuple[int, DataFrame] | None:

@@ -1,0 +1,89 @@
+"""Resumable supersteps: kill after iteration k, restart from manifest,
+identical final output (SURVEY.md §5 strategy item 4; north rule)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from paragrapher_spark.fixtures import powerlaw_graph, two_components
+from paragrapher_spark.kernels.components import connected_components
+from paragrapher_spark.kernels.pagerank import pagerank
+from paragrapher_spark.plans.checkpoint import CheckpointManager
+
+
+def test_manifest_roundtrip(spark, tmp_path):
+    cm = CheckpointManager(str(tmp_path), "job1")
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, rank double")
+    cm.save(3, df, {"delta": 0.5})
+    cm.log_metrics(4, {"delta": 0.3})
+    # reload manager from disk — manifest survives process boundary
+    cm2 = CheckpointManager(str(tmp_path), "job1")
+    assert cm2.last_complete()["iteration"] == 3
+    it, back = cm2.resume(spark)
+    assert it == 3
+    assert back.count() == 100
+    # per-partition lineage present and sums to row count
+    rec = cm2.last_complete()
+    assert sum(rec["partitions"].values()) == 100
+
+
+def test_pagerank_resume_identical(spark, tmp_path):
+    edges = powerlaw_graph(spark, n=300, m=3)
+    full = pagerank(edges, tol=1e-9, max_iter=30)
+    want = {r.id: r.rank for r in full.ranks.collect()}
+
+    # interrupted run: stop after 6 supersteps (checkpoint_every=3 -> last
+    # complete snapshot at iteration 6)
+    cm = CheckpointManager(str(tmp_path), "pr")
+    partial = pagerank(
+        edges, tol=1e-9, max_iter=6, checkpoint=cm, checkpoint_every=3
+    )
+    assert not partial.converged
+    assert cm.last_complete()["iteration"] == 6
+
+    # resumed run continues from iteration 6, not from scratch
+    cm2 = CheckpointManager(str(tmp_path), "pr")
+    resumed = pagerank(
+        edges, tol=1e-9, max_iter=30, checkpoint=cm2, checkpoint_every=3
+    )
+    assert resumed.history[0]["iteration"] == 7
+    got = {r.id: r.rank for r in resumed.ranks.collect()}
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_cc_resume_identical(spark, tmp_path):
+    edges = powerlaw_graph(spark, n=300, m=2)
+    want = {
+        r.id: r.component
+        for r in connected_components(edges).components.collect()
+    }
+    cm = CheckpointManager(str(tmp_path), "cc")
+    partial = connected_components(
+        edges, max_rounds=2, checkpoint=cm, checkpoint_every=1
+    )
+    assert not partial.converged
+    cm2 = CheckpointManager(str(tmp_path), "cc")
+    resumed = connected_components(
+        edges, max_rounds=50, checkpoint=cm2, checkpoint_every=1
+    )
+    assert resumed.converged
+    assert resumed.history[0]["round"] == 3
+    got = {r.id: r.component for r in resumed.components.collect()}
+    assert got == want
+
+
+def test_atomic_write_no_tmp_leftover(spark, tmp_path):
+    cm = CheckpointManager(str(tmp_path), "job2")
+    df = spark.createDataFrame([(1, 1.0)], "id long, rank double")
+    path = cm.save(1, df, {})
+    assert os.path.exists(path)
+    assert not any(p.endswith(".tmp") for p in os.listdir(cm.job_dir))
+    # manifest is valid json-lines
+    with open(cm.manifest_path) as fh:
+        for line in fh:
+            json.loads(line)

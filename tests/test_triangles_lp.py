@@ -1,0 +1,79 @@
+"""Triangle counting + label propagation vs brute-force oracles."""
+
+from __future__ import annotations
+
+from paragrapher_spark.fixtures import (
+    k_complete,
+    path_graph,
+    powerlaw_graph,
+    small5x14,
+    star_graph,
+    two_components,
+)
+from paragrapher_spark.kernels.labelprop import label_propagation
+from paragrapher_spark.kernels.triangles import triangle_count, triangles_per_vertex
+from tests.oracles import (
+    label_propagation_oracle,
+    triangles_oracle,
+    triangles_per_vertex_oracle,
+)
+
+
+def _tri_compare(spark, edges_df):
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    got = triangle_count(edges_df).collect()[0]["triangles"]
+    want = triangles_oracle(edges)
+    assert got == want, f"total {got} != {want}"
+    got_pv = {
+        r.id: r.triangles for r in triangles_per_vertex(edges_df).collect()
+    }
+    assert got_pv == triangles_per_vertex_oracle(edges)
+    return got
+
+
+def test_k5_has_10(spark):
+    assert _tri_compare(spark, k_complete(spark, 5)) == 10
+
+
+def test_path_has_0(spark):
+    assert _tri_compare(spark, path_graph(spark, 10)) == 0
+
+
+def test_star_has_0(spark):
+    assert _tri_compare(spark, star_graph(spark, 301)) == 0
+
+
+def test_small5x14(spark):
+    _tri_compare(spark, small5x14(spark))
+
+
+def test_two_components_k4(spark):
+    assert _tri_compare(spark, two_components(spark)) == 4  # K4 has C(4,3)=4
+
+
+def test_powerlaw(spark):
+    _tri_compare(spark, powerlaw_graph(spark, n=300, m=4))
+
+
+def _lp_compare(spark, edges_df, max_iter=20):
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    res = label_propagation(edges_df, max_iter=max_iter)
+    got = {r.id: r.label for r in res.labels.collect()}
+    want = label_propagation_oracle(edges, max_iter=max_iter)
+    assert got == want
+
+
+def test_lp_k5(spark):
+    _lp_compare(spark, k_complete(spark, 5))
+
+
+def test_lp_two_components(spark):
+    _lp_compare(spark, two_components(spark))
+
+
+def test_lp_star(spark):
+    _lp_compare(spark, star_graph(spark, 101))
+
+
+def test_lp_powerlaw(spark):
+    _lp_compare(spark, powerlaw_graph(spark, n=300, m=3))

@@ -5,8 +5,12 @@ co-purchase graph derived from sf0.001 (the BASELINE.json metric's query
 shape: iterative PageRank over a derived edge table).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
-SURVEY.md §2, checked against DuckDB at sf0.01. Graph queries run over the
-co-purchase edge table (sources/edges.py) so the oracle stays ANSI-SQL.
+SURVEY.md §2 plus the training-data-pipeline operators, checked against
+DuckDB at sf0.01. Graph queries run over the co-purchase / customer-order
+edge tables (sources/edges.py) so oracles stay ANSI-SQL; iterative kernels
+that SQL cannot express (PageRank, label propagation) and hash-defined
+operators (MinHash/SimHash/LSH) are rows-only here and exact-oracle-tested
+in tests/ instead.
 """
 
 from __future__ import annotations
@@ -16,14 +20,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from paragrapher_spark.functions.text import detect_language, text_stats
+from paragrapher_spark.graph import edges_from_corpus
+from paragrapher_spark.kernels.components import component_sizes, connected_components
 from paragrapher_spark.kernels.degrees import degree_distribution, top_k_degrees
+from paragrapher_spark.kernels.labelprop import label_propagation
 from paragrapher_spark.kernels.pagerank import pagerank
+from paragrapher_spark.kernels.triangles import triangle_count
+from paragrapher_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_candidates,
+    simhash_candidates,
+)
 from paragrapher_spark.operators.indexing import prefix_sum
+from paragrapher_spark.operators.similarity import knn_bruteforce, knn_lsh
+from paragrapher_spark.sources.corpus import synth_corpus
 from paragrapher_spark.sources.edges import (
     COPURCHASE_EDGES_SQL,
     CUSTOMER_ORDER_EDGES_SQL,
     copurchase_edges,
     customer_order_edges,
+    load_table,
 )
 
 
@@ -35,7 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# queries / oracles
+# graph kernel queries
 # ---------------------------------------------------------------------------
 
 
@@ -74,13 +91,158 @@ def _q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("id", "rank")
 
 
+def _q_wcc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    res = connected_components(edges)
+    return res.components.select(
+        F.col("id").cast("long"), F.col("component").cast("long")
+    )
+
+
+def _q_wcc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    res = connected_components(edges)
+    return component_sizes(res.components).select(
+        F.col("component").cast("long"), F.col("size").cast("long")
+    )
+
+
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    return triangle_count(edges).select(F.col("triangles").cast("long"))
+
+
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    res = label_propagation(edges, max_iter=10)
+    return res.labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
+
+
+def _q_import_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule pipeline end-to-end: synthetic source-code corpus ->
+    vectorized import extraction -> dense-id edge table -> PageRank.
+    Hash-generated corpus => no ANSI-SQL oracle; exactness is covered by
+    tests/test_corpus_extract.py + tests/test_pagerank.py."""
+    corpus = synth_corpus(spark, n_files=2000, n_repos=8)
+    g = edges_from_corpus(corpus, num_partitions=8)
+    res = pagerank(g.edges, vertices=g.vertices, tol=1e-6, max_iter=60)
+    return res.ranks.select("id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings / events)
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs).select(
+        "content_hash",
+        F.col("n_docs").cast("long"),
+        F.col("rep_id").cast("long"),
+    )
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs)
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(detect_language(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(
+        docs, num_hashes=64, bands=16, threshold=0.35
+    ).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "est_jaccard"
+    )
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidates(docs, max_hamming=8).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.col("hamming").cast("long"),
+    )
+
+
+def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 50)
+    return knn_bruteforce(emb, queries=probes, k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "score",
+    )
+
+
+def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, k=5, n_bits=16, bands=8).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "score",
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "in_degree_dist": _q_in_degree_dist,
         "degree_topk": _q_degree_topk,
         "csr_offsets": _q_csr_offsets,
         "pagerank_copurchase": _q_pagerank_copurchase,
+        "wcc_labels": _q_wcc_labels,
+        "wcc_sizes": _q_wcc_sizes,
+        "triangle_count": _q_triangle_count,
+        "label_propagation": _q_label_propagation,
+        "import_graph_pagerank": _q_import_graph_pagerank,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "text_stats": _q_text_stats,
+        "language_id": _q_language_id,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_lsh": _q_knn_lsh,
+        "events_hourly": _q_events_hourly,
     }
+
+
+_WCC_CTE = f"""
+    WITH RECURSIVE edges AS ({COPURCHASE_EDGES_SQL}),
+    und AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION
+        SELECT dst AS a, src AS b FROM edges
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM und),
+    reach(v, r) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.v
+    ),
+    comp AS (SELECT v AS id, MIN(r) AS component FROM reach GROUP BY v)
+"""
+
+_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -116,7 +278,93 @@ def oracle_sql() -> dict[str, str]:
                        ), 0) AS BIGINT) AS offset
             FROM deg
         """,
-        # pagerank_copurchase: iterative, not ANSI-SQL-expressible ->
-        # rows-only check; exact-match correctness is covered by the numpy
-        # power-iteration oracle in tests/test_pagerank.py.
+        "wcc_labels": _WCC_CTE
+        + "SELECT CAST(id AS BIGINT) AS id, CAST(component AS BIGINT) AS component FROM comp",
+        "wcc_sizes": _WCC_CTE
+        + """
+            SELECT CAST(component AS BIGINT) AS component,
+                   CAST(count(*) AS BIGINT) AS size
+            FROM comp GROUP BY component
+        """,
+        "triangle_count": f"""
+            WITH edges AS ({COPURCHASE_EDGES_SQL}),
+            und AS (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst
+                GROUP BY 1, 2
+            )
+            SELECT CAST(count(*) AS BIGINT) AS triangles
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "exact_dup_groups": """
+            SELECT md5(text) AS content_hash,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS rep_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "text_stats": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_TOKENS} AS toks FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CASE WHEN len(toks) > 0 THEN
+                           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END AS atl,
+                       CASE WHEN length(text) > 0 THEN
+                           CAST(length(text) - length(translate(text, '.,;:!?', '')) AS DOUBLE)
+                           / CAST(length(text) AS DOUBLE)
+                       ELSE 0.0 END AS pr,
+                       CASE WHEN len(toks) > 0 THEN
+                           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END AS rr
+                FROM t
+            )
+            SELECT doc_id, n_tokens, n_chars,
+                   ROUND(atl, 6) AS avg_token_len,
+                   ROUND(pr, 6) AS punct_ratio,
+                   ROUND(rr, 6) AS repetition_ratio,
+                   ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * (1.0 - pr) * (1.0 - rr), 6)
+                       AS quality_score
+            FROM s
+        """,
+        "knn_bruteforce": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            s AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       list_cosine_similarity(a.e, b.e) AS sc
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id
+                WHERE a.vec_id < 50
+            ),
+            r AS (
+                SELECT query_id, neighbor_id, sc,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY sc DESC, neighbor_id
+                       ) AS rn
+                FROM s
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   ROUND(sc, 6) AS score
+            FROM r WHERE rn <= 5
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # rows-only (not ANSI-SQL-expressible / hash-defined):
+        #   pagerank_copurchase, import_graph_pagerank  (iterative float fixpoint)
+        #   label_propagation                           (iterative, tie-break state)
+        #   minhash_near_dups, simhash_near_dups, knn_lsh (hash-function-defined)
+        #   language_id                                 (lexicon heuristic; exact-
+        #       match tested in tests/test_dedup_text.py::test_language_id)
     }

@@ -1,0 +1,330 @@
+"""Deduplication operators over document tables.
+
+Large-scale training-data pipeline components, layered from cheap/exact to
+approximate/near-dup. All deterministic (hash-based randomness only — the
+task-retry idempotence requirement, same reasoning as operators/salting.py):
+
+- ``exact_dup_groups``   — sha/md5 hash groupBy (one shuffle on the hash).
+- ``minhash_signatures`` / ``minhash_candidates`` — MinHash + banded LSH:
+  shingle -> 64-bit hash -> H universal-hash minima -> b bands of r rows ->
+  bucket join. Pure JVM expressions (nested transform/aggregate), no
+  Python in the signature path.
+- ``simhash_signatures`` / ``simhash_candidates`` — 64-bit SimHash via an
+  Arrow-batched pandas UDF (bit-vote over token hashes needs per-token
+  bit unpacking — cheaper in numpy than as 64 JVM expressions), candidates
+  by 4x16-bit banding + popcount Hamming check.
+- ``ngram_jaccard_pairs`` — exact n-gram Jaccard via inverted-index join
+  (explode n-grams, join on n-gram, count shared / union).
+
+Scale notes: every candidate generator bounds its blow-up — LSH buckets
+above ``max_bucket_size`` are dropped (and counted) rather than joined,
+the standard guard against degenerate buckets (boilerplate text) producing
+O(bucket^2) pairs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Universal-hash family for MinHash: shingle universe is [0, 2^31); the
+# modulus must sit just above the universe (p = 2^31 + 11, prime) so that
+# h -> (a*h + b) mod p wraps ~a times and behaves like a random permutation.
+# (A big modulus like 2^61-1 with a < 2^31 wraps at most twice — piecewise
+# monotonic, catastrophically biased minima.) a, h < 2^31 keeps a*h + b
+# < 2^62: no ANSI long overflow.
+_P31 = (1 << 31) + 11
+_C31 = 1 << 31
+
+
+def exact_dup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(content_hash, n_docs, rep_id): one row per distinct content; the
+    representative is the minimum id (keep-first policy)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("rep_id"),
+        )
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct content."""
+    reps = exact_dup_groups(docs, text_col, id_col).select(
+        F.col("rep_id").alias(id_col)
+    )
+    return docs.join(reps, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: Column, k: int) -> Column:
+    """Distinct 64-bit-ish hashes of the k-char shingles of ``text``,
+    mapped into [0, 2^31) so universal hashing stays overflow-free."""
+    n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k)
+    )
+    return F.array_distinct(
+        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_C31)))
+    )
+
+
+def _hash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived by splitmix-style mixing — no RNG
+    state, reproducible across sessions."""
+    coeffs = []
+    for i in range(num_hashes):
+        x = (seed * 0x9E3779B97F4A7C15 + (i + 1) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+        a = (x >> 33) % (_P31 - 1) + 1
+        b = (x ^ (x >> 17)) % _P31
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures, fully JVM-side."""
+    hashes = _shingle_hashes(F.col(text_col), shingle_k)
+    coeffs = _hash_coeffs(num_hashes, seed)
+
+    def min_hash(a: int, b: int) -> Column:
+        # factory closure: the lambda must be unary (PySpark counts default
+        # args toward higher-order-function arity)
+        return F.array_min(
+            F.transform(
+                hashes, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P31))
+            )
+        )
+
+    sig = F.array(*[min_hash(a, b) for a, b in coeffs])
+    return docs.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) candidate near-dup pairs, id_a < id_b.
+
+    est_jaccard = fraction of equal signature components (unbiased MinHash
+    estimator); pairs below ``threshold`` are dropped after the LSH
+    bucket-join proposes them.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_k, seed
+    ).persist()
+
+    band_keys = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    # guard: drop degenerate buckets instead of exploding the self-join
+    bucket_sizes = band_keys.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bn"))
+    ok_buckets = bucket_sizes.where(
+        (F.col("bn") > 1) & (F.col("bn") <= max_bucket_size)
+    ).select("band", "bh")
+    bk = band_keys.join(ok_buckets, on=["band", "bh"], how="left_semi")
+
+    a = bk.select("band", "bh", F.col("id").alias("id_a"))
+    b = bk.select("band", "bh", F.col("id").alias("id_b"))
+    pairs = (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    out = (
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over whitespace tokens.
+
+    Arrow-batched pandas UDF (the engine's sanctioned Python path — the
+    reference's user callback receives whole buffers the same way,
+    `include/paragrapher.h:93`): per batch, tokens are hashed with a
+    splitmix64 mix and their bits voted with numpy popcount-free math.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def _token_hash(tok: str) -> int:
+        # stable across processes (never Python's salted hash())
+        return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for text in pdf[text_col].astype(str):
+                toks = text.split()
+                if not toks:
+                    out.append(0)
+                    continue
+                th = np.array([_token_hash(t) for t in toks], dtype=np.uint64)
+                bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                sh = 0
+                for j in range(64):
+                    if votes[j] > 0:
+                        sh |= 1 << j
+                out.append(sh if sh < (1 << 63) else sh - (1 << 64))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": pd.Series(out, dtype="int64")})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batch, schema=f"{id_col} long, simhash long"
+    )
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming.
+
+    Banding: 4 blocks of 16 bits; distance <=3 guarantees at least one
+    equal block (pigeonhole), so a 4-way block-equality join finds all
+    qualifying pairs; popcount(xor) filters exactly.
+    """
+    sigs = simhash_signatures(docs, text_col, id_col).persist()
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bv"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocks = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(block_arr).alias("bk"),
+    ).select("id", "simhash", F.col("bk.block").alias("block"), F.col("bk.bv").alias("bv"))
+    a = blocks.select("block", "bv", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = blocks.select("block", "bv", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, on=["block", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) exact word-n-gram Jaccard via inverted index.
+
+    Shared-count join explodes by n-gram document frequency; at corpus
+    scale, stop-gram removal (drop n-grams with df above a cap) bounds it —
+    here df is naturally small and the exactness is the point (it verifies
+    the MinHash estimate in tests).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    g = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    counts = g.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = g.select(F.col("gram"), F.col("id").alias("id_a"))
+    b = g.select(F.col("gram"), F.col("id").alias("id_b"))
+    shared = (
+        a.join(b, on="gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(counts.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na")), on="id_a")
+        .join(counts.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out

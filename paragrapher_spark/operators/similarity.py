@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a scale ladder:
+
+- ``knn_bruteforce`` — exact top-k cosine neighbors. The dot product is a
+  JVM-side ``aggregate(zip_with(...))`` fold (sequential, deterministic
+  summation order — reproducible against the DuckDB oracle bit-for-bit in
+  float64); top-k per query via ``min_by``-style struct max aggregation,
+  not a window over the full cross product.
+- ``knn_lsh`` — random-hyperplane (sign) LSH: H deterministic pseudo-random
+  hyperplanes (xxhash-derived ±1 components, no RNG state), banded into
+  buckets; candidates are bucket-mates, exact cosine re-ranks them. The
+  100 TB path: the cross product never materializes; cost ~ bucket sizes.
+
+Norms are precomputed and folded into the vector rows. Queries with zero
+vectors get no neighbors (cosine undefined -> excluded), deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_norm(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.select(
+        F.col(id_col), v.alias("vec"), _norm(v).alias("norm")
+    ).where(F.col("norm") > 0)
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return _dot(a, b) / (norm_a * norm_b)
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, score): exact top-k cosine neighbors of each
+    query among all vectors (self excluded). ``queries`` defaults to all
+    vectors. Output ordering is deterministic: ties broken by neighbor id.
+
+    The scatter is a broadcast-able cross join when the query side is
+    small (the typical shape: thousands of probes against a huge corpus);
+    Spark broadcasts the query side automatically under the session's
+    threshold.
+    """
+    base = with_norm(emb, vec_col, id_col)
+    q = base if queries is None else with_norm(queries, vec_col, id_col)
+    qd = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    cd = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = (
+        F.broadcast(qd).crossJoin(cd)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")).alias(
+                "score"
+            ),
+        )
+    )
+    return _topk(scored, k)
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k rows per query_id by (score desc, neighbor_id asc) without a
+    global sort: aggregate per query into a bounded sorted array.
+
+    sort_array on struct(-score-ordering) after collect_list would buffer
+    all candidates per query; for the brute-force path that is |corpus|
+    per query — acceptable for probe-sized query sets, and the LSH path
+    feeds only bucket-mates. (A size-capped binary-heap UDAF would bound
+    it strictly; not needed at probe scale.)
+    """
+    ranked = (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score")).alias("neg"),
+                            F.col("neighbor_id").alias("nid"),
+                            F.col("score").alias("score"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+    )
+    return ranked.select(
+        "query_id", F.explode("top").alias("t")
+    ).select(
+        "query_id",
+        F.col("t.nid").alias("neighbor_id"),
+        F.round(F.col("t.score"), 6).alias("score"),
+    )
+
+
+def _hyperplane_bits(vec: Column, dim: int, n_bits: int, seed: int = 42) -> Column:
+    """n_bits sign bits of <v, r_i> for deterministic ±1 hyperplanes
+    r_i[d] = ±1 from xxhash64(seed, i, d) parity. Pure JVM expressions."""
+    def bit(i: int) -> Column:
+        def signed(x: Column, d: Column) -> Column:
+            return F.when(
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(i), d), 2) == 0, x
+            ).otherwise(-x)
+
+        s = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), signed),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        out = out + (bit(i).cast("long") * F.lit(1 << i))
+    return out
+
+
+def knn_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    n_bits: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_bucket_size: int = 10000,
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates share at least one LSH band
+    bucket; exact cosine re-ranks. Same output schema as knn_bruteforce."""
+    assert n_bits % bands == 0
+    rows = n_bits // bands
+    base = with_norm(emb, vec_col, id_col).persist()
+    dim = len(base.select("vec").first()["vec"])
+    sig = base.select(
+        F.col(id_col).alias("id"),
+        "vec",
+        "norm",
+        _hyperplane_bits(F.col("vec"), dim, n_bits, seed).alias("bits"),
+    )
+    mask = (1 << rows) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("bits"), i * rows)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "id", "vec", "norm", F.explode(band_arr).alias("bk")
+    ).select("id", "vec", "norm", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    sizes = banded.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("bn"))
+    ok = sizes.where((F.col("bn") > 1) & (F.col("bn") <= max_bucket_size)).select("band", "bv")
+    bb = banded.join(ok, on=["band", "bv"], how="left_semi")
+    a = bb.select("band", "bv", F.col("id").alias("query_id"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm"))
+    b = bb.select("band", "bv", F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), F.col("norm").alias("cnorm"))
+    cand = (
+        a.join(b, on=["band", "bv"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")).alias("score"),
+        )
+        .distinct()
+    )
+    return _topk(cand, k)

@@ -1,0 +1,151 @@
+"""Dedup + text-analysis operators vs in-test Python oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from paragrapher_spark.functions.text import (
+    detect_language,
+    fingerprint,
+    text_stats,
+)
+from paragrapher_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    minhash_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+    simhash_signatures,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 0
+    (2, "completely different content about spark query engines and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (4, "a b c d e f g h i j k l m n o p"),
+    (5, "completely different content about spark query engines and shuffling"),  # near-dup of 2
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").persist()
+
+
+def test_exact_dedup(docs):
+    groups = exact_dup_groups(docs).collect()
+    dup = [g for g in groups if g.n_docs > 1]
+    assert len(dup) == 1 and dup[0].n_docs == 2 and dup[0].rep_id == 0
+    kept = sorted(r.doc_id for r in dedup_exact(docs).collect())
+    assert kept == [0, 1, 2, 4, 5]
+
+
+def _py_jaccard_shingles(a: str, b: str, k: int = 5) -> float:
+    sa = {a[i : i + k] for i in range(max(1, len(a) - k + 1))}
+    sb = {b[i : i + k] for i in range(max(1, len(b) - k + 1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_estimates_jaccard(docs):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs, num_hashes=128).collect()}
+    assert all(len(s) == 128 for s in sigs.values())
+    texts = dict(DOCS)
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 128
+        true = _py_jaccard_shingles(texts[a], texts[b])
+        assert est == pytest.approx(true, abs=0.18), (a, b, est, true)
+
+
+def test_minhash_candidates_find_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidates(docs, num_hashes=128, bands=32, threshold=0.5).collect()
+    }
+    assert (0, 3) in pairs  # exact dup
+    assert (0, 1) in pairs  # near dup
+    assert (2, 5) in pairs  # near dup
+    assert (0, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_deterministic(docs):
+    a = minhash_signatures(docs).collect()
+    b = minhash_signatures(docs).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_simhash_near_dups(docs):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(0, 3) == 0
+    assert ham(0, 1) <= 16
+    assert ham(0, 2) > 16
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_candidates(docs, max_hamming=3).collect()}
+    assert pairs[(0, 3)] == 0
+
+
+def test_ngram_jaccard_exact(docs):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.01).collect()
+    }
+    texts = dict(DOCS)
+
+    def py_ngram_jac(a, b, n=3):
+        ta, tb = a.split(), b.split()
+        ga = {" ".join(ta[i : i + n]) for i in range(len(ta) - n + 1)} or {" ".join(ta)}
+        gb = {" ".join(tb[i : i + n]) for i in range(len(tb) - n + 1)} or {" ".join(tb)}
+        return len(ga & gb) / len(ga | gb)
+
+    for (a, b), j in got.items():
+        assert j == pytest.approx(py_ngram_jac(texts[a], texts[b]), abs=1e-9)
+    assert got[(0, 3)] == pytest.approx(1.0)
+    assert (0, 1) in got
+
+
+def test_text_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello world, this is fine."), (1, ""), (2, "a a a a a a")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_stats(df).collect()}
+    assert rows[0].n_tokens == 5
+    assert rows[0].n_chars == 26
+    assert rows[0].punct_ratio == pytest.approx(2 / 26, abs=1e-6)
+    assert rows[1].n_tokens == 0 and rows[1].quality_score == 0.0
+    assert rows[2].repetition_ratio == pytest.approx(5 / 6, abs=1e-6)
+    assert 0 <= rows[0].quality_score <= 1
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog sat in a house that is big"),
+            (1, "der hund und die katze ist nicht auf dem tisch und das ist gut"),
+            (2, "el perro y la casa es grande y que bonita en la calle"),
+            (3, "le chien est dans la maison et une femme pour le chat"),
+            (4, "这是一个中文句子没有空格"),
+            (5, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang for r in df.select("doc_id", detect_language(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "es", 3: "fr", 4: "zh", 5: "und"}
+
+
+def test_fingerprint_rolling_hash(spark):
+    df = spark.createDataFrame(
+        [(0, "abc"), (1, "acb"), (2, "abc")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    mod = (1 << 61) - 1
+    want = 0
+    for byte in b"abc":
+        want = (want * 257 + byte) % mod
+    assert got[0] == want
+    assert got[0] == got[2]
+    assert got[0] != got[1]  # order-sensitive

@@ -1,0 +1,109 @@
+"""Similarity search + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from paragrapher_spark.operators.multimodal import (
+    decode_image_features,
+    media_stats,
+    resize_image,
+    sample_frames,
+    synth_media,
+)
+from paragrapher_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    # plant a near-duplicate cluster: 50..52 close to 0
+    for i in (50, 51, 52):
+        vecs[i] = vecs[0] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist(),
+        vecs,
+    )
+
+
+def _numpy_topk(vecs, k=5):
+    v = vecs.astype(np.float64)
+    n = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = n @ n.T
+    np.fill_diagonal(sims, -np.inf)
+    out = {}
+    for i in range(len(v)):
+        order = sorted(range(len(v)), key=lambda j: (-sims[i, j], j))[:k]
+        out[i] = [(j, sims[i, j]) for j in order]
+    return out
+
+
+def test_knn_bruteforce_exact(emb):
+    df, vecs = emb
+    got = {}
+    for r in knn_bruteforce(df, k=5).collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.score))
+    want = _numpy_topk(vecs, k=5)
+    assert got.keys() == want.keys()
+    for q in want:
+        got_ids = [n for n, _ in got[q]]
+        want_ids = [n for n, _ in want[q]]
+        assert got_ids == want_ids, (q, got_ids, want_ids)
+        for (gn, gs), (wn, ws) in zip(got[q], want[q]):
+            assert gs == pytest.approx(ws, abs=1e-5)
+
+
+def test_knn_lsh_finds_planted_cluster(emb):
+    df, _ = emb
+    got = {}
+    for r in knn_lsh(df, k=5, n_bits=16, bands=8).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # the planted near-identical vectors must find each other
+    assert {50, 51, 52} <= got[0] | {0}
+    for i in (50, 51, 52):
+        assert 0 in got[i] or (got[i] & {50, 51, 52})
+
+
+def test_knn_deterministic(emb):
+    df, _ = emb
+    a = sorted(map(str, knn_bruteforce(df, k=3).collect()))
+    b = sorted(map(str, knn_bruteforce(df, k=3).collect()))
+    assert a == b
+
+
+def test_media_pipeline(spark):
+    media = synth_media(spark, n=60).persist()
+    feats = decode_image_features(media).collect()
+    n_img = media.where(F.col("kind") == "image").count()
+    assert len(feats) == n_img
+    for r in feats:
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-5
+        assert 0 <= r.mean_luma <= 255
+    # determinism of the fake decode
+    feats2 = decode_image_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+    rs = resize_image(media, 32, 32).collect()
+    assert len(rs) == n_img and all(len(bytes(r.payload)) == 32 for r in rs)
+
+    frames = sample_frames(media, every_ms=5000).collect()
+    n_vid = media.where(F.col("kind") == "video").count()
+    assert len(frames) >= n_vid  # at least one frame per video
+    assert all(f.ts_ms == f.frame_idx * 5000 for f in frames)
+
+
+def test_media_stats_prunes_payload(spark):
+    media = synth_media(spark, n=30)
+    plan = media_stats(media)._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # column pruning reached the scan
+
+
+def test_real_codec_raises(spark):
+    media = synth_media(spark, n=6)
+    with pytest.raises(Exception, match="NotImplementedError|not in"):
+        decode_image_features(media, codec="real").collect()

@@ -1,0 +1,103 @@
+"""Converter sinks (reference test3..test6 workloads) + streaming events."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from paragrapher_spark.graph import edges_from_corpus, graph_from_edges
+from paragrapher_spark.fixtures import small5x14
+from paragrapher_spark.sources.corpus import synth_corpus
+from paragrapher_spark.sources.sinks import (
+    edge_checksum,
+    narrow_ids,
+    read_csr,
+    scan_edges,
+    write_adjacency_text,
+    write_csr,
+    write_edge_text,
+)
+from paragrapher_spark.streaming.events import (
+    stream_events_hourly,
+    windowed_event_counts,
+)
+
+
+def test_csr_roundtrip_and_scan(spark, tmp_path):
+    g = edges_from_corpus(synth_corpus(spark, 200, 4), num_partitions=4)
+    path = str(tmp_path / "graph")
+    write_csr(g, path, num_partitions=4)
+    back = read_csr(spark, path)
+    assert back.num_vertices == g.num_vertices
+    assert back.num_edges == g.num_edges
+    # every edge delivered exactly once (reference invariant test1:230)
+    assert edge_checksum(back.edges) == edge_checksum(g.edges)
+    # range scan == filter on the original (subgraph semantics,
+    # paragrapher_csx_get_subgraph)
+    sub = scan_edges(spark, path, 50, 100)
+    want = g.edges.where((F.col("src") >= 50) & (F.col("src") < 100))
+    assert sub.count() == want.count()
+    assert edge_checksum(sub) == edge_checksum(want)
+    # filter must reach the parquet scan (pushdown)
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(src,50" in plan
+
+
+def test_edge_text_writer(spark, tmp_path):
+    g = graph_from_edges(small5x14(spark))
+    path = str(tmp_path / "el")
+    write_edge_text(g.edges, path, single_file=True)
+    lines = sorted(
+        tuple(map(int, r.value.split())) for r in spark.read.text(path).collect()
+    )
+    want = sorted((r.src, r.dst) for r in g.edges.collect())
+    assert lines == want
+
+
+def test_adjacency_text_writer(spark, tmp_path):
+    g = graph_from_edges(small5x14(spark))
+    path = str(tmp_path / "g.adj")
+    write_adjacency_text(g, path)
+    lines = open(path).read().splitlines()
+    assert lines[0] == "AdjacencyGraph"
+    assert int(lines[1]) == g.num_vertices == 5
+    assert int(lines[2]) == g.num_edges == 14
+    offsets = [int(x) for x in lines[3 : 3 + 5]]
+    dests = [int(x) for x in lines[8 : 8 + 14]]
+    assert offsets[0] == 0 and len(dests) == 14
+    # offsets prefix-sum invariant (WG400AP.java:255)
+    degs = {r.id: r.out_degree for r in g.out_degrees().collect()}
+    assert offsets[-1] + degs[4] == 14
+
+
+def test_narrow_ids(spark):
+    e = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    out = narrow_ids(e)
+    assert [f.dataType.simpleString() for f in out.schema.fields][:2] == ["int", "int"]
+    big = spark.createDataFrame([(1, 1 << 40)], "src long, dst long")
+    try:
+        narrow_ids(big)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_windowed_events_batch_vs_stream(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src_dir = str(tmp_path / "events_src")
+    events.write.mode("overwrite").parquet(src_dir)
+
+    batch = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_counts(spark.read.parquet(src_dir)).collect()
+    }
+    q = stream_events_hourly(
+        spark, src_dir, str(tmp_path / "ckpt"), query_name="ev_test"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM ev_test").collect()
+    }
+    assert got == batch and len(got) > 0

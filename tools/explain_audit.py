@@ -1,0 +1,89 @@
+"""Physical-plan audit: prints the formatted plans of the engine's key
+operators and greps them for the properties the scale design promises:
+
+- parquet scans show PushedFilters / pruned ReadSchema (no full-width reads)
+- hot paths sit inside WholeStageCodegen spans (no row-at-a-time Python)
+- per-superstep exchange count matches the design (PageRank: rank shuffle +
+  groupBy(dst) shuffle only; the persisted edge table must NOT re-exchange)
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from paragrapher_spark import get_spark  # noqa: E402
+from paragrapher_spark.kernels.degrees import degree_distribution  # noqa: E402
+from paragrapher_spark.operators.dedup import minhash_signatures  # noqa: E402
+from paragrapher_spark.sources.edges import copurchase_edges, load_table  # noqa: E402
+
+
+def summarize(name: str, df, show_full: bool = False) -> None:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = len(re.findall(r"Exchange ", plan))
+    n_codegen = len(re.findall(r"WholeStageCodegen", plan))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    read_schema = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    print(f"== {name}")
+    print(f"   exchanges={n_exchange} codegen_spans={n_codegen}")
+    for p in pushed:
+        print(f"   pushed: [{p[:120]}]")
+    for r in read_schema:
+        print(f"   readSchema: {r[:160]}")
+    if show_full:
+        df.explain("formatted")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="explain-audit", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # projection pruning: co-purchase derivation must read 2 columns only
+    edges = copurchase_edges(spark, sf_dir)
+    summarize("copurchase_edges (expect ReadSchema with only l_orderkey,l_partkey)", edges)
+
+    summarize("degree_distribution", degree_distribution(edges))
+
+    # filter pushdown on a scan with predicate
+    filtered = li.where(F.col("l_quantity") > 40).select("l_orderkey")
+    summarize("filtered lineitem (expect PushedFilters GreaterThan(l_quantity,40))", filtered)
+
+    docs = load_table(spark, sf_dir, "documents")
+    summarize("minhash_signatures (expect pure codegen, 0 exchanges)", minhash_signatures(docs))
+
+    # PageRank single-superstep plan: edges persisted+partitioned on src,
+    # ranks repartitioned on id -> join should reuse the edge partitioning
+    n_part = 8
+    e = (
+        edges.select("src", "dst")
+        .join(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), on="src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("coef"))
+        .repartition(n_part, "src")
+        .persist()
+    )
+    e.count()
+    ranks = (
+        e.select(F.col("src").alias("id")).distinct()
+        .select("id", F.lit(0.001).alias("rank"))
+        .repartition(n_part, "id")
+    )
+    step = (
+        e.join(ranks.withColumnRenamed("id", "src"), on="src")
+        .select(F.col("dst").alias("id"), (F.col("rank") * F.col("coef")).alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("mass"))
+    )
+    summarize("pagerank superstep (persisted edges: expect rank-side exchange + agg exchange)", step, show_full=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

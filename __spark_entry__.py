@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from paragrapher_spark.functions.text import detect_language, text_stats
+from paragrapher_spark.functions.text import detect_language, fingerprint, text_stats
 from paragrapher_spark.graph import edges_from_corpus
 from paragrapher_spark.kernels.components import component_sizes, connected_components
 from paragrapher_spark.kernels.degrees import degree_distribution, top_k_degrees
@@ -28,10 +28,13 @@ from paragrapher_spark.kernels.labelprop import label_propagation
 from paragrapher_spark.kernels.pagerank import pagerank
 from paragrapher_spark.kernels.triangles import triangle_count
 from paragrapher_spark.operators.dedup import (
+    embedding_dup_pairs,
     exact_dup_groups,
     minhash_candidates,
+    ngram_jaccard_pairs,
     simhash_candidates,
 )
+from paragrapher_spark.operators.multimodal import media_stats, synth_media
 from paragrapher_spark.operators.indexing import prefix_sum
 from paragrapher_spark.operators.similarity import knn_bruteforce, knn_lsh
 from paragrapher_spark.sources.corpus import synth_corpus
@@ -174,6 +177,40 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.4, method="exact").select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "score"
+    )
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprints (order-sensitive content ids —
+    the reference's converter checksum, test3:303). Mod-2^61 Horner over
+    utf-8 bytes is not ANSI-SQL-expressible (int64 overflow) => rows-only;
+    exactness tested in tests/test_dedup_text.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select(F.col("doc_id").cast("long"), "fingerprint")
+
+
+def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over opaque binary columns + typed metadata
+    (deterministic synthetic media; decode is a seeded fake — the image/
+    audio libs are stubbed, the Spark schema/partitioning/UDF batching is
+    real). No parquet media table in testdata => rows-only."""
+    media = synth_media(spark, n=200)
+    return media_stats(media)
+
+
 def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 50)
@@ -220,6 +257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_dups": _q_embedding_dups,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "media_stats": _q_media_stats,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
         "events_hourly": _q_events_hourly,
@@ -332,6 +373,47 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * (1.0 - pr) * (1.0 - rr), 6)
                        AS quality_score
             FROM s
+        """,
+        "ngram_jaccard": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKENS} AS toks FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_distinct(list_transform(
+                               range(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                       ELSE [array_to_string(toks, ' ')] END AS grams
+                FROM t
+            ),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            c AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+            sh AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(count(*) AS DOUBLE) AS shared
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   ROUND(shared / (ca.n + cb.n - shared), 6) AS jaccard
+            FROM sh
+            JOIN c ca ON ca.doc_id = sh.id_a
+            JOIN c cb ON cb.doc_id = sh.id_b
+            WHERE shared / (ca.n + cb.n - shared) >= 0.2
+        """,
+        "embedding_dups": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            s AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       ROUND(list_cosine_similarity(a.e, b.e), 6) AS score
+                FROM v a JOIN v b ON a.vec_id < b.vec_id
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   score
+            FROM s WHERE score >= 0.4
         """,
         "knn_bruteforce": """
             WITH v AS (

@@ -99,9 +99,17 @@ def pagerank(
     )
     edges_w.count()
 
-    # dangling vertices: no out-edges; their rank mass is redistributed
-    dangling = vertices.join(out_deg, vertices.id == out_deg.src, "left_anti").persist()
-    has_dangling = dangling.count() > 0
+    # dangling vertices: no out-edges; their rank mass is redistributed.
+    # The flag rides ON the rank table so each superstep's single
+    # aggregation yields BOTH the convergence delta and the next
+    # superstep's dangling mass — one cheap job over checkpointed data,
+    # no per-iteration semi-join.
+    dangling_flag = out_deg.select(F.col("src").alias("id"), F.lit(True).alias("_nd"))
+
+    def _with_flag(r: DataFrame) -> DataFrame:
+        return r.join(dangling_flag, on="id", how="left").select(
+            "id", "rank", F.col("_nd").isNull().alias("is_dangling")
+        )
 
     # resume path
     start_iter = 0
@@ -110,10 +118,28 @@ def pagerank(
         resumed = checkpoint.resume(spark)
         if resumed is not None:
             start_iter, ranks = resumed
-            ranks = ranks.repartition(n_part, "id").localCheckpoint(eager=True)
+            ranks = (
+                _with_flag(ranks.select("id", "rank"))
+                .repartition(n_part, "id")
+                .localCheckpoint(eager=True)
+            )
     if ranks is None:
-        ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+        ranks = _with_flag(vertices.select("id", F.lit(1.0 / n).alias("rank")))
         ranks = ranks.repartition(n_part, "id").localCheckpoint(eager=True)
+
+    def _delta_and_dangling(r: DataFrame) -> tuple[float, float]:
+        row = r.agg(
+            F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
+        ).collect()[0]
+        return row["delta"] or 0.0, row["dm"] or 0.0
+
+    dm = (
+        ranks.agg(
+            F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0))
+        ).collect()[0][0]
+        or 0.0
+    )
 
     history: list[dict[str, Any]] = []
     converged = False
@@ -121,16 +147,7 @@ def pagerank(
     it = start_iter
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.monotonic()
-        dm = 0.0
-        if has_dangling:
-            dm = (
-                ranks.join(dangling, on="id", how="left_semi")
-                .agg(F.sum("rank"))
-                .collect()[0][0]
-                or 0.0
-            )
-
-        ranks_src = ranks.withColumnRenamed("id", "src")
+        ranks_src = ranks.select(F.col("id").alias("src"), "rank")
         if n_salts:
             e = salt_column(edges_w, "src", n_salts)
             r = explode_salts(ranks_src, n_salts)
@@ -144,22 +161,19 @@ def pagerank(
         )
         base = (1.0 - damping) / n + damping * dm / n
         new_ranks = (
-            ranks.withColumnRenamed("rank", "old_rank")
+            ranks.select("id", F.col("rank").alias("old_rank"), "is_dangling")
             .join(sums, on="id", how="left")
             .select(
                 "id",
                 (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("rank"),
                 "old_rank",
+                "is_dangling",
             )
             .repartition(n_part, "id")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.agg(F.max(F.abs(F.col("rank") - F.col("old_rank")))).collect()[0][0]
-            or 0.0
-        )
-        ranks = new_ranks.select("id", "rank").localCheckpoint(eager=True)
-        new_ranks.unpersist()
+        delta, dm = _delta_and_dangling(new_ranks)
+        ranks = new_ranks.select("id", "rank", "is_dangling")
         dt = time.monotonic() - t0
 
         metrics = {
@@ -171,7 +185,7 @@ def pagerank(
         history.append({"iteration": it, **metrics})
         if checkpoint is not None:
             if it % checkpoint_every == 0:
-                checkpoint.save(it, ranks, metrics)
+                checkpoint.save(it, ranks.select("id", "rank"), metrics)
             else:
                 checkpoint.log_metrics(it, metrics)
         if delta < tol:
@@ -179,11 +193,13 @@ def pagerank(
             break
 
     if checkpoint is not None and converged:
-        checkpoint.save(it, ranks, {"delta": delta, "converged": True}, kind="final")
+        checkpoint.save(
+            it, ranks.select("id", "rank"), {"delta": delta, "converged": True},
+            kind="final",
+        )
     edges_w.unpersist()
     vertices.unpersist()
-    dangling.unpersist()
     return PageRankResult(
-        ranks=ranks, iterations=it, converged=converged, final_delta=delta,
-        history=history,
+        ranks=ranks.select("id", "rank"), iterations=it, converged=converged,
+        final_delta=delta, history=history,
     )

@@ -328,3 +328,87 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "exact",
+    n_bits: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, score) pairs with cosine similarity >= threshold.
+
+    ``method="exact"`` is the all-pairs baseline (O(n^2) dot products,
+    JVM-side ``F.aggregate`` — no Python in the loop): the oracle-checkable
+    path, viable for probe-sized sets. ``method="lsh"`` buckets vectors by
+    banded random-hyperplane signs first (operators.similarity) so only
+    bucket-mates are compared — the 100 TB path; same exact cosine filter
+    on candidates, recall < 1 by construction.
+    """
+    from paragrapher_spark.operators.similarity import (
+        _hyperplane_bits,
+        cosine,
+        with_norm,
+    )
+
+    base = with_norm(emb, vec_col, id_col)
+    if method == "lsh":
+        dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        bits = _hyperplane_bits(F.col("vec"), int(dim_row["d"]), n_bits)
+        band_w = n_bits // bands
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("bits"), i * band_w)
+                    .bitwiseAND(F.lit((1 << band_w) - 1))
+                    .alias("bv"),
+                )
+                for i in range(bands)
+            ]
+        )
+        bucketed = (
+            base.withColumn("bits", bits)
+            .select(id_col, "vec", "norm", F.explode(band_arr).alias("bk"))
+            .select(
+                id_col, "vec", "norm",
+                F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"),
+            )
+        )
+        a = bucketed.select(
+            "band", "bv", F.col(id_col).alias("id_a"),
+            F.col("vec").alias("va"), F.col("norm").alias("na"),
+        )
+        b = bucketed.select(
+            "band", "bv", F.col(id_col).alias("id_b"),
+            F.col("vec").alias("vb"), F.col("norm").alias("nb"),
+        )
+        paired = a.join(b, on=["band", "bv"]).where(F.col("id_a") < F.col("id_b"))
+    else:
+        a = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col("vec").alias("va"), F.col("norm").alias("na"),
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("vec").alias("vb"), F.col("norm").alias("nb"),
+        )
+        paired = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        paired.select(
+            "id_a", "id_b",
+            F.round(
+                cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+            ).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+        .distinct()
+    )

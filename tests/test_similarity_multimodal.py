@@ -107,3 +107,44 @@ def test_real_codec_raises(spark):
     media = synth_media(spark, n=6)
     with pytest.raises(Exception, match="NotImplementedError|not in"):
         decode_image_features(media, codec="real").collect()
+
+
+def test_embedding_dup_pairs_exact(emb):
+    from paragrapher_spark.operators.dedup import embedding_dup_pairs
+
+    df, vecs = emb
+    got = {
+        (r.id_a, r.id_b): r.score
+        for r in embedding_dup_pairs(df, threshold=0.95, method="exact").collect()
+    }
+    v = vecs.astype(np.float64)
+    n = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = n @ n.T
+    want = {
+        (i, j): round(sims[i, j], 6)
+        for i in range(len(v))
+        for j in range(i + 1, len(v))
+        if round(sims[i, j], 6) >= 0.95
+    }
+    assert got.keys() == want.keys()
+    # the planted cluster 0/50/51/52 must be fully paired
+    for pair in [(0, 50), (0, 51), (0, 52), (50, 51), (50, 52), (51, 52)]:
+        assert pair in got
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-5)
+
+
+def test_embedding_dup_pairs_lsh_recalls_cluster(emb):
+    from paragrapher_spark.operators.dedup import embedding_dup_pairs
+
+    df, _ = emb
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            df, threshold=0.95, method="lsh", n_bits=16, bands=8
+        ).collect()
+    }
+    # near-identical vectors agree on every hyperplane bit => every band
+    # collides => all cluster pairs are recalled
+    for pair in [(0, 50), (0, 51), (0, 52), (50, 51), (50, 52), (51, 52)]:
+        assert pair in got

@@ -1,0 +1,183 @@
+"""Engine facade — explicit 1:1 parity with the reference's public API.
+
+ParaGrapher's public surface is 12 functions over an opaque graph handle
+(`include/paragrapher.h`; dispatch in `src/paragrapher.c`). This module is
+the parity map made executable: one method per reference function, each
+delegating to the Spark-native implementation that SURVEY.md §2.1 assigns
+to it. Nothing here adds engine logic — it exists so a reference user can
+switch by symbol name, and so the coverage claim is checkable line by line.
+
+| reference (include/paragrapher.h)                | here                      |
+|--------------------------------------------------|---------------------------|
+| `paragrapher_init`                               | `Engine()` / `get_spark`  |
+| `paragrapher_open_graph`                         | `Engine.open_graph`       |
+| `paragrapher_release_graph`                      | `Engine.release_graph`    |
+| `paragrapher_get_set_options` (12 request types) | `Engine.get_option` /     |
+|                                                  | `Engine.set_option`       |
+| `paragrapher_csx_get_offsets`                    | `Engine.get_offsets`      |
+| `paragrapher_csx_get_vertex_weights` (NULL stub  | `Engine.get_vertex_weights`|
+|   in every reference reader, src/webgraph.c:1143)|   (vertex-attr join)      |
+| `paragrapher_csx_release_offsets_weights_arrays` | `Engine.release` (no-op / |
+|                                                  |   unpersist)              |
+| `paragrapher_csx_get_subgraph`                   | `Engine.scan_edges`       |
+| `paragrapher_csx_release_read_buffers`           | automatic (Arrow batch    |
+|                                                  |   lifetime) — `release`   |
+| `paragrapher_csx_release_read_request`           | `Engine.release`          |
+| `paragrapher_coo_get_edges` (declared, never     | `Engine.scan_edges_rows`  |
+|   implemented, src/paragrapher.c:37)             |                           |
+| callback `paragrapher_csx_callback`              | the fn given to           |
+|                                                  |   `Engine.for_each_block` |
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from paragrapher_spark.graph import Graph, edges_from_corpus, graph_from_edges
+from paragrapher_spark.sources.sinks import read_csr, scan_edges
+
+
+class Engine:
+    """Session + options + graph registry (the reference's library state:
+    `paragrapher_init` registers per-format readers, `src/paragrapher.c:45-67`;
+    here the "formats" are loaders keyed by source kind)."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        # SET/GET_BUFFER_SIZE & SET/GET_MAX_BUFFERS_COUNT analogues
+        # (`src/webgraph.c:472-502`): rows per scan batch and parallelism.
+        self._options: dict[str, Any] = {
+            "buffer_size": 1 << 20,  # rows per Arrow batch-ish unit
+            "max_buffers_count": spark.sparkContext.defaultParallelism,
+        }
+        self._graphs: list[Graph] = []
+
+    # -- paragrapher_open_graph / release_graph ------------------------------
+
+    def open_graph(self, source: str | DataFrame, kind: str = "csr") -> Graph:
+        """kind='csr': a directory written by sinks.write_csr (the
+        reference's on-disk graph + `.properties` metadata). kind='corpus':
+        an Iceberg/parquet corpus table or path -> import-graph extraction.
+        kind='edges': a raw (src, dst[, weight]) DataFrame."""
+        if kind == "csr":
+            g = read_csr(self.spark, source)  # type: ignore[arg-type]
+        elif kind == "corpus":
+            df = (
+                self.spark.read.parquet(source)
+                if isinstance(source, str)
+                else source
+            )
+            g = edges_from_corpus(df)
+        elif kind == "edges":
+            g = graph_from_edges(source)  # type: ignore[arg-type]
+        else:
+            raise ValueError(f"unknown graph kind: {kind}")
+        self._graphs.append(g)
+        return g
+
+    def release_graph(self, graph: Graph) -> None:
+        """`paragrapher_release_graph` (`src/webgraph.c:392-437`):
+        unpersist cached state."""
+        graph.edges.unpersist()
+        graph.vertices.unpersist()
+        if graph in self._graphs:
+            self._graphs.remove(graph)
+
+    # -- paragrapher_get_set_options ----------------------------------------
+
+    def get_option(self, graph: Graph | None, request: str) -> Any:
+        """The reference's request types (`src/webgraph.c:450-554`)."""
+        if request == "vertices_count":
+            return graph.num_vertices  # from metadata, like `.properties`
+        if request == "edges_count":
+            return graph.num_edges
+        if request == "lib_uses_own_buffers":
+            return True  # Arrow batches are executor-owned
+        if request == "lib_uses_user_arrays":
+            return False
+        if request in self._options:
+            return self._options[request]
+        raise KeyError(request)
+
+    def set_option(self, request: str, value: Any) -> None:
+        if request not in ("buffer_size", "max_buffers_count"):
+            raise KeyError(request)
+        self._options[request] = value
+
+    # -- paragrapher_csx_get_offsets / vertex_weights ------------------------
+
+    def get_offsets(self, graph: Graph) -> DataFrame:
+        """(id, out_degree, offset) — the u64 offsets array as a table
+        (`src/webgraph.c:601-711`; prefix sum `src/WG400AP.java:237-252`)."""
+        return graph.offsets()
+
+    def get_vertex_weights(self, graph: Graph, weights: DataFrame) -> DataFrame:
+        """Reference declares but never implements this (NULL in every
+        reader, `src/webgraph.c:1143`); here it is the trivial
+        vertex-attribute join: weights(id, ...) onto the vertex table."""
+        return graph.vertices.join(weights, on="id", how="left")
+
+    def release(self, *dfs: DataFrame) -> None:
+        """Release offsets/read buffers/read request
+        (`src/paragrapher.c:141-213`): unpersist; Arrow batch lifetime is
+        automatic."""
+        for df in dfs:
+            df.unpersist()
+
+    # -- paragrapher_csx_get_subgraph (the flagship scan) --------------------
+
+    def scan_edges(self, graph_or_path: Graph | str, start_vertex: int, end_vertex: int) -> DataFrame:
+        """Edges with src in half-open [start_vertex, end_vertex) — the
+        edge-block scan (`src/webgraph.c:1036-1091`). Against a write_csr
+        directory the predicate prunes parquet files via min/max stats (the
+        offsets-directed block skip, `src/WG400AP.java:156-165`)."""
+        if isinstance(graph_or_path, str):
+            return scan_edges(self.spark, graph_or_path, start_vertex, end_vertex)
+        return graph_or_path.edges.where(
+            (F.col("src") >= start_vertex) & (F.col("src") < end_vertex)
+        )
+
+    def scan_edges_rows(self, graph: Graph, start_row: int, end_row: int) -> DataFrame:
+        """`paragrapher_coo_get_edges` — declared in the reference API but
+        never implemented (`src/paragrapher.c:37`); trivial here: rows
+        [start_row, end_row) of the edge table in (src, dst) order, via a
+        global edge index (the offsets prefix-sum applied at edge grain)."""
+        w = (
+            graph.edges.select("src", "dst")
+            .repartitionByRange(
+                graph.edges.sparkSession.sparkContext.defaultParallelism, "src", "dst"
+            )
+            .sortWithinPartitions("src", "dst")
+        )
+        from paragrapher_spark.operators.indexing import prefix_sum
+
+        idx = prefix_sum(
+            w.withColumn("_one", F.lit(1)), ["src", "dst"], "_one", out_col="eid"
+        ).drop("_one")
+        return idx.where(
+            (F.col("eid") >= start_row) & (F.col("eid") < end_row)
+        ).select("src", "dst")
+
+    # -- callback surface ----------------------------------------------------
+
+    def for_each_block(
+        self,
+        graph: Graph,
+        fn: Callable[[pd.DataFrame], pd.DataFrame],
+        schema: str,
+    ) -> DataFrame:
+        """The user-callback contract (`paragrapher_csx_callback`,
+        `include/paragrapher.h:93`): ``fn`` receives whole edge batches
+        (pandas frames over Arrow — the shm slab analogue,
+        `src/webgraph.c:843-889`) and returns result batches."""
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                yield fn(pdf)
+
+        return graph.edges.mapInPandas(batches, schema=schema)

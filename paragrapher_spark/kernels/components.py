@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -133,6 +134,7 @@ def connected_components(
     sig = _signature(e)
     history: list[dict[str, Any]] = []
     converged = False
+    probe = ShuffleProbe(spark)
     rnd = start_round
     for rnd in range(start_round + 1, max_rounds + 1):
         t0 = time.monotonic()
@@ -140,10 +142,13 @@ def connected_components(
         new_sig = _signature(e_new)
         e = e_new
         dt = time.monotonic() - t0
+        shuffle_w, shuffle_r = probe.tick()
         metrics = {
             "edges": new_sig[0],
             "checksum": new_sig[1],
             "duration_s": dt,
+            "shuffle_write_bytes": shuffle_w,
+            "shuffle_read_bytes": shuffle_r,
         }
         history.append({"round": rnd, **metrics})
         if checkpoint is not None:

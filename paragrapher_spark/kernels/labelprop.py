@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
 @dataclass
@@ -73,6 +74,7 @@ def label_propagation(
 
     history: list[dict[str, Any]] = []
     converged = False
+    probe = ShuffleProbe(spark)
     it = start_iter
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.monotonic()
@@ -108,7 +110,13 @@ def label_propagation(
         ).localCheckpoint(eager=True)
         joined.unpersist()
         dt = time.monotonic() - t0
-        metrics = {"changed": changed, "duration_s": dt}
+        shuffle_w, shuffle_r = probe.tick()
+        metrics = {
+            "changed": changed,
+            "duration_s": dt,
+            "shuffle_write_bytes": shuffle_w,
+            "shuffle_read_bytes": shuffle_r,
+        }
         history.append({"iteration": it, **metrics})
         if checkpoint is not None:
             if it % checkpoint_every == 0:

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from paragrapher_spark.operators.salting import explode_salts, salt_column
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
 @dataclass
@@ -144,6 +145,7 @@ def pagerank(
     history: list[dict[str, Any]] = []
     converged = False
     delta = float("inf")
+    probe = ShuffleProbe(spark)
     it = start_iter
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.monotonic()
@@ -170,17 +172,23 @@ def pagerank(
                 "is_dangling",
             )
             .repartition(n_part, "id")
-            .localCheckpoint(eager=True)
+            # non-eager: the delta/dangling aggregation below is the ONE
+            # job of the superstep — it materializes the checkpoint as a
+            # side effect
+            .localCheckpoint(eager=False)
         )
         delta, dm = _delta_and_dangling(new_ranks)
         ranks = new_ranks.select("id", "rank", "is_dangling")
         dt = time.monotonic() - t0
+        shuffle_w, shuffle_r = probe.tick()
 
         metrics = {
             "delta": delta,
             "dangling_mass": dm,
             "frontier_size": n,
             "duration_s": dt,
+            "shuffle_write_bytes": shuffle_w,
+            "shuffle_read_bytes": shuffle_r,
         }
         history.append({"iteration": it, **metrics})
         if checkpoint is not None:

@@ -87,12 +87,16 @@ class CheckpointManager:
             .agg(F.count(F.lit(1)).alias("rows"))
             .collect()
         )
+        from paragrapher_spark.plans.metrics import skew_factor
+
+        part_rows = {str(r["partition"]): r["rows"] for r in lineage_rows}
         record = {
             "iteration": iteration,
             "status": "complete",
             "kind": kind,
             "checkpoint_path": final,
-            "partitions": {str(r["partition"]): r["rows"] for r in lineage_rows},
+            "partitions": part_rows,
+            "skew_factor": round(skew_factor(list(part_rows.values())), 4),
             "metrics": metrics or {},
         }
         self._records.append(record)

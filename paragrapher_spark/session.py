@@ -61,6 +61,13 @@ def get_spark(
         # to shuffle joins over the co-partitioned edge table — by design.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # local-mode JVM defaults to 1g heap; the driver hosts all
+        # executor threads here, so give it real memory (no-op if the JVM
+        # for this session already exists)
+        .config(
+            "spark.driver.memory", os.environ.get("PG_SPARK_DRIVER_MEM", "48g")
+        )
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

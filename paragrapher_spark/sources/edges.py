@@ -52,6 +52,26 @@ def customer_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def replicate_edges(edges: DataFrame, k: int) -> DataFrame:
+    """k disconnected, structurally identical copies of the graph:
+    vertex v of copy r becomes ``v*k + r``. Deterministic (no randomness),
+    preserves degree distribution and component structure per copy.
+
+    Purpose: scale per-superstep work for scaling-efficiency measurements
+    (the sandbox stand-in for the reference paper's 16->128-core runs,
+    §5.6) without external data — the same job must saturate both
+    parallelism levels, else fixed scheduling overhead masquerades as
+    poor scaling.
+    """
+    if k <= 1:
+        return edges
+    reps = edges.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return edges.crossJoin(F.broadcast(reps)).select(
+        (F.col("src") * k + F.col("_rep")).alias("src"),
+        (F.col("dst") * k + F.col("_rep")).alias("dst"),
+    )
+
+
 COPURCHASE_EDGES_SQL = """
     SELECT a.l_partkey AS src, b.l_partkey AS dst
     FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey

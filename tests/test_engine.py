@@ -1,0 +1,101 @@
+"""Engine facade parity tests (reference: include/paragrapher.h's 12
+public functions — see paragrapher_spark/engine.py's mapping table)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from paragrapher_spark.engine import Engine
+from paragrapher_spark.graph import graph_from_edges
+from paragrapher_spark.sources.sinks import write_csr
+
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (3, 4)]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+@pytest.fixture(scope="module")
+def graph(spark, engine):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    return engine.open_graph(df, kind="edges")
+
+
+def test_metadata_options(engine, graph):
+    # GET_VERTICES_COUNT / GET_EDGES_COUNT (src/webgraph.c:456-462)
+    assert engine.get_option(graph, "vertices_count") == 5
+    assert engine.get_option(graph, "edges_count") == 6
+    # memory-ownership contract (src/webgraph.c:464-470)
+    assert engine.get_option(graph, "lib_uses_own_buffers") is True
+    assert engine.get_option(graph, "lib_uses_user_arrays") is False
+    engine.set_option("buffer_size", 1234)
+    assert engine.get_option(None, "buffer_size") == 1234
+    with pytest.raises(KeyError):
+        engine.get_option(graph, "nonsense")
+    with pytest.raises(KeyError):
+        engine.set_option("vertices_count", 7)
+
+
+def test_offsets(engine, graph):
+    rows = {r.id: (r.out_degree, r.offset) for r in engine.get_offsets(graph).collect()}
+    # offsets = exclusive prefix sum of out-degrees over id order
+    # (src/WG400AP.java:237-252); last offset + degree == |E|
+    assert rows[0] == (2, 0)
+    assert rows[1] == (1, 2)
+    assert rows[2] == (1, 3)
+    assert rows[3] == (2, 4)
+    assert rows[4] == (0, 6)
+
+
+def test_scan_edges_vertex_range(engine, graph):
+    got = sorted(
+        (r.src, r.dst) for r in engine.scan_edges(graph, 1, 3).collect()
+    )
+    assert got == [(1, 2), (2, 3)]
+
+
+def test_scan_edges_rows(engine, graph):
+    got = sorted(
+        (r.src, r.dst) for r in engine.scan_edges_rows(graph, 2, 5).collect()
+    )
+    # rows 2..4 of the (src, dst)-ordered edge list
+    assert got == sorted(sorted(EDGES)[2:5])
+
+
+def test_scan_csr_path_prunes(engine, graph, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("csr"))
+    write_csr(graph, path, num_partitions=2)
+    got = sorted(
+        (r.src, r.dst) for r in engine.scan_edges(path, 0, 1).collect()
+    )
+    assert got == [(0, 1), (0, 2)]
+
+
+def test_vertex_weights_join(engine, graph, spark):
+    w = spark.createDataFrame([(0, 10.0), (3, 30.0)], "id long, w double")
+    got = {r.id: r.w for r in engine.get_vertex_weights(graph, w).collect()}
+    assert got[0] == 10.0 and got[3] == 30.0
+    assert got[1] is None  # left join: unweighted vertices kept
+
+
+def test_for_each_block_callback(engine, graph):
+    # the user-callback surface: batch-at-a-time, like the reference's
+    # buffer callback (include/paragrapher.h:93)
+    def cb(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [int(pdf["src"].sum() + pdf["dst"].sum())]})
+
+    total = (
+        engine.for_each_block(graph, cb, schema="s long")
+        .agg(F.sum("s").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total == sum(s + d for s, d in EDGES)
+
+
+def test_release_graph(engine, graph):
+    engine.release_graph(graph)
+    assert graph not in engine._graphs

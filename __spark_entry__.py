@@ -26,7 +26,7 @@ from paragrapher_spark.kernels.components import component_sizes, connected_comp
 from paragrapher_spark.kernels.degrees import degree_distribution, top_k_degrees
 from paragrapher_spark.kernels.labelprop import label_propagation
 from paragrapher_spark.kernels.pagerank import pagerank
-from paragrapher_spark.kernels.triangles import triangle_count
+from paragrapher_spark.kernels.triangles import triangle_count, triangles_per_vertex
 from paragrapher_spark.operators.dedup import (
     embedding_dup_pairs,
     exact_dup_groups,
@@ -115,6 +115,13 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges).select(F.col("triangles").cast("long"))
 
 
+def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    return triangles_per_vertex(edges).select(
+        F.col("id").cast("long"), F.col("triangles").cast("long")
+    )
+
+
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir)
     res = label_propagation(edges, max_iter=10)
@@ -129,6 +136,19 @@ def _q_import_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = synth_corpus(spark, n_files=2000, n_repos=8)
     g = edges_from_corpus(corpus, num_partitions=8)
     res = pagerank(g.edges, vertices=g.vertices, tol=1e-6, max_iter=60)
+    return res.ranks.select("id", "rank")
+
+
+def _q_import_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted variant: rank flows proportionally to import-site counts
+    (edge weight) — the reference's WG404 arc-labelled capability
+    (`src/WG404AP.java:171-182`). Rows-only; weighted oracle in
+    tests/test_pagerank.py::test_weighted_pagerank."""
+    corpus = synth_corpus(spark, n_files=2000, n_repos=8)
+    g = edges_from_corpus(corpus, num_partitions=8)
+    res = pagerank(
+        g.edges, vertices=g.vertices, tol=1e-6, max_iter=60, weight_col="weight"
+    )
     return res.ranks.select("id", "rank")
 
 
@@ -250,8 +270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_labels": _q_wcc_labels,
         "wcc_sizes": _q_wcc_sizes,
         "triangle_count": _q_triangle_count,
+        "triangles_per_vertex": _q_triangles_per_vertex,
         "label_propagation": _q_label_propagation,
         "import_graph_pagerank": _q_import_graph_pagerank,
+        "import_graph_pagerank_weighted": _q_import_graph_pagerank_weighted,
         "exact_dup_groups": _q_exact_dup_groups,
         "text_stats": _q_text_stats,
         "language_id": _q_language_id,
@@ -338,6 +360,28 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "triangles_per_vertex": f"""
+            WITH edges AS ({COPURCHASE_EDGES_SQL}),
+            und AS (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst
+                GROUP BY 1, 2
+            ),
+            tri AS (
+                SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            members AS (
+                SELECT u AS id FROM tri
+                UNION ALL SELECT v FROM tri
+                UNION ALL SELECT w FROM tri
+            )
+            SELECT CAST(id AS BIGINT) AS id,
+                   CAST(count(*) AS BIGINT) AS triangles
+            FROM members GROUP BY id
         """,
         "exact_dup_groups": """
             SELECT md5(text) AS content_hash,

@@ -63,11 +63,17 @@ def pagerank(
     n_salts: int | None = None,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Run PageRank over edges(src, dst). Returns ranks (id, rank).
 
     ``vertices`` (id) may be supplied to include isolated vertices; by
     default the vertex set is the distinct endpoints of ``edges``.
+
+    ``weight_col`` names an edge-weight column: each vertex distributes its
+    rank proportionally to outgoing weights (coef = w / Σ_out w) — the
+    weighted-graph capability of the reference's WG404 arc-labelled format
+    (`src/WG404AP.java:171-182`). Unweighted (default) is coef = 1/outdeg.
     """
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -88,16 +94,30 @@ def pagerank(
             ranks=empty, iterations=0, converged=True, final_delta=0.0, history=[]
         )
 
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # contribution coefficient folded into the persisted edge table:
-    # no degree join inside the loop
-    edges_w = (
-        edges.select("src", "dst")
-        .join(out_deg, on="src")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("coef"))
-        .repartition(n_part, "src")
-        .persist()
-    )
+    if weight_col is None:
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # contribution coefficient folded into the persisted edge table:
+        # no degree join inside the loop
+        edges_w = (
+            edges.select("src", "dst")
+            .join(out_deg, on="src")
+            .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("coef"))
+        )
+    else:
+        w = F.col(weight_col).cast("double")
+        # a vertex whose outgoing weights sum to 0 cannot distribute rank:
+        # it is dangling (dropped from out_deg so the flag below catches it)
+        out_deg = (
+            edges.groupBy("src")
+            .agg(F.sum(w).alias("wsum"))
+            .where(F.col("wsum") != 0)
+        )
+        edges_w = (
+            edges.select("src", "dst", w.alias("_w"))
+            .join(out_deg, on="src")
+            .select("src", "dst", (F.col("_w") / F.col("wsum")).alias("coef"))
+        )
+    edges_w = edges_w.repartition(n_part, "src").persist()
     edges_w.count()
 
     # dangling vertices: no out-edges; their rank mass is redistributed.

@@ -71,3 +71,51 @@ def test_convergence_flag(spark):
     assert res.converged
     assert res.final_delta < 1e-6
     assert res.history[-1]["delta"] < 1e-6
+
+
+def test_weighted_pagerank(spark):
+    """weight_col: rank distributes proportionally to outgoing weights
+    (the reference's WG404 arc-labelled capability, src/WG404AP.java:171-182).
+    Oracle: numpy power iteration on the weight-normalized matrix."""
+    import numpy as np
+
+    edges = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (2, 3, 1.0), (3, 0, 5.0), (4, 0, 2.0), (0, 4, 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    res = pagerank(df, tol=1e-10, max_iter=80, weight_col="weight")
+    got = {r.id: r.rank for r in res.ranks.collect()}
+
+    n, d = 5, 0.85
+    r = np.full(n, 1.0 / n)
+    wsum = {}
+    for s, _, w in edges:
+        wsum[s] = wsum.get(s, 0.0) + w
+    for _ in range(80):
+        nxt = np.zeros(n)
+        for s, t, w in edges:
+            nxt[t] += r[s] * w / wsum[s]
+        dangling = sum(r[v] for v in range(n) if v not in wsum)
+        new = (1 - d) / n + d * (nxt + dangling / n)
+        if np.max(np.abs(new - r)) < 1e-10:
+            r = new
+            break
+        r = new
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-6), f"vertex {v}"
+
+
+def test_weighted_equal_weights_matches_unweighted(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    dfw = df.withColumn("weight", df.src * 0 + 7.5)  # constant weights
+    a = {r.id: r.rank for r in pagerank(df, tol=1e-10, max_iter=60).ranks.collect()}
+    b = {
+        r.id: r.rank
+        for r in pagerank(
+            dfw, tol=1e-10, max_iter=60, weight_col="weight"
+        ).ranks.collect()
+    }
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)

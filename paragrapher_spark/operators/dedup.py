@@ -100,21 +100,30 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<long>) MinHash signatures, fully JVM-side."""
-    hashes = _shingle_hashes(F.col(text_col), shingle_k)
+    """(id, sig: array<long>) MinHash signatures, fully JVM-side.
+
+    Two projections: the shingle-hash array is materialized ONCE per doc,
+    then the ``num_hashes`` permutation-mins run over that array. A single
+    projection would re-evaluate the substring+xxhash64+array_distinct
+    subtree once per hash function (codegen does not CSE across
+    higher-order-function lambdas) — measured ~10x slower at 64 hashes.
+    """
     coeffs = _hash_coeffs(num_hashes, seed)
+    base = docs.select(
+        F.col(id_col), _shingle_hashes(F.col(text_col), shingle_k).alias("_sh")
+    )
 
     def min_hash(a: int, b: int) -> Column:
         # factory closure: the lambda must be unary (PySpark counts default
         # args toward higher-order-function arity)
         return F.array_min(
             F.transform(
-                hashes, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P31))
+                F.col("_sh"), lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P31))
             )
         )
 
     sig = F.array(*[min_hash(a, b) for a, b in coeffs])
-    return docs.select(F.col(id_col), sig.alias("sig"))
+    return base.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_candidates(

@@ -250,6 +250,19 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paragrapher_spark.streaming.events import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30).select(
+        F.col("user_id").cast("long"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long"),
+        "sum_value",
+    )
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -286,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
         "events_hourly": _q_events_hourly,
+        "sessions": _q_sessions,
     }
 
 
@@ -486,6 +500,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    ROUND(SUM(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessions": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN epoch_us(ts) - COALESCE(
+                               epoch_us(lag(ts) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id
+                               )), 0) > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS nw
+                FROM events
+            ),
+            s AS (
+                SELECT *, SUM(nw) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS sid
+                FROM o
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
         # rows-only (not ANSI-SQL-expressible / hash-defined):
         #   pagerank_copurchase, import_graph_pagerank  (iterative float fixpoint)

@@ -81,3 +81,111 @@ def stream_events_hourly(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — batch (gaps-and-islands) + custom stateful streaming
+# ---------------------------------------------------------------------------
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(user_id, session_start, session_end, n_events, sum_value): split each
+    user's event stream into sessions separated by > ``gap_minutes`` idle.
+
+    Gaps-and-islands over a per-user window (partitioned by user_id — no
+    global sort, scale-safe; deterministic order (ts, event_id)). The
+    ANSI-SQL-expressible batch twin of ``sessionize_stream``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    # microsecond-integer gap arithmetic: exact, and bit-identical to the
+    # DuckDB oracle's epoch_us (float epochs would disagree at boundaries)
+    flagged = src.withColumn(
+        "_new",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.coalesce(F.lag(F.unix_micros(F.col("ts"))).over(w), F.lit(0))
+            > gap_minutes * 60 * 1_000_000
+        ).cast("long"),
+    ).withColumn("_sid", F.sum("_new").over(w))
+    return (
+        flagged.groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .drop("_sid")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user session state (start, last-seen, count, value sum) carried
+    across micro-batches; a session is emitted when a later event arrives
+    more than ``gap_minutes`` after the last one. The in-flight session
+    stays in state (emitted on a subsequent batch that closes it).
+
+    The one engine feature Structured Streaming's built-in windows can't
+    express directly with per-group custom state — the reference has no
+    analogue (its async API is IO overlap, not event-time state), but a
+    training-data event pipeline needs it (SURVEY.md §2.5 note).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start_us long, last_us long, n long, sv double"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+        vals = rows["value"].tolist()
+        if state.exists:
+            start_us, last_us, n, sv = state.get
+        else:
+            start_us, last_us, n, sv = None, None, 0, 0.0
+        closed = []
+        for t, v in zip(ts_us, vals):
+            if last_us is not None and t - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, n, round(sv, 6)))
+                start_us, n, sv = t, 0, 0.0
+            if start_us is None:
+                start_us = t
+            last_us = t
+            n += 1
+            sv += v
+        state.update((start_us, last_us, n, sv))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_start", "session_end", "n_events",
+                    "sum_value",
+                ],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

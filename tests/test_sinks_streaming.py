@@ -101,3 +101,74 @@ def test_windowed_events_batch_vs_stream(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ev_test").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_sessionize_batch_gaps(spark):
+    from paragrapher_spark.streaming.events import sessionize_batch
+
+    rows = [
+        # user 1: two sessions (gap > 30min between e2 and e3)
+        (1, "2026-01-01 10:00:00", 1, "c", 1.0, ""),
+        (2, "2026-01-01 10:10:00", 1, "c", 2.0, ""),
+        (3, "2026-01-01 11:00:00", 1, "c", 3.0, ""),
+        # user 2: one session
+        (4, "2026-01-01 09:00:00", 2, "c", 5.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.sum_value)
+        for r in sessionize_batch(df, gap_minutes=30).collect()
+    }
+    assert got[(1, "2026-01-01 10:00:00")] == (2, 3.0)
+    assert got[(1, "2026-01-01 11:00:00")] == (1, 3.0)
+    assert got[(2, "2026-01-01 09:00:00")] == (1, 5.0)
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionizer: with a single availableNow batch,
+    every session except each user's trailing (still-open) one is emitted,
+    and they equal the batch gaps-and-islands result minus those trailing
+    sessions."""
+    from paragrapher_spark.sources.edges import load_table
+    from paragrapher_spark.streaming.events import sessionize_batch, sessionize_stream
+
+    src_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 40
+    )
+    events.write.parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        sessionize_stream(stream, gap_minutes=120)
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events, round(r.sum_value, 6))
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+    batch = sessionize_batch(spark.read.parquet(src_dir), gap_minutes=120).collect()
+    # drop each user's last session (open in the stream's state)
+    last_start = {}
+    for r in batch:
+        k = str(r.session_start)
+        if r.user_id not in last_start or k > last_start[r.user_id]:
+            last_start[r.user_id] = k
+    want = {
+        (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events, round(r.sum_value, 6))
+        for r in batch
+        if str(r.session_start) != last_start[r.user_id]
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture actually exercises multi-session users

@@ -36,7 +36,7 @@ from paragrapher_spark.operators.dedup import (
 )
 from paragrapher_spark.operators.multimodal import media_stats, synth_media
 from paragrapher_spark.operators.indexing import prefix_sum
-from paragrapher_spark.operators.similarity import knn_bruteforce, knn_lsh
+from paragrapher_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
 from paragrapher_spark.sources.corpus import synth_corpus
 from paragrapher_spark.sources.edges import (
     COPURCHASE_EDGES_SQL,
@@ -263,6 +263,19 @@ def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed approximate all-pairs top-k (coarse k-means quantizer +
+    probed buckets) — the scale path beside knn_lsh. Approximate by
+    construction => rows-only; recall vs brute force pinned in
+    tests/test_similarity_multimodal.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(emb, k=5, n_centroids=16, n_probe=4).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "score",
+    )
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -298,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "events_hourly": _q_events_hourly,
         "sessions": _q_sessions,
     }

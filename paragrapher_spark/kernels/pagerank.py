@@ -60,7 +60,7 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 100,
     num_partitions: int | None = None,
-    n_salts: int | None = None,
+    n_salts: int | str | None = None,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     weight_col: str | None = None,
@@ -74,6 +74,13 @@ def pagerank(
     rank proportionally to outgoing weights (coef = w / Σ_out w) — the
     weighted-graph capability of the reference's WG404 arc-labelled format
     (`src/WG404AP.java:171-182`). Unweighted (default) is coef = 1/outdeg.
+
+    ``n_salts="auto"`` sizes the salt count from the max out-degree: a hub
+    whose adjacency exceeds ~2 partitions' fair share of edges is split
+    into ceil(max_deg / (|E|/n_part)) deterministic sub-keys — the
+    reference's giant-adjacency splitting (`src/webgraph.c:957-971`)
+    applied to the gather join. 0/None disables; AQE skew-join still
+    covers partition-level skew either way.
     """
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -118,7 +125,19 @@ def pagerank(
             .select("src", "dst", (F.col("_w") / F.col("wsum")).alias("coef"))
         )
     edges_w = edges_w.repartition(n_part, "src").persist()
-    edges_w.count()
+    n_edges = edges_w.count()
+
+    if n_salts == "auto":
+        max_deg = (
+            edges_w.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d"))
+            .collect()[0][0]
+            or 0
+        )
+        fair_share = max(1, n_edges // n_part)
+        n_salts = (
+            int(-(-max_deg // fair_share)) if max_deg > 2 * fair_share else 0
+        )
 
     # dangling vertices: no out-edges; their rank mass is redistributed.
     # The flag rides ON the rank table so each superstep's single

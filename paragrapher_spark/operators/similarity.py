@@ -201,3 +201,125 @@ def knn_lsh(
         .distinct()
     )
     return _topk(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + probed buckets
+# ---------------------------------------------------------------------------
+
+
+def _lit_vec(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def _centroid_scores(cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<neg_dot, cid>> of -<v, c_i>/|c_i| per centroid — sort
+    ascending = nearest by cosine (the row's |v| scales every entry equally,
+    so it never changes the per-row ranking)."""
+    return F.array(
+        *[
+            F.struct(
+                (-_dot(F.col("vec"), _lit_vec(c)) / F.lit(_l2(c))).alias("neg"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+
+
+def _l2(v: list[float]) -> float:
+    return sum(x * x for x in v) ** 0.5 or 1.0
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """k-means coarse quantizer, deterministic: seeds are the n_centroids
+    vectors with smallest xxhash64(seed, id); Lloyd updates are distributed
+    (assign via broadcast literal centroids, re-center via groupBy mean
+    over exploded positions). Driver holds only k x dim floats.
+    """
+    base = with_norm(emb, vec_col, id_col).persist()
+    seeds = (
+        base.select("vec", F.xxhash64(F.lit(seed), F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [(i, list(r["vec"])) for i, r in enumerate(seeds)]
+    for _ in range(lloyd_iters):
+        assigned = base.select(
+            "vec", F.array_min(_centroid_scores(cents)).getField("cid").alias("cid")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            (cid, [d[p] for p in sorted(d)]) for cid, d in sorted(by_cid.items())
+        ]
+    base.unpersist()
+    return cents
+
+
+def knn_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs top-k via an IVF index: vectors are bucketed
+    by nearest centroid; each query scans only its n_probe nearest
+    centroids' buckets; exact cosine re-ranks. Same output schema as
+    knn_bruteforce. The 100 TB shape: the centroid table is tiny and
+    broadcast as literals; the candidate join is an equi-join on cid —
+    per-bucket fan-out is |bucket| x |probing queries|, bounded by the
+    quantizer balance instead of |corpus|^2.
+    """
+    cents = train_ivf_centroids(
+        emb, n_centroids, lloyd_iters, vec_col, id_col, seed
+    )
+    base = with_norm(emb, vec_col, id_col).persist()
+    scored = base.select(
+        F.col(id_col).alias("id"), "vec", "norm",
+        F.slice(F.array_sort(_centroid_scores(cents)), 1, n_probe)
+        .getField("cid")
+        .alias("probe_cids"),
+    ).persist()
+    data_side = scored.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+        F.col("probe_cids").getItem(0).alias("cid"),  # home bucket = nearest
+    )
+    query_side = scored.select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.explode("probe_cids").alias("cid"),
+    )
+    cand = (
+        query_side.join(data_side, on="cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")).alias("score"),
+        )
+        .distinct()
+    )
+    return _topk(cand, k)

@@ -119,3 +119,15 @@ def test_weighted_equal_weights_matches_unweighted(spark):
     }
     for v in a:
         assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_auto_salting_matches_unsalted(spark):
+    """n_salts='auto' must trigger on an extreme hub and not change results."""
+    edges_df = star_graph(spark, 401)  # hub out-degree 400 >> |E|/n_part
+    plain = pagerank(edges_df, tol=1e-9, max_iter=40)
+    auto = pagerank(edges_df, tol=1e-9, max_iter=40, n_salts="auto")
+    a = {r.id: r.rank for r in plain.ranks.collect()}
+    b = {r.id: r.rank for r in auto.ranks.collect()}
+    assert a.keys() == b.keys()
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)

@@ -148,3 +148,34 @@ def test_embedding_dup_pairs_lsh_recalls_cluster(emb):
     # collides => all cluster pairs are recalled
     for pair in [(0, 50), (0, 51), (0, 52), (50, 51), (50, 52), (51, 52)]:
         assert pair in got
+
+
+def test_knn_ivf_recalls_cluster_and_is_deterministic(emb):
+    from paragrapher_spark.operators.similarity import knn_ivf
+
+    df, _ = emb
+    out1 = knn_ivf(df, k=5, n_centroids=8, n_probe=3).collect()
+    got = {}
+    for r in out1:
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    # near-identical vectors land in the same centroid bucket: the planted
+    # cluster must be mutual top neighbors
+    for q, others in [(0, {50, 51, 52}), (50, {0, 51, 52}), (51, {0, 50, 52})]:
+        assert others <= set(got[q]), (q, got[q])
+    out2 = knn_ivf(df, k=5, n_centroids=8, n_probe=3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_knn_ivf_overlaps_bruteforce(emb):
+    from paragrapher_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    df, _ = emb
+    bf = {}
+    for r in knn_bruteforce(df, k=5).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf = {}
+    for r in knn_ivf(df, k=5, n_centroids=8, n_probe=4).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # probing half the centroids on 60 random vectors: expect solid recall
+    recalls = [len(bf[q] & ivf.get(q, set())) / len(bf[q]) for q in bf]
+    assert sum(recalls) / len(recalls) >= 0.6, sum(recalls) / len(recalls)

@@ -193,6 +193,19 @@ def main() -> None:
     minhash_candidates(docs, num_hashes=64, bands=16, threshold=0.35).count()
     queries["minhash_near_dups"] = round(time.monotonic() - t0, 3)
 
+    from paragrapher_spark.operators.similarity import knn_ivf
+    from paragrapher_spark.streaming.events import sessionize_batch
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    t0 = time.monotonic()
+    knn_ivf(emb, k=5, n_centroids=16, n_probe=4).count()
+    queries["knn_ivf"] = round(time.monotonic() - t0, 3)
+
+    ev = load_table(spark, SF_DIR, "events")
+    t0 = time.monotonic()
+    sessionize_batch(ev, gap_minutes=30).count()
+    queries["sessions"] = round(time.monotonic() - t0, 3)
+
     spark.stop()
 
     # scaling evidence: same job, ladder of parallelism levels, separate JVMs

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from paragrapher_spark.functions.text import detect_language, fingerprint, text_stats
 from paragrapher_spark.graph import edges_from_corpus
+from paragrapher_spark.kernels.bfs import bfs
 from paragrapher_spark.kernels.components import component_sizes, connected_components
 from paragrapher_spark.kernels.degrees import degree_distribution, top_k_degrees
 from paragrapher_spark.kernels.labelprop import label_propagation
@@ -113,6 +114,17 @@ def _q_wcc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir)
     return triangle_count(edges).select(F.col("triangles").cast("long"))
+
+
+def _q_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected hop distances from the smallest vertex id, capped at 6
+    hops — frontier-superstep BFS vs the DuckDB recursive-CTE oracle."""
+    edges = copurchase_edges(spark, sf_dir)
+    src = edges.agg(F.min(F.least("src", "dst"))).collect()[0][0]
+    res = bfs(edges, [int(src)], directed=False, max_depth=6)
+    return res.distances.select(
+        F.col("id").cast("long"), F.col("dist").cast("long")
+    )
 
 
 def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_sizes": _q_wcc_sizes,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "bfs_depths": _q_bfs_depths,
         "label_propagation": _q_label_propagation,
         "import_graph_pagerank": _q_import_graph_pagerank,
         "import_graph_pagerank_weighted": _q_import_graph_pagerank_weighted,
@@ -388,6 +401,24 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "bfs_depths": f"""
+            WITH RECURSIVE e AS ({COPURCHASE_EDGES_SQL}),
+            und AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT dst AS src, src AS dst FROM e
+            ),
+            walk(id, dist) AS (
+                SELECT (SELECT MIN(LEAST(src, dst)) FROM e), 0
+                UNION
+                SELECT u.dst, walk.dist + 1
+                FROM walk JOIN und u ON u.src = walk.id
+                WHERE walk.dist < 6
+            )
+            SELECT CAST(id AS BIGINT) AS id,
+                   CAST(MIN(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY id
         """,
         "triangles_per_vertex": f"""
             WITH edges AS ({COPURCHASE_EDGES_SQL}),

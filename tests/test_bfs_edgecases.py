@@ -1,0 +1,132 @@
+"""BFS kernel vs python oracle + kernel edge cases (empty / self-loop /
+single-edge graphs — the degenerate inputs the verify flows call out)."""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from paragrapher_spark.fixtures import path_graph, powerlaw_graph, two_components
+from paragrapher_spark.kernels.bfs import bfs
+from paragrapher_spark.kernels.components import connected_components
+from paragrapher_spark.kernels.labelprop import label_propagation
+from paragrapher_spark.kernels.pagerank import pagerank
+from paragrapher_spark.kernels.triangles import triangle_count
+from paragrapher_spark.plans.checkpoint import CheckpointManager
+
+
+def _bfs_oracle(edges, sources, directed=True):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        if not directed:
+            adj.setdefault(d, []).append(s)
+    dist = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _collect_edges(df):
+    return [(r.src, r.dst) for r in df.collect()]
+
+
+def test_bfs_directed_path(spark):
+    df = path_graph(spark, 8)
+    res = bfs(df, [0], directed=True)
+    got = {r.id: r.dist for r in res.distances.collect()}
+    assert got == {i: i for i in range(8)}
+    assert res.exhausted and res.iterations == 7
+    # frontier sizes recorded per superstep, 1 per depth then the empty probe
+    assert [h["frontier_size"] for h in res.history] == [1] * 7 + [0]
+
+
+def test_bfs_multi_source_undirected_powerlaw(spark):
+    df = powerlaw_graph(spark)
+    edges = _collect_edges(df)
+    srcs = [0, 7]
+    res = bfs(df, srcs, directed=False)
+    got = {r.id: r.dist for r in res.distances.collect()}
+    assert got == _bfs_oracle(edges, srcs, directed=False)
+
+
+def test_bfs_unreached_component_absent(spark):
+    df = two_components(spark)
+    edges = _collect_edges(df)
+    res = bfs(df, [min(s for s, _ in edges)], directed=False)
+    got = {r.id: r.dist for r in res.distances.collect()}
+    want = _bfs_oracle(edges, [min(s for s, _ in edges)], directed=False)
+    assert got == want
+    all_vertices = {v for e in edges for v in e}
+    assert set(got) < all_vertices  # the other component is not reached
+
+
+def test_bfs_resume_identical(spark, tmp_path):
+    df = path_graph(spark, 12)
+    full = bfs(df, [0], directed=True)
+    want = {r.id: r.dist for r in full.distances.collect()}
+
+    ck = CheckpointManager(str(tmp_path), job_name="bfs")
+    bfs(df, [0], directed=True, max_depth=6, checkpoint=ck, checkpoint_every=2)
+    resumed = bfs(df, [0], directed=True, checkpoint=ck, checkpoint_every=2)
+    got = {r.id: r.dist for r in resumed.distances.collect()}
+    assert got == want
+
+
+# --- degenerate inputs ------------------------------------------------------
+
+
+def test_kernels_on_empty_edges(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(3)], "id long")
+
+    pr = pagerank(empty, vertices=verts, max_iter=5)
+    ranks = {r.id: r.rank for r in pr.ranks.collect()}
+    assert ranks.keys() == {0, 1, 2}
+    for v in ranks:  # all dangling: uniform distribution is the fixpoint
+        assert ranks[v] == pytest.approx(1 / 3, abs=1e-9)
+
+    cc = connected_components(empty, vertices=verts)
+    comps = {r.id: r.component for r in cc.components.collect()}
+    assert comps == {0: 0, 1: 1, 2: 2}  # singletons
+
+    assert triangle_count(empty).collect()[0]["triangles"] == 0
+
+    lp = label_propagation(empty, vertices=verts, max_iter=3)
+    labels = {r.id: r.label for r in lp.labels.collect()}
+    assert labels == {0: 0, 1: 1, 2: 2}
+
+    b = bfs(empty, [0])
+    assert {r.id: r.dist for r in b.distances.collect()} == {0: 0}
+
+
+def test_kernels_on_self_loops_only(spark):
+    loops = spark.createDataFrame([(i, i) for i in range(3)], "src long, dst long")
+
+    cc = connected_components(loops)
+    comps = {r.id: r.component for r in cc.components.collect()}
+    assert comps == {0: 0, 1: 1, 2: 2}
+
+    assert triangle_count(loops).collect()[0]["triangles"] == 0
+
+    pr = pagerank(loops, max_iter=10)
+    ranks = {r.id: r.rank for r in pr.ranks.collect()}
+    for v in ranks:  # each vertex keeps its own mass
+        assert ranks[v] == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_kernels_on_single_edge(spark):
+    one = spark.createDataFrame([(7, 9)], "src long, dst long")
+    cc = connected_components(one)
+    comps = {r.id: r.component for r in cc.components.collect()}
+    assert comps == {7: 7, 9: 7}
+    assert triangle_count(one).collect()[0]["triangles"] == 0
+    b = bfs(one, [7])
+    assert {r.id: r.dist for r in b.distances.collect()} == {7: 0, 9: 1}

@@ -169,6 +169,16 @@ def _q_import_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataF
 # ---------------------------------------------------------------------------
 
 
+def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at the 10 smallest vertex ids —
+    restart + dangling mass return to the seed set. Iterative fixpoint =>
+    rows-only; numpy oracle in tests/test_pagerank.py."""
+    edges = copurchase_edges(spark, sf_dir)
+    seeds = [r[0] for r in edges.select(F.least("src", "dst")).distinct().orderBy(F.least("src", "dst")).limit(10).collect()]
+    res = pagerank(edges, tol=1e-6, max_iter=60, teleport=seeds)
+    return res.ranks.select("id", "rank")
+
+
 def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return exact_dup_groups(docs).select(
@@ -313,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_label_propagation,
         "import_graph_pagerank": _q_import_graph_pagerank,
         "import_graph_pagerank_weighted": _q_import_graph_pagerank_weighted,
+        "pagerank_personalized": _q_pagerank_personalized,
         "exact_dup_groups": _q_exact_dup_groups,
         "text_stats": _q_text_stats,
         "language_id": _q_language_id,

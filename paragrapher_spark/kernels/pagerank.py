@@ -64,8 +64,15 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     weight_col: str | None = None,
+    teleport: DataFrame | list[int] | None = None,
 ) -> PageRankResult:
     """Run PageRank over edges(src, dst). Returns ranks (id, rank).
+
+    ``teleport`` makes it personalized PageRank: a list of vertex ids
+    (uniform over the set) or a DataFrame (id, p). The teleport vector is
+    normalized to sum 1; both the (1-d) restart and the dangling mass are
+    redistributed per that vector (rank(v) = ((1-d) + d*dm)*p(v) +
+    d*mass(v)), so Σ ranks stays 1. Default: uniform 1/N (classic).
 
     ``vertices`` (id) may be supplied to include isolated vertices; by
     default the vertex set is the distinct endpoints of ``edges``.
@@ -146,9 +153,29 @@ def pagerank(
     # no per-iteration semi-join.
     dangling_flag = out_deg.select(F.col("src").alias("id"), F.lit(True).alias("_nd"))
 
+    # teleport vector: a per-vertex "p" column carried on the rank table;
+    # uniform PageRank keeps it a literal (no join, no extra bytes shuffled)
+    tp: DataFrame | None = None
+    if teleport is not None:
+        if isinstance(teleport, list):
+            tp = spark.createDataFrame(
+                [(int(t),) for t in teleport], "id long"
+            ).select("id", F.lit(1.0).alias("p_raw"))
+        else:
+            tp = teleport.select("id", F.col("p").cast("double").alias("p_raw"))
+        p_total = tp.agg(F.sum("p_raw")).collect()[0][0] or 1.0
+        tp = tp.select("id", (F.col("p_raw") / F.lit(p_total)).alias("p"))
+
     def _with_flag(r: DataFrame) -> DataFrame:
-        return r.join(dangling_flag, on="id", how="left").select(
-            "id", "rank", F.col("_nd").isNull().alias("is_dangling")
+        out = r.join(dangling_flag, on="id", how="left")
+        if tp is None:
+            return out.select(
+                "id", "rank", F.col("_nd").isNull().alias("is_dangling"),
+                F.lit(1.0 / n).alias("p"),
+            )
+        return out.join(tp, on="id", how="left").select(
+            "id", "rank", F.col("_nd").isNull().alias("is_dangling"),
+            F.coalesce("p", F.lit(0.0)).alias("p"),
         )
 
     # resume path
@@ -164,7 +191,9 @@ def pagerank(
                 .localCheckpoint(eager=True)
             )
     if ranks is None:
-        ranks = _with_flag(vertices.select("id", F.lit(1.0 / n).alias("rank")))
+        ranks = _with_flag(vertices.select("id", F.lit(0.0).alias("rank"))).select(
+            "id", F.col("p").alias("rank"), "is_dangling", "p"
+        )
         ranks = ranks.repartition(n_part, "id").localCheckpoint(eager=True)
 
     def _delta_and_dangling(r: DataFrame) -> tuple[float, float]:
@@ -200,15 +229,19 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("mass"))
         )
-        base = (1.0 - damping) / n + damping * dm / n
+        restart = (1.0 - damping) + damping * dm  # scaled per-vertex by p
         new_ranks = (
-            ranks.select("id", F.col("rank").alias("old_rank"), "is_dangling")
+            ranks.select("id", F.col("rank").alias("old_rank"), "is_dangling", "p")
             .join(sums, on="id", how="left")
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("rank"),
+                (
+                    F.lit(restart) * F.col("p")
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
                 "old_rank",
                 "is_dangling",
+                "p",
             )
             .repartition(n_part, "id")
             # non-eager: the delta/dangling aggregation below is the ONE
@@ -217,7 +250,7 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
         delta, dm = _delta_and_dangling(new_ranks)
-        ranks = new_ranks.select("id", "rank", "is_dangling")
+        ranks = new_ranks.select("id", "rank", "is_dangling", "p")
         dt = time.monotonic() - t0
         shuffle_w, shuffle_r = probe.tick()
 

@@ -131,3 +131,45 @@ def test_auto_salting_matches_unsalted(spark):
     assert a.keys() == b.keys()
     for v in a:
         assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_personalized_pagerank(spark):
+    """teleport=[s]: restart + dangling mass flow back to the source set;
+    numpy power-iteration oracle on the personalized formulation."""
+    import numpy as np
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 1), (2, 4)]  # 4 is dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = pagerank(df, tol=1e-10, max_iter=100, teleport=[0])
+    got = {r.id: r.rank for r in res.ranks.collect()}
+
+    n, d = 5, 0.85
+    p = np.zeros(n); p[0] = 1.0
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    r = p.copy()
+    for _ in range(100):
+        nxt = np.zeros(n)
+        for s, ts in out.items():
+            for t in ts:
+                nxt[t] += r[s] / len(ts)
+        dm = sum(r[v] for v in range(n) if v not in out)
+        new = ((1 - d) + d * dm) * p + d * nxt
+        if np.max(np.abs(new - r)) < 1e-10:
+            r = new
+            break
+        r = new
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-6), f"vertex {v}"
+
+
+def test_personalized_uniform_teleport_matches_classic(spark):
+    edges_df = cycle_graph(spark, 6)
+    classic = pagerank(edges_df, tol=1e-10, max_iter=60)
+    ppr = pagerank(edges_df, tol=1e-10, max_iter=60, teleport=list(range(6)))
+    a = {r.id: r.rank for r in classic.ranks.collect()}
+    b = {r.id: r.rank for r in ppr.ranks.collect()}
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)

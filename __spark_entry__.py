@@ -60,6 +60,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _q_graph_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|V|, |E|, max/avg degrees of the co-purchase graph — the reference's
+    GET_VERTICES_COUNT / GET_EDGES_COUNT metadata options
+    (`src/webgraph.c:456-462`) plus the degree extremes its test1 prints."""
+    edges = copurchase_edges(spark, sf_dir)
+    deg_out = edges.groupBy("src").count()
+    deg_in = edges.groupBy("dst").count()
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return (
+        verts.agg(F.count(F.lit(1)).alias("vertices"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("edges")))
+        .crossJoin(deg_out.agg(F.max("count").alias("max_out_degree")))
+        .crossJoin(deg_in.agg(F.max("count").alias("max_in_degree")))
+        .select(
+            F.col("vertices").cast("long"),
+            F.col("edges").cast("long"),
+            F.col("max_out_degree").cast("long"),
+            F.col("max_in_degree").cast("long"),
+            F.round(
+                F.col("edges").cast("double") / F.col("vertices").cast("double"), 6
+            ).alias("avg_degree"),
+        )
+    )
+
+
 def _q_in_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir)
     return degree_distribution(edges, direction="in").select(
@@ -311,6 +340,7 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "graph_meta": _q_graph_meta,
         "in_degree_dist": _q_in_degree_dist,
         "degree_topk": _q_degree_topk,
         "csr_offsets": _q_csr_offsets,
@@ -362,6 +392,24 @@ _TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "graph_meta": f"""
+            WITH edges AS ({COPURCHASE_EDGES_SQL}),
+            verts AS (
+                SELECT src AS id FROM edges UNION SELECT dst FROM edges
+            ),
+            m AS (
+                SELECT (SELECT CAST(count(*) AS BIGINT) FROM verts) AS vertices,
+                       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS edges,
+                       (SELECT CAST(MAX(c) AS BIGINT) FROM (
+                           SELECT count(*) AS c FROM edges GROUP BY src)) AS max_out_degree,
+                       (SELECT CAST(MAX(c) AS BIGINT) FROM (
+                           SELECT count(*) AS c FROM edges GROUP BY dst)) AS max_in_degree
+            )
+            SELECT vertices, edges, max_out_degree, max_in_degree,
+                   ROUND(CAST(edges AS DOUBLE) / CAST(vertices AS DOUBLE), 6)
+                       AS avg_degree
+            FROM m
+        """,
         "in_degree_dist": f"""
             WITH edges AS ({COPURCHASE_EDGES_SQL}),
             indeg AS (

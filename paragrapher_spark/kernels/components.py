@@ -138,7 +138,10 @@ def connected_components(
     rnd = start_round
     for rnd in range(start_round + 1, max_rounds + 1):
         t0 = time.monotonic()
-        e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # non-eager: the signature aggregation is the round's ONE job and
+        # materializes the checkpoint as a side effect (same discipline as
+        # the PageRank superstep)
+        e_new = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_sig = _signature(e_new)
         e = e_new
         dt = time.monotonic() - t0

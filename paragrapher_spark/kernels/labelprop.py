@@ -102,13 +102,19 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("new_label"),
                 F.col("label").alias("old_label"),
             )
-            .persist()
+            # non-eager: the changed-count aggregation below is the one job
+            # of the superstep and materializes the checkpoint
+            .localCheckpoint(eager=False)
         )
-        changed = joined.where(F.col("new_label") != F.col("old_label")).count()
-        labels = joined.select(
-            "id", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)
-        joined.unpersist()
+        changed = (
+            joined.agg(
+                F.sum(
+                    (F.col("new_label") != F.col("old_label")).cast("long")
+                ).alias("c")
+            ).collect()[0]["c"]
+            or 0
+        )
+        labels = joined.select("id", F.col("new_label").alias("label"))
         dt = time.monotonic() - t0
         shuffle_w, shuffle_r = probe.tick()
         metrics = {

@@ -27,7 +27,12 @@ from paragrapher_spark.kernels.components import component_sizes, connected_comp
 from paragrapher_spark.kernels.degrees import degree_distribution, top_k_degrees
 from paragrapher_spark.kernels.labelprop import label_propagation
 from paragrapher_spark.kernels.pagerank import pagerank
-from paragrapher_spark.kernels.triangles import triangle_count, triangles_per_vertex
+from paragrapher_spark.kernels.kcore import kcore
+from paragrapher_spark.kernels.triangles import (
+    clustering_coefficient,
+    triangle_count,
+    triangles_per_vertex,
+)
 from paragrapher_spark.operators.dedup import (
     embedding_dup_pairs,
     exact_dup_groups,
@@ -161,6 +166,25 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_per_vertex(edges).select(
         F.col("id").cast("long"), F.col("triangles").cast("long")
     )
+
+
+def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    return clustering_coefficient(edges).select(
+        F.col("id").cast("long"),
+        F.col("degree").cast("long"),
+        F.col("triangles").cast("long"),
+        "coeff",
+    )
+
+
+def _q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertices of the 64-core of the co-purchase graph (iterative peeling
+    => rows-only; python-oracle-tested in tests/test_kcore_clustering.py).
+    k=64 sits just above the graph's min degree at these SFs, so the peel
+    actually cascades before stabilizing."""
+    edges = copurchase_edges(spark, sf_dir)
+    return kcore(edges, k=64).vertices.select(F.col("id").cast("long"))
 
 
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,6 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "bfs_depths": _q_bfs_depths,
+        "clustering_coeff": _q_clustering_coeff,
+        "kcore_members": _q_kcore_members,
         "label_propagation": _q_label_propagation,
         "import_graph_pagerank": _q_import_graph_pagerank,
         "import_graph_pagerank_weighted": _q_import_graph_pagerank_weighted,
@@ -500,6 +526,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS id,
                    CAST(count(*) AS BIGINT) AS triangles
             FROM members GROUP BY id
+        """,
+        "clustering_coeff": f"""
+            WITH edges AS ({COPURCHASE_EDGES_SQL}),
+            und AS (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst
+                GROUP BY 1, 2
+            ),
+            deg AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY id
+            ),
+            tri AS (
+                SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            tcount AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
+                    SELECT u AS id FROM tri
+                    UNION ALL SELECT v FROM tri
+                    UNION ALL SELECT w FROM tri
+                ) GROUP BY id
+            )
+            SELECT CAST(d.id AS BIGINT) AS id, d.degree,
+                   CAST(COALESCE(t.t, 0) AS BIGINT) AS triangles,
+                   ROUND(2.0 * COALESCE(t.t, 0) / (d.degree * (d.degree - 1)), 6)
+                       AS coeff
+            FROM deg d LEFT JOIN tcount t ON t.id = d.id
+            WHERE d.degree >= 2
         """,
         "exact_dup_groups": """
             SELECT md5(text) AS content_hash,

@@ -103,3 +103,33 @@ def triangles_per_vertex(edges: DataFrame, vertices: DataFrame | None = None) ->
             .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
         )
     return counts
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, degree, triangles, coeff): local clustering coefficient
+    2*t(v) / (d(v)*(d(v)-1)) over the undirected simple graph, for every
+    vertex with degree >= 2 (the denominator's domain). Composes the
+    triangle kernel with the degree aggregation — one extra join."""
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangles_per_vertex(edges)
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, on="id", how="left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("coeff"),
+        )
+    )

@@ -61,6 +61,9 @@ def bfs(
         src_df = spark.createDataFrame([(int(s),) for s in sources], "id long")
     else:
         src_df = sources.select("id")
+    # duplicate seeds would survive into the result (depth-0 rows are not
+    # deduplicated by the frontier logic below)
+    src_df = src_df.distinct()
 
     start_iter = 0
     dist: DataFrame | None = None
@@ -86,16 +89,29 @@ def bfs(
     it = start_iter
     for it in range(start_iter + 1, max_depth + 1):
         t0 = time.monotonic()
+        # ONE job per superstep (the PageRank discipline): the unioned
+        # distance table is a non-eager localCheckpoint and the frontier-
+        # size aggregation below is the single action that materializes it.
+        # The next frontier is then a cheap filter over the checkpointed
+        # partitions — no recompute, no second job.
         nxt = (
             e.join(frontier.withColumnRenamed("id", "src"), on="src")
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(dist, on="id", how="left_anti")
             .select("id", F.lit(it).cast("long").alias("dist"))
-            .repartition(n_part, "id")
-            .localCheckpoint(eager=True)
         )
-        frontier_size = nxt.count()
+        new_dist = (
+            dist.unionByName(nxt)
+            .repartition(n_part, "id")
+            .localCheckpoint(eager=False)
+        )
+        frontier_size = (
+            new_dist.agg(
+                F.sum((F.col("dist") == it).cast("long")).alias("f")
+            ).collect()[0]["f"]
+            or 0
+        )
         dt = time.monotonic() - t0
         shuffle_w, shuffle_r = probe.tick()
         metrics = {
@@ -109,8 +125,8 @@ def bfs(
             exhausted = True
             it -= 1
             break
-        dist = dist.unionByName(nxt.select("id", "dist")).localCheckpoint(eager=True)
-        frontier = nxt.select("id")
+        dist = new_dist
+        frontier = new_dist.where(F.col("dist") == it).select("id")
         if checkpoint is not None:
             if it % checkpoint_every == 0:
                 checkpoint.save(it, dist, metrics)

@@ -163,7 +163,17 @@ def pagerank(
             ).select("id", F.lit(1.0).alias("p_raw"))
         else:
             tp = teleport.select("id", F.col("p").cast("double").alias("p_raw"))
-        p_total = tp.agg(F.sum("p_raw")).collect()[0][0] or 1.0
+        # restrict to graph vertices BEFORE normalizing: teleport ids absent
+        # from the graph would otherwise silently leak restart mass
+        # (Σ ranks < 1); after the semi-join, Σp over surviving ids is
+        # renormalized to exactly 1.
+        tp = tp.join(vertices, on="id", how="left_semi")
+        p_total = tp.agg(F.sum("p_raw")).collect()[0][0]
+        if not p_total:
+            raise ValueError(
+                "personalized teleport set has no overlap with the graph's "
+                "vertex set (or zero total mass)"
+            )
         tp = tp.select("id", (F.col("p_raw") / F.lit(p_total)).alias("p"))
 
     def _with_flag(r: DataFrame) -> DataFrame:

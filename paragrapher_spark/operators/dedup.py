@@ -193,7 +193,9 @@ def minhash_candidates(
         .join(sb, on="id_b")
         .select("id_a", "id_b", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
     return out
 
 
@@ -275,13 +277,16 @@ def simhash_candidates(
     a = blocks.select("block", "bv", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = blocks.select("block", "bv", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         a.join(b, on=["block", "bv"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -295,13 +300,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) exact word-n-gram Jaccard via inverted index.
 
-    Shared-count join explodes by n-gram document frequency; at corpus
-    scale, stop-gram removal (drop n-grams with df above a cap) bounds it —
-    here df is naturally small and the exactness is the point (it verifies
-    the MinHash estimate in tests).
+    Shared-count join explodes by n-gram document frequency: a single
+    boilerplate n-gram shared by M docs creates M^2 join rows. ``max_df``
+    is the stop-gram cap — n-grams whose document frequency exceeds it are
+    excluded from the SHARED-count join (denominators still count every
+    gram, so scores for surviving pairs shift conservatively downward; a
+    pair whose overlap is all boilerplate is exactly the pair dedup should
+    not propose). Same guard family as the LSH paths' ``max_bucket_size``.
+    ``None`` disables the cap (exact Jaccard — the oracle-checked mode).
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     grams = F.when(
@@ -315,6 +325,14 @@ def ngram_jaccard_pairs(
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     g = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
     counts = g.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    if max_df is not None:
+        ok_grams = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("gram")
+        )
+        g = g.join(ok_grams, on="gram", how="left_semi")
     a = g.select(F.col("gram"), F.col("id").alias("id_a"))
     b = g.select(F.col("gram"), F.col("id").alias("id_b"))
     shared = (

@@ -90,39 +90,29 @@ def knn_bruteforce(
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
-    """Top-k rows per query_id by (score desc, neighbor_id asc) without a
-    global sort: aggregate per query into a bounded sorted array.
+    """Top-k rows per query_id by (score desc, neighbor_id asc), memory-
+    bounded: a row_number window with a pushed-down rank limit.
 
-    sort_array on struct(-score-ordering) after collect_list would buffer
-    all candidates per query; for the brute-force path that is |corpus|
-    per query — acceptable for probe-sized query sets, and the LSH path
-    feeds only bucket-mates. (A size-capped binary-heap UDAF would bound
-    it strictly; not needed at probe scale.)
-    """
-    ranked = (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("score")).alias("neg"),
-                            F.col("neighbor_id").alias("nid"),
-                            F.col("score").alias("score"),
-                        )
-                    )
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
+    Catalyst's InferWindowGroupLimit rewrites the ``rn <= k`` filter into a
+    WindowGroupLimit BOTH below the shuffle (partial: each map task keeps
+    only its local top-k per query) and above it (final), so no task ever
+    buffers more than k rows per query — the bounded alternative to a
+    collect_list aggregation, which would hold O(candidates-per-query) in
+    one aggregation buffer (for brute force, O(|corpus|) per query). The
+    plan is checked in tests (WindowGroupLimit must appear)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
     )
-    return ranked.select(
-        "query_id", F.explode("top").alias("t")
-    ).select(
-        "query_id",
-        F.col("t.nid").alias("neighbor_id"),
-        F.round(F.col("t.score"), 6).alias("score"),
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("score"), 6).alias("score"),
+        )
     )
 
 
@@ -200,7 +190,11 @@ def knn_lsh(
         )
         .distinct()
     )
-    return _topk(cand, k)
+    # materialize, then release the cached signature table (no session-
+    # lifetime block leak; checkpointed RDDs are GC-cleaned when dropped)
+    out = _topk(cand, k).localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -322,4 +316,7 @@ def knn_ivf(
         )
         .distinct()
     )
-    return _topk(cand, k)
+    out = _topk(cand, k).localCheckpoint(eager=True)
+    scored.unpersist()
+    base.unpersist()
+    return out

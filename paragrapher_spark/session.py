@@ -24,6 +24,22 @@ def _default_master() -> str:
     return f"local[{cpus}]" if cpus else "local[*]"
 
 
+def _default_driver_mem() -> str:
+    """Local-mode heap default: ~40% of physical RAM, capped at 48g (the
+    driver hosts all executor threads in local mode; the JVM's 1g default
+    OOMs caching multi-10M-row tables). Env PG_SPARK_DRIVER_MEM overrides;
+    on hosts where sysconf is unavailable, fall back to a conservative 4g."""
+    override = os.environ.get("PG_SPARK_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        gb = max(1, min(48, int(total * 0.4 / (1 << 30))))
+        return f"{gb}g"
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+
+
 def get_spark(
     app_name: str = "paragrapher-spark",
     master: str | None = None,
@@ -64,9 +80,7 @@ def get_spark(
         # local-mode JVM defaults to 1g heap; the driver hosts all
         # executor threads here, so give it real memory (no-op if the JVM
         # for this session already exists)
-        .config(
-            "spark.driver.memory", os.environ.get("PG_SPARK_DRIVER_MEM", "48g")
-        )
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")

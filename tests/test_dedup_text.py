@@ -149,3 +149,21 @@ def test_fingerprint_rolling_hash(spark):
     assert got[0] == want
     assert got[0] == got[2]
     assert got[0] != got[1]  # order-sensitive
+
+
+def test_ngram_jaccard_max_df_caps_stop_grams(spark):
+    """A planted boilerplate n-gram shared by every doc must not explode
+    the pair count when max_df is set: pairs whose only overlap is the
+    stop-gram disappear; genuinely-similar pairs survive."""
+    boiler = "terms of service apply"
+    rows = [(i, f"unique{i} alpha{i} beta{i} {boiler}") for i in range(30)]
+    rows.append((100, "real duplicate content here repeated words exact"))
+    rows.append((101, "real duplicate content here repeated words exact"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.01).count()
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    # all 30*29/2 boilerplate-only pairs gone; the true dup pair survives
+    assert uncapped >= 30 * 29 // 2
+    assert (100, 101) in got and got[(100, 101)] == pytest.approx(1.0)
+    assert all(a == 100 for (a, b) in got)

@@ -179,3 +179,17 @@ def test_knn_ivf_overlaps_bruteforce(emb):
     # probing half the centroids on 60 random vectors: expect solid recall
     recalls = [len(bf[q] & ivf.get(q, set())) / len(bf[q]) for q in bf]
     assert sum(recalls) / len(recalls) >= 0.6, sum(recalls) / len(recalls)
+
+
+def test_topk_plan_is_bounded(emb):
+    """The per-query top-k must compile to WindowGroupLimit nodes (partial
+    below the shuffle AND final above it) — the bounded-buffer guarantee:
+    no task holds more than k candidate rows per query."""
+    df, _ = emb
+    plan = (
+        knn_bruteforce(df, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 2, plan

@@ -7,10 +7,12 @@ shape: iterative PageRank over a derived edge table).
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
 SURVEY.md §2 plus the training-data-pipeline operators, checked against
 DuckDB at sf0.01. Graph queries run over the co-purchase / customer-order
-edge tables (sources/edges.py) so oracles stay ANSI-SQL; iterative kernels
-that SQL cannot express (PageRank, label propagation) and hash-defined
-operators (MinHash/SimHash/LSH) are rows-only here and exact-oracle-tested
-in tests/ instead.
+edge tables (sources/edges.py) so oracles stay ANSI-SQL. Fixed-round
+iterative kernels (PageRank x3 variants, label propagation, k-core) are
+oracle-checked via UNROLLED materialized CTEs (generators below);
+converged-fixpoint variants and hash-function-defined operators
+(MinHash/SimHash/LSH, IVF) remain rows-only here and are
+exact-oracle-tested in tests/ instead.
 """
 
 from __future__ import annotations
@@ -46,8 +48,10 @@ from paragrapher_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_
 from paragrapher_spark.sources.corpus import synth_corpus
 from paragrapher_spark.sources.edges import (
     COPURCHASE_EDGES_SQL,
+    COPURCHASE_WEIGHTED_EDGES_SQL,
     CUSTOMER_ORDER_EDGES_SQL,
     copurchase_edges,
+    copurchase_weighted_edges,
     customer_order_edges,
     load_table,
 )
@@ -179,10 +183,10 @@ def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vertices of the 64-core of the co-purchase graph (iterative peeling
-    => rows-only; python-oracle-tested in tests/test_kcore_clustering.py).
-    k=64 sits just above the graph's min degree at these SFs, so the peel
-    actually cascades before stabilizing."""
+    """Vertices of the 64-core of the co-purchase graph. Oracle: the peel
+    unrolled as materialized DuckDB CTEs (idempotent past the fixpoint, so
+    over-unrolling is exact). k=64 sits just above the graph's min degree
+    at these SFs, so the peel actually cascades before stabilizing."""
     edges = copurchase_edges(spark, sf_dir)
     return kcore(edges, k=64).vertices.select(F.col("id").cast("long"))
 
@@ -230,6 +234,47 @@ def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = [r[0] for r in edges.select(F.least("src", "dst")).distinct().orderBy(F.least("src", "dst")).limit(10).collect()]
     res = pagerank(edges, tol=1e-6, max_iter=60, teleport=seeds)
     return res.ranks.select("id", "rank")
+
+
+def _q_pagerank_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship kernel under the oracle gate: exactly 8 damped
+    supersteps (tol=0 disables early exit) with dangling redistribution,
+    ranks rounded to 6 decimals on both sides. The converged variant
+    (pagerank_copurchase) stays rows-only; this pins the superstep
+    arithmetic itself against an unrolled DuckDB CTE."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = pagerank(edges, tol=0.0, max_iter=8)
+    return res.ranks.select(
+        F.col("id").cast("long"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _q_pagerank_personalized_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized variant under the oracle gate: teleport = 10 smallest
+    vertex ids (uniform), 8 fixed supersteps; restart AND dangling mass
+    return to the seed set per the teleport vector."""
+    edges = copurchase_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = [r[0] for r in verts.orderBy("id").limit(10).collect()]
+    res = pagerank(edges, tol=0.0, max_iter=8, teleport=seeds)
+    return res.ranks.select(
+        F.col("id").cast("long"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _q_pagerank_weighted_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted variant under the oracle gate: co-purchase arcs weighted by
+    shared-order count, rank distributed proportionally to weights
+    (coef = w / Σ_out w), 8 fixed supersteps."""
+    edges = copurchase_weighted_edges(spark, sf_dir)
+    res = pagerank(edges, tol=0.0, max_iter=8, weight_col="weight")
+    return res.ranks.select(
+        F.col("id").cast("long"), F.round("rank", 6).alias("rank")
+    )
 
 
 def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,18 +335,18 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash fingerprints (order-sensitive content ids —
-    the reference's converter checksum, test3:303). Mod-2^61 Horner over
-    utf-8 bytes is not ANSI-SQL-expressible (int64 overflow) => rows-only;
-    exactness tested in tests/test_dedup_text.py."""
+    the reference's converter checksum, test3:303). Oracle: DuckDB HUGEINT
+    (int128) Horner fold over the hex-decoded utf-8 bytes — no int64
+    overflow; also exact-tested in tests/test_dedup_text.py."""
     docs = load_table(spark, sf_dir, "documents")
     return fingerprint(docs).select(F.col("doc_id").cast("long"), "fingerprint")
 
 
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over opaque binary columns + typed metadata
-    (deterministic synthetic media; decode is a seeded fake — the image/
-    audio libs are stubbed, the Spark schema/partitioning/UDF batching is
-    real). No parquet media table in testdata => rows-only."""
+    """Multimodal metadata aggregate over the deterministic synthetic
+    media table (arithmetic-derived metadata => the DuckDB oracle
+    regenerates it exactly from range()); payload decode paths are covered
+    by the real PPM/WAV codec tests in tests/test_similarity_multimodal.py."""
     media = synth_media(spark, n=200)
     return media_stats(media)
 
@@ -369,6 +414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_topk": _q_degree_topk,
         "csr_offsets": _q_csr_offsets,
         "pagerank_copurchase": _q_pagerank_copurchase,
+        "pagerank_fixed8": _q_pagerank_fixed8,
+        "pagerank_personalized_fixed": _q_pagerank_personalized_fixed,
+        "pagerank_weighted_fixed": _q_pagerank_weighted_fixed,
         "wcc_labels": _q_wcc_labels,
         "wcc_sizes": _q_wcc_sizes,
         "triangle_count": _q_triangle_count,
@@ -414,6 +462,260 @@ _WCC_CTE = f"""
 """
 
 _TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+# ---------------------------------------------------------------------------
+# unrolled-CTE oracle generators for the iterative kernels
+#
+# Fixed-round algorithms are each-round-plain-SQL: chaining R rounds of CTEs
+# reaches the same state as the Spark superstep loop. Early convergence is
+# safe because each update is idempotent at its fixpoint (LP re-votes the
+# same labels; k-core re-peels nothing), so unrolling MORE rounds than the
+# data needs is exact. This is the DuckDB analogue of the reference's
+# internal-invariant asserts (`test/test1_deg_dist_WG400.c:230`,
+# `test/test2_jtcc_WG400.c:279`) — but checked against an independent engine.
+# ---------------------------------------------------------------------------
+
+
+def _lp_oracle_sql(rounds: int) -> str:
+    """Synchronous label propagation, min-label tie-break, self-vote
+    included — kernels/labelprop.py unrolled round by round.
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    and each round references the previous one 2x — un-materialized, the
+    expansion is 2^rounds copies of the base self-join (observed: disk
+    exhaustion via temp spill)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),",
+        """
+    und AS MATERIALIZED (
+        SELECT src AS a, dst AS b FROM edges
+        UNION
+        SELECT dst AS a, src AS b FROM edges
+    ),
+    lp0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM und)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    votes{r} AS MATERIALIZED (
+        SELECT u.a AS id, l.label FROM und u JOIN lp{r - 1} l ON l.id = u.b
+        UNION ALL
+        SELECT id, label FROM lp{r - 1}
+    ),
+    cnt{r} AS MATERIALIZED (
+        SELECT id, label, count(*) AS c FROM votes{r} GROUP BY id, label
+    ),
+    lp{r} AS MATERIALIZED (
+        SELECT id, label FROM (
+            SELECT id, label,
+                   row_number() OVER (
+                       PARTITION BY id ORDER BY c DESC, label ASC
+                   ) AS rn
+            FROM cnt{r}
+        ) WHERE rn = 1
+    )""")
+    parts.append(
+        f"\n    SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label"
+        f" FROM lp{rounds}"
+    )
+    return "".join(parts)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Iterative k-core peel (kernels/kcore.py) unrolled; over-unrolling
+    past the fixpoint is exact (peeling is idempotent there)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),",
+        """
+    e0 AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    keep{r} AS MATERIALIZED (
+        SELECT id FROM (
+            SELECT id, count(*) AS c FROM (
+                SELECT src AS id FROM e{r - 1}
+                UNION ALL SELECT dst FROM e{r - 1}
+            ) GROUP BY id
+        ) WHERE c >= {k}
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT src, dst FROM e{r - 1}
+        WHERE src IN (SELECT id FROM keep{r})
+          AND dst IN (SELECT id FROM keep{r})
+    )""")
+    parts.append(f"""
+    SELECT CAST(id AS BIGINT) AS id FROM (
+        SELECT src AS id FROM e{rounds} UNION SELECT dst FROM e{rounds}
+    )""")
+    return "".join(parts)
+
+
+def _pagerank_oracle_sql(
+    iters: int,
+    damping: float = 0.85,
+    seeds_limit: int | None = None,
+    weighted: bool = False,
+) -> str:
+    """Damped PageRank with dangling redistribution (kernels/pagerank.py)
+    unrolled. Arithmetic mirrors the Spark expressions operation-for-
+    operation (e.g. ``(1.0 - d) + d*dm`` then ``restart*p + d*mass``) so
+    IEEE-754 evaluation matches; the only divergence is float summation
+    order, ~1e-16 relative, absorbed by ROUND(rank, 6) on both sides.
+
+    ``seeds_limit=k``: personalized over the k smallest vertex ids.
+    ``weighted``: coef = weight / Σ_out weights instead of 1/outdeg
+    (integer-valued weights sum exactly in float64 — deterministic)."""
+    d = damping
+    edges_sql = COPURCHASE_WEIGHTED_EDGES_SQL if weighted else COPURCHASE_EDGES_SQL
+    if weighted:
+        coef_sql = """
+    wsum AS MATERIALIZED (
+        SELECT src, SUM(CAST(weight AS DOUBLE)) AS ws FROM edges
+        GROUP BY src HAVING SUM(CAST(weight AS DOUBLE)) <> 0
+    ),
+    ecoef AS MATERIALIZED (
+        SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) / w.ws AS coef
+        FROM edges e JOIN wsum w ON w.src = e.src
+    ),
+    linked AS MATERIALIZED (SELECT src AS id FROM wsum)"""
+    else:
+        coef_sql = """
+    odeg AS MATERIALIZED (SELECT src, count(*) AS c FROM edges GROUP BY src),
+    ecoef AS MATERIALIZED (
+        SELECT e.src, e.dst, 1.0 / o.c AS coef
+        FROM edges e JOIN odeg o ON o.src = e.src
+    ),
+    linked AS MATERIALIZED (SELECT src AS id FROM odeg)"""
+    if seeds_limit is None:
+        p_sql = "SELECT id, 1.0 / (SELECT n FROM nn) AS p FROM verts"
+    else:
+        p_sql = f"""
+        SELECT v.id, CASE WHEN s.id IS NOT NULL
+                          THEN 1.0 / (SELECT ns FROM nseeds)
+                          ELSE 0.0 END AS p
+        FROM verts v LEFT JOIN seeds s ON s.id = v.id"""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql}),",
+        """
+    verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),""",
+        coef_sql + ",",
+    ]
+    if seeds_limit is not None:
+        parts.append(f"""
+    seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {seeds_limit}),
+    nseeds AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),""")
+    parts.append(f"""
+    pv AS MATERIALIZED ({p_sql}),
+    pr0 AS MATERIALIZED (SELECT id, p AS rank FROM pv)""")
+    for r in range(1, iters + 1):
+        parts.append(f""",
+    dm{r} AS MATERIALIZED (
+        SELECT COALESCE(SUM(p.rank), 0.0) AS dm
+        FROM pr{r - 1} p LEFT JOIN linked l ON l.id = p.id
+        WHERE l.id IS NULL
+    ),
+    pr{r} AS MATERIALIZED (
+        SELECT v.id,
+               ((1.0 - {d}) + {d} * (SELECT dm FROM dm{r})) * v.p
+                   + {d} * COALESCE(m.mass, 0.0) AS rank
+        FROM pv v LEFT JOIN (
+            SELECT e.dst AS id, SUM(p.rank * e.coef) AS mass
+            FROM ecoef e JOIN pr{r - 1} p ON p.id = e.src
+            GROUP BY e.dst
+        ) m ON m.id = v.id
+    )""")
+    parts.append(
+        f"\n    SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 6) AS rank"
+        f" FROM pr{iters}"
+    )
+    return "".join(parts)
+
+
+def _language_id_oracle_sql() -> str:
+    """functions/text.py detect_language re-expressed in SQL: same
+    lexicons, same han-density rule, same max-hits / min-code tie-break."""
+    from paragrapher_spark.functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)  # de, en, es, fr
+
+    def lex(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    hits = ",\n               ".join(
+        f"len(list_filter(toks, x -> list_contains({lex(lang)}, x))) AS s_{lang}"
+        for lang in langs
+    )
+    # first lang (lexicographic order) attaining the max wins — identical
+    # to the reversed >=-fold in detect_language
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"s_{o}" for o in langs[i + 1:]]
+        if rest:
+            ge = f"s_{lang} >= greatest({', '.join(rest)})" if len(rest) > 1 else f"s_{lang} >= {rest[0]}"
+            cases.append(f"WHEN {ge} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    all_s = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS han,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, text, han,
+               {hits}
+            FROM t
+        ),
+        w AS (
+            SELECT doc_id,
+                   CASE WHEN han * 2 >= length(text) THEN 'zh'
+                        WHEN greatest({all_s}) < 1 THEN 'und'
+                        {' '.join(cases[:-1])}
+                        {cases[-1]} END AS lang_pred
+            FROM s
+        )
+        SELECT lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY lang_pred
+    """
+
+
+_FINGERPRINT_SQL = r"""
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN length(hx) = 0 THEN 0 ELSE CAST(list_reduce(
+               list_transform(range(0, length(hx) // 2),
+                   i -> CAST(strpos('0123456789ABCDEF',
+                                    substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1
+                             AS HUGEINT) * 16
+                        + (strpos('0123456789ABCDEF',
+                                  substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1)),
+               (acc, byte) -> (acc * 257 + byte) % 2305843009213693951
+           ) AS BIGINT) END AS fingerprint
+    FROM b
+"""
+
+_MEDIA_STATS_SQL = """
+    WITH m AS (
+        SELECT i AS media_id,
+               CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                                       WHEN 1 THEN 'audio'
+                                       ELSE 'video' END AS kind,
+               ((i * 37 + 11) % 1024) + 16 AS width,
+               ((i * 97 + 13) % 60000) + 100 AS duration_ms
+        FROM range(0, 200) t(i)
+    )
+    SELECT kind, CAST(count(*) AS BIGINT) AS n,
+           AVG(width) AS avg_width,
+           AVG(duration_ms) AS avg_duration_ms
+    FROM m GROUP BY kind
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -467,6 +769,14 @@ def oracle_sql() -> dict[str, str]:
                        ), 0) AS BIGINT) AS offset
             FROM deg
         """,
+        "pagerank_fixed8": _pagerank_oracle_sql(8),
+        "pagerank_personalized_fixed": _pagerank_oracle_sql(8, seeds_limit=10),
+        "pagerank_weighted_fixed": _pagerank_oracle_sql(8, weighted=True),
+        "label_propagation": _lp_oracle_sql(10),
+        "kcore_members": _kcore_oracle_sql(64, 8),
+        "language_id": _language_id_oracle_sql(),
+        "doc_fingerprint": _FINGERPRINT_SQL,
+        "media_stats": _MEDIA_STATS_SQL,
         "wcc_labels": _WCC_CTE
         + "SELECT CAST(id AS BIGINT) AS id, CAST(component AS BIGINT) AS component FROM comp",
         "wcc_sizes": _WCC_CTE
@@ -687,10 +997,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 6) AS sum_value
             FROM s GROUP BY user_id, sid
         """,
-        # rows-only (not ANSI-SQL-expressible / hash-defined):
-        #   pagerank_copurchase, import_graph_pagerank  (iterative float fixpoint)
-        #   label_propagation                           (iterative, tie-break state)
-        #   minhash_near_dups, simhash_near_dups, knn_lsh (hash-function-defined)
-        #   language_id                                 (lexicon heuristic; exact-
-        #       match tested in tests/test_dedup_text.py::test_language_id)
+        # rows-only (the remaining genuinely inexpressible set):
+        #   pagerank_copurchase, pagerank_personalized, import_graph_pagerank*
+        #       — converged fixpoints (iteration count is data-dependent;
+        #         the superstep arithmetic itself IS oracle-checked via the
+        #         pagerank_*fixed* unrolled variants above)
+        #   minhash_near_dups, simhash_near_dups, knn_lsh, knn_ivf
+        #       — defined by engine-specific hash families / xxhash64-seeded
+        #         k-means; estimator accuracy + recall pinned in tests/
     }

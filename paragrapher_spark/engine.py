@@ -56,6 +56,14 @@ class Engine:
             "max_buffers_count": spark.sparkContext.defaultParallelism,
         }
         self._graphs: list[Graph] = []
+        # GET_GRAPH_PATH backing store (`src/webgraph.c:452-454`): the
+        # source path per handle (None for in-memory DataFrame sources).
+        self._paths: dict[int, str | None] = {}
+        # READ_* progress telemetry per handle (`src/webgraph.c:504-550`):
+        # Spark accumulators updated from inside the callback tasks — the
+        # engine-native analogue of the reference's poll-able counters
+        # (they advance as tasks complete, while the scan is running).
+        self._reads: dict[int, dict[str, Any]] = {}
 
     # -- paragrapher_open_graph / release_graph ------------------------------
 
@@ -78,6 +86,7 @@ class Engine:
         else:
             raise ValueError(f"unknown graph kind: {kind}")
         self._graphs.append(g)
+        self._paths[id(g)] = source if isinstance(source, str) else None
         return g
 
     def release_graph(self, graph: Graph) -> None:
@@ -87,11 +96,25 @@ class Engine:
         graph.vertices.unpersist()
         if graph in self._graphs:
             self._graphs.remove(graph)
+        self._paths.pop(id(graph), None)
+        self._reads.pop(id(graph), None)
+        graph.edge_index = None
 
     # -- paragrapher_get_set_options ----------------------------------------
 
     def get_option(self, graph: Graph | None, request: str) -> Any:
-        """The reference's request types (`src/webgraph.c:450-554`)."""
+        """The reference's request types (`src/webgraph.c:450-554`), all 12
+        reachable by symbol:
+
+        - ``graph_path`` — GET_GRAPH_PATH (`webgraph.c:452-454`): the
+          source path the handle was opened from (None for DataFrames).
+        - ``read_status`` — READ_STATUS (`webgraph.c:504-511`):
+          ``not_started`` (no scan issued) / ``reading`` / ``complete``.
+        - ``read_total_callbacks`` — READ_TOTAL_CALLBACKS
+          (`webgraph.c:513-520`): callback invocations completed so far.
+        - ``read_edges`` — READ_EDGES (`webgraph.c:522-530`): edges
+          delivered to the callback so far (poll while a scan runs).
+        """
         if request == "vertices_count":
             return graph.num_vertices  # from metadata, like `.properties`
         if request == "edges_count":
@@ -100,6 +123,19 @@ class Engine:
             return True  # Arrow batches are executor-owned
         if request == "lib_uses_user_arrays":
             return False
+        if request == "graph_path":
+            return self._paths.get(id(graph))
+        if request in ("read_status", "read_total_callbacks", "read_edges"):
+            info = self._reads.get(id(graph))
+            if request == "read_status":
+                if info is None:
+                    return "not_started"
+                done = graph is not None and info["rows"].value >= graph.num_edges
+                return "complete" if done else "reading"
+            if info is None:
+                return 0
+            key = "callbacks" if request == "read_total_callbacks" else "rows"
+            return info[key].value
         if request in self._options:
             return self._options[request]
         raise KeyError(request)
@@ -146,20 +182,21 @@ class Engine:
         """`paragrapher_coo_get_edges` — declared in the reference API but
         never implemented (`src/paragrapher.c:37`); trivial here: rows
         [start_row, end_row) of the edge table in (src, dst) order, via a
-        global edge index (the offsets prefix-sum applied at edge grain)."""
-        w = (
-            graph.edges.select("src", "dst")
-            .repartitionByRange(
-                graph.edges.sparkSession.sparkContext.defaultParallelism, "src", "dst"
-            )
-            .sortWithinPartitions("src", "dst")
-        )
-        from paragrapher_spark.operators.indexing import prefix_sum
+        global edge index (the offsets prefix-sum applied at edge grain).
 
-        idx = prefix_sum(
-            w.withColumn("_one", F.lit(1)), ["src", "dst"], "_one", out_col="eid"
-        ).drop("_one")
-        return idx.where(
+        The index is built ONCE per handle and cached on it — repeat scans
+        filter the materialized index instead of re-running the prefix sum
+        (the reference mmaps its offsets once, `src/webgraph.c:614-615`)."""
+        if graph.edge_index is None:
+            from paragrapher_spark.operators.indexing import prefix_sum
+
+            w = graph.edges.select("src", "dst").withColumn("_one", F.lit(1))
+            # prefix_sum range-partitions + sorts and returns an eagerly
+            # materialized (localCheckpoint) table — the cache is real data
+            graph.edge_index = prefix_sum(
+                w, ["src", "dst"], "_one", out_col="eid"
+            ).drop("_one")
+        return graph.edge_index.where(
             (F.col("eid") >= start_row) & (F.col("eid") < end_row)
         ).select("src", "dst")
 
@@ -174,10 +211,23 @@ class Engine:
         """The user-callback contract (`paragrapher_csx_callback`,
         `include/paragrapher.h:93`): ``fn`` receives whole edge batches
         (pandas frames over Arrow — the shm slab analogue,
-        `src/webgraph.c:843-889`) and returns result batches."""
+        `src/webgraph.c:843-889`) and returns result batches.
+
+        Progress telemetry: per-graph accumulators count callback
+        invocations and edges delivered; poll them through
+        ``get_option(graph, "read_status" | "read_total_callbacks" |
+        "read_edges")`` while the scan runs — the reference's READ_*
+        request family (`src/webgraph.c:504-550`)."""
+        sc = self.spark.sparkContext
+        rows_acc = sc.accumulator(0)
+        calls_acc = sc.accumulator(0)
+        self._reads[id(graph)] = {"rows": rows_acc, "callbacks": calls_acc}
 
         def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
-                yield fn(pdf)
+                out = fn(pdf)
+                calls_acc.add(1)
+                rows_acc.add(len(pdf))
+                yield out
 
         return graph.edges.mapInPandas(batches, schema=schema)

@@ -17,7 +17,7 @@ Spark-native equivalent of `paragrapher_open_graph` +
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,6 +35,11 @@ class Graph:
     edges: DataFrame  # src, dst, weight
     num_vertices: int
     num_edges: int
+    #: lazily-built global (src, dst, eid) edge index for row-range scans —
+    #: computed once per handle and reused (the reference mmaps its offsets
+    #: array once per graph, `src/webgraph.c:614-615`); Engine.scan_edges_rows
+    #: populates it.
+    edge_index: DataFrame | None = field(default=None, repr=False, compare=False)
 
     def out_degrees(self) -> DataFrame:
         return self.edges.groupBy(F.col("src").alias("id")).agg(

@@ -43,6 +43,25 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edges(src, dst, weight) with src < dst: weight = number of orders
+    the pair co-occurs in — the arc-labelled (weighted) derivation of the
+    co-purchase graph (the reference's WG404 weighted-arc capability,
+    `src/WG404AP.java:171-182`, expressed as a relational aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def customer_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed bipartite edges customer -> order."""
     return (
@@ -81,4 +100,11 @@ COPURCHASE_EDGES_SQL = """
 
 CUSTOMER_ORDER_EDGES_SQL = """
     SELECT DISTINCT o_custkey AS src, o_orderkey AS dst FROM orders
+"""
+
+COPURCHASE_WEIGHTED_EDGES_SQL = """
+    SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
 """

@@ -97,25 +97,138 @@ def write_edge_text(edges: DataFrame, path: str, single_file: bool = False) -> N
     out.write.mode("overwrite").text(path)
 
 
-def write_adjacency_text(graph: Graph, path: str) -> None:
+def write_adjacency_text(
+    graph: Graph, path: str, num_partitions: int | None = None
+) -> None:
     """AdjacencyGraph textual format (test3:289-312): header with counts,
-    then offsets, then destinations — written as one text file (the format
-    is inherently sequential; used for small-graph interchange only)."""
-    offsets = [
-        r.offset for r in graph.offsets().orderBy("id").select("offset").collect()
-    ]
-    dests = [
-        r.dst
-        for r in graph.edges.orderBy("src", "dst").select("dst").collect()
-    ]
-    lines = ["AdjacencyGraph", str(graph.num_vertices), str(graph.num_edges)]
-    lines += [str(o) for o in offsets]
-    lines += [str(d) for d in dests]
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
-    os.replace(tmp, path)
+    then offsets, then destinations.
+
+    Fully distributed — the format's sequential line order is expressed as
+    a global sort key ``(section, k1, k2)`` (0=header, 1=offsets by id,
+    2=dests by (src, dst)): range-partitioning on that key yields parts
+    that are globally ordered by part number, so the concatenation of
+    ``part-00000..part-NNNNN`` IS the file (no O(V+E) driver collect).
+    ``num_partitions=1`` gives the single-file interchange shape."""
+    spark = graph.edges.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    header = spark.createDataFrame(
+        [
+            (0, 0, 0, "AdjacencyGraph"),
+            (0, 1, 0, str(graph.num_vertices)),
+            (0, 2, 0, str(graph.num_edges)),
+        ],
+        "section int, k1 long, k2 long, value string",
+    )
+    offs = graph.offsets().select(
+        F.lit(1).alias("section"),
+        F.col("id").alias("k1"),
+        F.lit(0).cast("long").alias("k2"),
+        F.col("offset").cast("string").alias("value"),
+    )
+    dests = graph.edges.select(
+        F.lit(2).alias("section"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+        F.col("dst").cast("string").alias("value"),
+    )
+    (
+        header.unionByName(offs)
+        .unionByName(dests)
+        .repartitionByRange(n, "section", "k1", "k2")
+        .sortWithinPartitions("section", "k1", "k2")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def read_edge_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read a GAPBS-style `.el` file/dir back to edges(src, dst) — the
+    consuming half of the converter story (reference test3 produces
+    GAPBS-consumable output, `test/test3_converter_WG400.c:277-287`; this
+    makes the textual format round-trippable). Whitespace-tolerant, skips
+    blank and `#`-comment lines."""
+    t = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        spark.read.text(path)
+        .where(
+            (F.trim(F.col("value")) != "")
+            & ~F.trim(F.col("value")).startswith("#")
+        )
+        .select(
+            t.getItem(0).cast("long").alias("src"),
+            t.getItem(1).cast("long").alias("dst"),
+        )
+    )
+
+
+def read_adjacency_text(spark: SparkSession, path: str) -> Graph:
+    """Read an AdjacencyGraph `.adj` file/dir back to a Graph
+    (test3:289-312 round-trip). Global line numbers come from
+    ``zipWithIndex`` over the text partitions (file order = part order,
+    the writer's range-partition contract); the CSR structure is then
+    re-derived relationally:
+
+    - degree(v) = offset(v+1) - offset(v) via an equi-join on the dense id
+      space (no global-order window — scale-safe),
+    - each vertex explodes its ``[offset, offset+degree)`` edge-id range
+      and equi-joins the destination lines on edge id.
+    """
+    # explicit sorted file list: a bare directory path gives no guarantee
+    # that Hadoop's split enumeration follows part-file NAME order (local
+    # FS listing order is arbitrary), and zipWithIndex's global index is
+    # split-order-dependent — so name order is pinned here
+    if os.path.isdir(path):
+        import glob
+
+        parts = sorted(
+            p
+            for p in glob.glob(os.path.join(path, "*"))
+            if os.path.basename(p).startswith("part-")
+        )
+        src = ",".join(parts)
+    else:
+        src = path
+    rdd = spark.sparkContext.textFile(src)
+    lines = spark.createDataFrame(
+        rdd.zipWithIndex().map(lambda x: (x[1], x[0].strip())),
+        "idx long, value string",
+    ).where(F.col("value") != "")
+    head = {r.idx: r.value for r in lines.where(F.col("idx") < 3).collect()}
+    if head.get(0) != "AdjacencyGraph":
+        raise ValueError(f"not an AdjacencyGraph file: {path!r} ({head.get(0)!r})")
+    n, m = int(head[1]), int(head[2])
+    offs = lines.where((F.col("idx") >= 3) & (F.col("idx") < 3 + n)).select(
+        (F.col("idx") - 3).alias("id"), F.col("value").cast("long").alias("off")
+    )
+    dests = lines.where(
+        (F.col("idx") >= 3 + n) & (F.col("idx") < 3 + n + m)
+    ).select(
+        (F.col("idx") - 3 - n).alias("eid"),
+        F.col("value").cast("long").alias("dst"),
+    )
+    nxt = offs.select((F.col("id") - 1).alias("id"), F.col("off").alias("off_next"))
+    deg = offs.join(nxt, on="id", how="left").select(
+        "id", "off", (F.coalesce("off_next", F.lit(m)) - F.col("off")).alias("deg")
+    )
+    eids = deg.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.when(
+                F.col("deg") > 0,
+                F.sequence(F.col("off"), F.col("off") + F.col("deg") - 1),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("eid"),
+    )
+    edges = eids.join(dests, on="eid").select(
+        "src", "dst", F.lit(1).cast("long").alias("weight")
+    )
+    vertices = offs.select(
+        "id",
+        F.lit(None).cast("string").alias("repo"),
+        F.lit(None).cast("string").alias("path"),
+    )
+    return Graph(vertices=vertices, edges=edges, num_vertices=n, num_edges=m)
 
 
 def narrow_ids(edges: DataFrame) -> DataFrame:

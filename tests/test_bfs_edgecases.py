@@ -130,3 +130,35 @@ def test_kernels_on_single_edge(spark):
     assert triangle_count(one).collect()[0]["triangles"] == 0
     b = bfs(one, [7])
     assert {r.id: r.dist for r in b.distances.collect()} == {7: 0, 9: 1}
+
+
+def _n_executions(spark) -> int:
+    """SQL executions = actions (AQE splits one action into many scheduler
+    jobs, so raw job counts don't measure the superstep discipline)."""
+    return spark._jsparkSession.sharedState().statusStore().executionsList().size()
+
+
+def test_bfs_single_action_per_superstep(spark):
+    """The superstep discipline (parity with PageRank/WCC/LP): the unioned
+    distance table rides a non-eager localCheckpoint materialized by the
+    single frontier-count aggregation. Measured meter: PageRank's loop
+    registers exactly 2 SQL executions per superstep (the action + the
+    deferred checkpoint materialization); BFS must not exceed that, plus a
+    small fixed setup cost. Round 1's eager-nxt + count + eager-union shape
+    measured ~3-4 per superstep."""
+    e = path_graph(spark, n=9)  # chain 0->1->...->8: 9 supersteps till empty
+    before = _n_executions(spark)
+    res = bfs(e, [0], max_depth=20)
+    execs = _n_executions(spark) - before
+    assert res.iterations == 8 and res.exhausted
+    supersteps = 9  # 8 discovering + 1 empty-frontier terminator
+    setup = 4  # edge count/persist, dist seed checkpoint, max-depth probe,
+    #            frontier seed checkpoint
+    assert execs <= setup + 2 * supersteps, execs
+
+
+def test_bfs_duplicate_sources_deduped(spark):
+    e = path_graph(spark, n=4)
+    res = bfs(e, [0, 0, 0], max_depth=10)
+    rows = res.distances.collect()
+    assert len(rows) == len({r.id for r in rows}) == 4

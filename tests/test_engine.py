@@ -96,6 +96,57 @@ def test_for_each_block_callback(engine, graph):
     assert total == sum(s + d for s, d in EDGES)
 
 
+def test_graph_path_option(engine, graph, spark, tmp_path_factory):
+    # GET_GRAPH_PATH (src/webgraph.c:452-454): path-opened handles report
+    # their source; in-memory DataFrame handles report None
+    path = str(tmp_path_factory.mktemp("csr_path"))
+    write_csr(graph, path, num_partitions=2)
+    g2 = engine.open_graph(path, kind="csr")
+    assert engine.get_option(g2, "graph_path") == path
+    assert engine.get_option(graph, "graph_path") is None
+    engine.release_graph(g2)
+
+
+def test_read_progress_options(engine, spark):
+    # READ_STATUS / READ_TOTAL_CALLBACKS / READ_EDGES
+    # (src/webgraph.c:504-550): poll-able progress counters
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    g = engine.open_graph(df, kind="edges")
+    assert engine.get_option(g, "read_status") == "not_started"
+    assert engine.get_option(g, "read_edges") == 0
+    assert engine.get_option(g, "read_total_callbacks") == 0
+
+    def cb(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[["src"]]
+
+    engine.for_each_block(g, cb, schema="src long").count()
+    assert engine.get_option(g, "read_edges") == len(EDGES)
+    assert engine.get_option(g, "read_total_callbacks") >= 1
+    assert engine.get_option(g, "read_status") == "complete"
+    engine.release_graph(g)
+    assert engine.get_option(g, "read_status") == "not_started"
+
+
+def test_scan_edges_rows_index_cached(engine, graph, monkeypatch):
+    # the global edge index is built once per handle (the reference's
+    # mmap-once economics, src/webgraph.c:614-615): a second row-range
+    # scan must not re-run the prefix sum
+    first = sorted(
+        (r.src, r.dst) for r in engine.scan_edges_rows(graph, 0, 3).collect()
+    )
+    assert graph.edge_index is not None
+    import paragrapher_spark.operators.indexing as indexing
+
+    def boom(*a, **kw):  # pragma: no cover - should never run
+        raise AssertionError("prefix_sum re-ran on a cached handle")
+
+    monkeypatch.setattr(indexing, "prefix_sum", boom)
+    second = sorted(
+        (r.src, r.dst) for r in engine.scan_edges_rows(graph, 0, 3).collect()
+    )
+    assert first == second == sorted(sorted(EDGES)[0:3])
+
+
 def test_release_graph(engine, graph):
     engine.release_graph(graph)
     assert graph not in engine._graphs

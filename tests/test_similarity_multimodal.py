@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from paragrapher_spark.operators.multimodal import (
+    decode_audio_features,
     decode_image_features,
     media_stats,
     resize_image,
@@ -193,3 +194,85 @@ def test_topk_plan_is_bounded(emb):
         .toString()
     )
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_real_ppm_decode_end_to_end(spark):
+    """codec='real' PPM path: generate real P6 payloads, decode through the
+    mapInPandas pipeline, features must match a direct numpy computation."""
+    from paragrapher_spark.operators.multimodal import (
+        decode_ppm,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, n=12).persist()
+    got = {
+        r.media_id: (r.mean_luma, list(r.features))
+        for r in decode_image_features(media, codec="real").collect()
+    }
+    payloads = {
+        r.media_id: bytes(r.payload)
+        for r in media.where(F.col("kind") == "image").collect()
+    }
+    assert set(got) == set(payloads) and len(got) == 6
+    for mid, payload in payloads.items():
+        px = decode_ppm(payload)
+        want_luma = float(
+            (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]).mean()
+        )
+        assert got[mid][0] == pytest.approx(want_luma, abs=1e-9)
+        hist = np.histogram(px[..., 0], bins=8, range=(0, 256))[0]
+        assert got[mid][1] == pytest.approx(
+            (hist / hist.sum()).astype(np.float32).tolist(), abs=1e-6
+        )
+    media.unpersist()
+
+
+def test_real_ppm_resize_roundtrip(spark):
+    from paragrapher_spark.operators.multimodal import (
+        decode_ppm,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, n=6)
+    out = resize_image(media, out_w=8, out_h=5, codec="real").collect()
+    assert len(out) == 3
+    for r in out:
+        px = decode_ppm(bytes(r.payload))
+        assert px.shape == (5, 8, 3)
+        assert r.width == 8 and r.height == 5
+
+
+def test_real_wav_decode_features(spark):
+    """codec='real' WAV path: sine-tone clips decode to the expected RMS
+    (A/sqrt(2)) and sample counts."""
+    from paragrapher_spark.operators.multimodal import synth_real_media
+
+    media = synth_real_media(spark, n=12)
+    got = {r.media_id: r for r in decode_audio_features(media, codec="real").collect()}
+    assert len(got) == 6
+    for mid, r in got.items():
+        dur_ms = 40 + (mid % 5) * 20
+        assert r.sample_rate == 16000
+        assert r.n_samples == 16000 * dur_ms // 1000
+        assert r.rms == pytest.approx(12000 / np.sqrt(2), rel=0.02)
+        assert r.peak <= 12000.0
+
+
+def test_ppm_wav_codec_unit_roundtrip():
+    """Pure codec round-trips, no Spark: encode->decode identity, plus
+    netpbm comment tolerance and RIFF extra-chunk tolerance."""
+    from paragrapher_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    commented = b"P6\n# a comment\n4 3\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(commented), px)
+
+    samp = (np.sin(np.arange(800) / 10.0) * 1000).astype(np.int16)
+    back, rate = decode_wav(encode_wav(samp, 8000))
+    assert rate == 8000 and np.array_equal(back, samp)

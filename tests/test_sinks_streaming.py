@@ -12,7 +12,9 @@ from paragrapher_spark.sources.corpus import synth_corpus
 from paragrapher_spark.sources.sinks import (
     edge_checksum,
     narrow_ids,
+    read_adjacency_text,
     read_csr,
+    read_edge_text,
     scan_edges,
     write_adjacency_text,
     write_csr,
@@ -55,11 +57,23 @@ def test_edge_text_writer(spark, tmp_path):
     assert lines == want
 
 
+def _concat_text_parts(path: str) -> list[str]:
+    """Concatenate part files in name order — the writer's contract is
+    that this concatenation IS the sequential file."""
+    import glob
+
+    lines: list[str] = []
+    for p in sorted(glob.glob(f"{path}/part-*")):
+        with open(p) as fh:
+            lines += fh.read().splitlines()
+    return lines
+
+
 def test_adjacency_text_writer(spark, tmp_path):
     g = graph_from_edges(small5x14(spark))
     path = str(tmp_path / "g.adj")
-    write_adjacency_text(g, path)
-    lines = open(path).read().splitlines()
+    write_adjacency_text(g, path, num_partitions=3)
+    lines = _concat_text_parts(path)
     assert lines[0] == "AdjacencyGraph"
     assert int(lines[1]) == g.num_vertices == 5
     assert int(lines[2]) == g.num_edges == 14
@@ -69,6 +83,32 @@ def test_adjacency_text_writer(spark, tmp_path):
     # offsets prefix-sum invariant (WG400AP.java:255)
     degs = {r.id: r.out_degree for r in g.out_degrees().collect()}
     assert offsets[-1] + degs[4] == 14
+    # destinations are (src, dst)-sorted per the CSR layout
+    want_dests = [d for _, d in sorted((r.src, r.dst) for r in g.edges.collect())]
+    assert dests == want_dests
+
+
+def test_adjacency_text_roundtrip(spark, tmp_path):
+    # write with Spark, read back with Spark, identical graph
+    # (test3's consumable-output contract, test3:289-312)
+    g = graph_from_edges(small5x14(spark))
+    path = str(tmp_path / "rt.adj")
+    write_adjacency_text(g, path, num_partitions=3)
+    back = read_adjacency_text(spark, path)
+    assert back.num_vertices == 5 and back.num_edges == 14
+    assert edge_checksum(back.edges) == edge_checksum(g.edges)
+    assert sorted((r.src, r.dst) for r in back.edges.collect()) == sorted(
+        (r.src, r.dst) for r in g.edges.collect()
+    )
+
+
+def test_edge_text_roundtrip(spark, tmp_path):
+    g = graph_from_edges(small5x14(spark))
+    path = str(tmp_path / "rt.el")
+    write_edge_text(g.edges, path)
+    back = read_edge_text(spark, path)
+    assert edge_checksum(back) == edge_checksum(g.edges)
+    assert back.count() == 14
 
 
 def test_narrow_ids(spark):

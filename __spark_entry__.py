@@ -36,6 +36,7 @@ from paragrapher_spark.kernels.triangles import (
     triangles_per_vertex,
 )
 from paragrapher_spark.operators.dedup import (
+    dedup_exact,
     embedding_dup_pairs,
     exact_dup_groups,
     minhash_candidates,
@@ -291,6 +292,29 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(docs)
 
 
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data cleaning pipeline COMPOSED end-to-end: exact
+    dedup (keep-min-id) -> token/quality stats -> language ID -> quality
+    and length filters. One oracle-checked query proving the operators
+    chain (the pipeline brief's actual shape, not just isolated pieces)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup_exact(docs)
+    stats = text_stats(kept)
+    langs = kept.select(
+        F.col("doc_id"), detect_language(F.col("text")).alias("lang_pred")
+    )
+    return (
+        stats.join(langs, on="doc_id")
+        .where((F.col("quality_score") >= 0.3) & (F.col("n_tokens") >= 8))
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("n_tokens").cast("long"),
+            "quality_score",
+            "lang_pred",
+        )
+    )
+
+
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -430,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "exact_dup_groups": _q_exact_dup_groups,
         "text_stats": _q_text_stats,
+        "corpus_clean": _q_corpus_clean,
         "language_id": _q_language_id,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -636,9 +661,11 @@ def _pagerank_oracle_sql(
     return "".join(parts)
 
 
-def _language_id_oracle_sql() -> str:
-    """functions/text.py detect_language re-expressed in SQL: same
-    lexicons, same han-density rule, same max-hits / min-code tie-break."""
+def _lang_pred_ctes(src: str) -> str:
+    """CTE chain computing per-doc ``lang_pred`` over ``src(doc_id, text)``
+    — functions/text.py detect_language re-expressed in SQL: same lexicons,
+    same han-density rule, same max-hits / min-code tie-break. Final CTE is
+    ``lang_w(doc_id, lang_pred)``."""
     from paragrapher_spark.functions.text import STOPWORDS
 
     langs = sorted(STOPWORDS)  # de, en, es, fr
@@ -662,28 +689,69 @@ def _language_id_oracle_sql() -> str:
             cases.append(f"ELSE '{lang}'")
     all_s = ", ".join(f"s_{lang}" for lang in langs)
     return f"""
-        WITH t AS (
+        lang_t AS (
             SELECT doc_id, text,
                    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS han,
                    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-            FROM documents
+            FROM {src}
         ),
-        s AS (
+        lang_s AS (
             SELECT doc_id, text, han,
                {hits}
-            FROM t
+            FROM lang_t
         ),
-        w AS (
+        lang_w AS (
             SELECT doc_id,
                    CASE WHEN han * 2 >= length(text) THEN 'zh'
                         WHEN greatest({all_s}) < 1 THEN 'und'
                         {' '.join(cases[:-1])}
                         {cases[-1]} END AS lang_pred
-            FROM s
-        )
+            FROM lang_s
+        )"""
+
+
+def _language_id_oracle_sql() -> str:
+    return f"""
+        WITH {_lang_pred_ctes('documents')}
         SELECT lang_pred, CAST(count(*) AS BIGINT) AS n
-        FROM w GROUP BY lang_pred
+        FROM lang_w GROUP BY lang_pred
     """
+
+
+def _text_stats_ctes(src: str) -> str:
+    """CTE chain computing functions/text.py text_stats over
+    ``src(doc_id, text)``; final CTE is ``stats_out`` with the full
+    column set of the ``text_stats`` query."""
+    return f"""
+        stats_t AS (
+            SELECT doc_id, text, {_TOKENS} AS toks FROM {src}
+        ),
+        stats_s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END AS atl,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(text) - length(translate(text, '.,;:!?', '')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE)
+                   ELSE 0.0 END AS pr,
+                   CASE WHEN len(toks) > 0 THEN
+                       1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END AS rr
+            FROM stats_t
+        ),
+        stats_out AS (
+            SELECT doc_id, n_tokens, n_chars,
+                   ROUND(atl, 6) AS avg_token_len,
+                   ROUND(pr, 6) AS punct_ratio,
+                   ROUND(rr, 6) AS repetition_ratio,
+                   ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * (1.0 - pr) * (1.0 - rr), 6)
+                       AS quality_score
+            FROM stats_s
+        )"""
 
 
 _FINGERPRINT_SQL = r"""
@@ -876,33 +944,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "text_stats": f"""
-            WITH t AS (
-                SELECT doc_id, text, {_TOKENS} AS toks FROM documents
+            WITH {_text_stats_ctes('documents')}
+            SELECT * FROM stats_out
+        """,
+        "corpus_clean": f"""
+            WITH reps AS (
+                SELECT md5(text) AS h, min(doc_id) AS rep
+                FROM documents GROUP BY md5(text)
             ),
-            s AS (
-                SELECT doc_id,
-                       CAST(len(toks) AS BIGINT) AS n_tokens,
-                       CAST(length(text) AS BIGINT) AS n_chars,
-                       CASE WHEN len(toks) > 0 THEN
-                           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
-                           / CAST(len(toks) AS DOUBLE)
-                       ELSE 0.0 END AS atl,
-                       CASE WHEN length(text) > 0 THEN
-                           CAST(length(text) - length(translate(text, '.,;:!?', '')) AS DOUBLE)
-                           / CAST(length(text) AS DOUBLE)
-                       ELSE 0.0 END AS pr,
-                       CASE WHEN len(toks) > 0 THEN
-                           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-                       ELSE 0.0 END AS rr
-                FROM t
-            )
-            SELECT doc_id, n_tokens, n_chars,
-                   ROUND(atl, 6) AS avg_token_len,
-                   ROUND(pr, 6) AS punct_ratio,
-                   ROUND(rr, 6) AS repetition_ratio,
-                   ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * (1.0 - pr) * (1.0 - rr), 6)
-                       AS quality_score
-            FROM s
+            kept AS MATERIALIZED (
+                SELECT d.doc_id, d.text FROM documents d
+                JOIN reps r ON r.rep = d.doc_id
+            ),
+            {_text_stats_ctes('kept')},
+            {_lang_pred_ctes('kept')}
+            SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+                   s.n_tokens, s.quality_score, w.lang_pred
+            FROM stats_out s JOIN lang_w w ON w.doc_id = s.doc_id
+            WHERE s.quality_score >= 0.3 AND s.n_tokens >= 8
         """,
         "ngram_jaccard": f"""
             WITH t AS (

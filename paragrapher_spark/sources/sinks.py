@@ -75,19 +75,23 @@ def scan_edges(spark: SparkSession, path: str, start_vertex: int, end_vertex: in
     )
 
 
-def write_edge_text(edges: DataFrame, path: str, single_file: bool = False) -> None:
-    """GAPBS-style textual COO: one `src dst` line per edge, sorted —
-    test3's `.el` writer (`test/test3_converter_WG400.c:277-287`).
+def write_edge_text(
+    edges: DataFrame,
+    path: str,
+    single_file: bool = False,
+    weight_col: str | None = None,
+) -> None:
+    """GAPBS-style textual COO: one `src dst` (or `src dst weight` — the
+    .wel shape, the textual twin of test6's weighted binary pairs,
+    `test/test6_bin_converter_WG404.c`) line per edge, sorted — test3's
+    `.el` writer (`test/test3_converter_WG400.c:277-287`).
     ``single_file`` coalesces to one part (only for small graphs; the
     distributed default writes sorted parts)."""
+    cols = [F.col("src").cast("string"), F.col("dst").cast("string")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("string"))
     out = (
-        edges.select(
-            F.concat_ws(" ", F.col("src").cast("string"), F.col("dst").cast("string")).alias(
-                "value"
-            ),
-            "src",
-            "dst",
-        )
+        edges.select(F.concat_ws(" ", *cols).alias("value"), "src", "dst")
         .repartitionByRange(1 if single_file else 8, "src", "dst")
         .sortWithinPartitions("src", "dst")
         .select("value")
@@ -142,23 +146,29 @@ def write_adjacency_text(
     )
 
 
-def read_edge_text(spark: SparkSession, path: str) -> DataFrame:
-    """Read a GAPBS-style `.el` file/dir back to edges(src, dst) — the
-    consuming half of the converter story (reference test3 produces
-    GAPBS-consumable output, `test/test3_converter_WG400.c:277-287`; this
-    makes the textual format round-trippable). Whitespace-tolerant, skips
-    blank and `#`-comment lines."""
+def read_edge_text(
+    spark: SparkSession, path: str, weighted: bool = False
+) -> DataFrame:
+    """Read a GAPBS-style `.el` (or `.wel` with ``weighted=True``) file/dir
+    back to edges(src, dst[, weight]) — the consuming half of the converter
+    story (reference test3 produces GAPBS-consumable output,
+    `test/test3_converter_WG400.c:277-287`; this makes the textual formats
+    round-trippable). Whitespace-tolerant, skips blank and `#`-comment
+    lines."""
     t = F.split(F.trim(F.col("value")), r"\s+")
+    cols = [
+        t.getItem(0).cast("long").alias("src"),
+        t.getItem(1).cast("long").alias("dst"),
+    ]
+    if weighted:
+        cols.append(t.getItem(2).cast("double").alias("weight"))
     return (
         spark.read.text(path)
         .where(
             (F.trim(F.col("value")) != "")
             & ~F.trim(F.col("value")).startswith("#")
         )
-        .select(
-            t.getItem(0).cast("long").alias("src"),
-            t.getItem(1).cast("long").alias("dst"),
-        )
+        .select(*cols)
     )
 
 

@@ -212,3 +212,15 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0  # the fixture actually exercises multi-session users
+
+
+def test_weighted_edge_text_roundtrip(spark, tmp_path):
+    # .wel shape — the textual twin of test6's weighted binary pairs
+    e = spark.createDataFrame(
+        [(0, 1, 2.5), (0, 2, 1.0), (1, 2, 7.25)], "src long, dst long, weight double"
+    )
+    path = str(tmp_path / "rt.wel")
+    write_edge_text(e, path, single_file=True, weight_col="weight")
+    back = read_edge_text(spark, path, weighted=True)
+    got = sorted((r.src, r.dst, r.weight) for r in back.collect())
+    assert got == [(0, 1, 2.5), (0, 2, 1.0), (1, 2, 7.25)]

@@ -78,6 +78,18 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     summarize("minhash_signatures (expect pure codegen, 0 exchanges)", minhash_signatures(docs))
 
+    # bounded per-query top-k: the rank-limit filter must compile to
+    # WindowGroupLimit BOTH below and above the shuffle (no task buffers
+    # more than k rows per query)
+    from paragrapher_spark.operators.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_bruteforce(emb, queries=emb.where(F.col("vec_id") < 8), k=5)
+    knn_plan = knn._jdf.queryExecution().executedPlan().toString()
+    n_wgl = knn_plan.count("WindowGroupLimit")
+    print(f"== knn_bruteforce top-k (expect >=2 WindowGroupLimit: partial+final)")
+    print(f"   WindowGroupLimit={n_wgl} {'OK' if n_wgl >= 2 else 'MISSING'}")
+
     # PageRank single-superstep plan: edges persisted+partitioned on src,
     # ranks repartitioned on id -> join should reuse the edge partitioning
     n_part = 8

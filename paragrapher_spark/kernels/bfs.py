@@ -54,7 +54,15 @@ def bfs(
         e = e.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = e.distinct().repartition(n_part, "src").persist()
+    # sorted before caching — once frontiers outgrow the broadcast
+    # threshold the frontier join is a SortMergeJoin; the cached order
+    # spares the |E| side a re-sort every superstep (see pagerank.py)
+    e = (
+        e.distinct()
+        .repartition(n_part, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     e.count()
 
     if isinstance(sources, list):

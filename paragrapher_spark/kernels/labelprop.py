@@ -49,6 +49,11 @@ def label_propagation(
         )
         .distinct()
         .repartition(n_part, "dst")
+        # sorted before caching: the per-round gather join is a
+        # SortMergeJoin once labels outgrow the broadcast threshold; the
+        # cached sort order keeps the |E| side from re-sorting every round
+        # (same rationale as kernels/pagerank.py edges_w)
+        .sortWithinPartitions("dst")
         .persist()
     )
     und.count()

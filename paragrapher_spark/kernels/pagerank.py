@@ -131,7 +131,16 @@ def pagerank(
             .join(out_deg, on="src")
             .select("src", "dst", (F.col("_w") / F.col("wsum")).alias("coef"))
         )
-    edges_w = edges_w.repartition(n_part, "src").persist()
+    # sorted-within-partitions BEFORE caching: once ranks outgrow the
+    # broadcast threshold the gather is a SortMergeJoin, and a cached
+    # UNSORTED edge table would be re-sorted (all |E| rows) every
+    # superstep; the cached sort order is reported by the in-memory scan,
+    # so only the |V|-row rank side sorts per iteration. (A shuffle_hash
+    # build on ranks was measured slower: hash-probe latency over
+    # |E| lookups loses to sequential merge bandwidth on this shape.)
+    edges_w = (
+        edges_w.repartition(n_part, "src").sortWithinPartitions("src").persist()
+    )
     n_edges = edges_w.count()
 
     if n_salts == "auto":
@@ -176,17 +185,27 @@ def pagerank(
             )
         tp = tp.select("id", (F.col("p_raw") / F.lit(p_total)).alias("p"))
 
+    # Classic (uniform) PageRank keeps p OUT of the rank table: it is the
+    # constant 1/N, so carrying it per row would add 8 bytes to every
+    # |V|-row shuffle and checkpoint each superstep for no information.
+    # Personalized runs carry the per-vertex p column (it varies).
+    p_lit = 1.0 / n  # python double; identical IEEE value to the SQL 1.0/N
+
     def _with_flag(r: DataFrame) -> DataFrame:
         out = r.join(dangling_flag, on="id", how="left")
         if tp is None:
             return out.select(
-                "id", "rank", F.col("_nd").isNull().alias("is_dangling"),
-                F.lit(1.0 / n).alias("p"),
+                "id", "rank", F.col("_nd").isNull().alias("is_dangling")
             )
         return out.join(tp, on="id", how="left").select(
             "id", "rank", F.col("_nd").isNull().alias("is_dangling"),
             F.coalesce("p", F.lit(0.0)).alias("p"),
         )
+
+    p_cols = [] if tp is None else ["p"]
+
+    def _p_col():
+        return F.lit(p_lit) if tp is None else F.col("p")
 
     # resume path
     start_iter = 0
@@ -202,7 +221,7 @@ def pagerank(
             )
     if ranks is None:
         ranks = _with_flag(vertices.select("id", F.lit(0.0).alias("rank"))).select(
-            "id", F.col("p").alias("rank"), "is_dangling", "p"
+            "id", _p_col().alias("rank"), "is_dangling", *p_cols
         )
         ranks = ranks.repartition(n_part, "id").localCheckpoint(eager=True)
 
@@ -241,17 +260,17 @@ def pagerank(
         )
         restart = (1.0 - damping) + damping * dm  # scaled per-vertex by p
         new_ranks = (
-            ranks.select("id", F.col("rank").alias("old_rank"), "is_dangling", "p")
+            ranks.select("id", F.col("rank").alias("old_rank"), "is_dangling", *p_cols)
             .join(sums, on="id", how="left")
             .select(
                 "id",
                 (
-                    F.lit(restart) * F.col("p")
+                    F.lit(restart) * _p_col()
                     + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("rank"),
                 "old_rank",
                 "is_dangling",
-                "p",
+                *p_cols,
             )
             .repartition(n_part, "id")
             # non-eager: the delta/dangling aggregation below is the ONE
@@ -260,7 +279,7 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
         delta, dm = _delta_and_dangling(new_ranks)
-        ranks = new_ranks.select("id", "rank", "is_dangling", "p")
+        ranks = new_ranks.select("id", "rank", "is_dangling", *p_cols)
         dt = time.monotonic() - t0
         shuffle_w, shuffle_r = probe.tick()
 

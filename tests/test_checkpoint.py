@@ -87,3 +87,39 @@ def test_atomic_write_no_tmp_leftover(spark, tmp_path):
     with open(cm.manifest_path) as fh:
         for line in fh:
             json.loads(line)
+
+
+def test_bfs_resume_identical(spark, tmp_path):
+    from paragrapher_spark.kernels.bfs import bfs
+    from paragrapher_spark.fixtures import path_graph
+
+    edges = path_graph(spark, n=12)
+    want = {r.id: r.dist for r in bfs(edges, [0], max_depth=20).distances.collect()}
+
+    cm = CheckpointManager(str(tmp_path), "bfs")
+    partial = bfs(edges, [0], max_depth=4, checkpoint=cm, checkpoint_every=2)
+    assert not partial.exhausted
+    assert cm.last_complete()["iteration"] == 4
+
+    cm2 = CheckpointManager(str(tmp_path), "bfs")
+    resumed = bfs(edges, [0], max_depth=20, checkpoint=cm2, checkpoint_every=2)
+    assert resumed.history[0]["iteration"] == 5
+    got = {r.id: r.dist for r in resumed.distances.collect()}
+    assert got == want
+
+
+def test_labelprop_resume_identical(spark, tmp_path):
+    from paragrapher_spark.kernels.labelprop import label_propagation
+
+    edges = two_components(spark)
+    want = {r.id: r.label for r in label_propagation(edges, max_iter=10).labels.collect()}
+
+    cm = CheckpointManager(str(tmp_path), "lp")
+    label_propagation(edges, max_iter=2, checkpoint=cm, checkpoint_every=1)
+    assert cm.last_complete()["iteration"] == 2
+
+    cm2 = CheckpointManager(str(tmp_path), "lp")
+    resumed = label_propagation(edges, max_iter=10, checkpoint=cm2, checkpoint_every=1)
+    assert resumed.history[0]["iteration"] == 3
+    got = {r.id: r.label for r in resumed.labels.collect()}
+    assert got == want

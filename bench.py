@@ -145,12 +145,16 @@ def pagerank_scale_run(
 
 
 def scan_floor_run(spark, sf_dir: str, repeats: int = 3) -> dict:
-    """Parquet-scan bandwidth floor — the reference's read-bandwidth
+    """Parquet-scan throughput floor — the reference's read-bandwidth
     microbench (`test/read_bandwidth.c:37-57`) recast for a columnar
-    engine: full-scan aggregate over the largest table, best of
-    ``repeats``. mb_per_sec is against on-disk (compressed) bytes; the
-    number to compare engine scan time against, as the reference compares
-    decompression against its measured IO floor."""
+    engine: full-scan aggregate over the largest table.
+
+    Honest labeling: the sandbox cannot drop the OS page cache, so only
+    the FIRST read may touch storage; ``seconds_first`` is the coldest
+    available figure and ``seconds_best`` (best of ``repeats``) measures
+    warm-cache scan+decode throughput — the engine-overhead floor, which
+    is the comparison the reference's IO-floor methodology makes (its
+    in-memory decompression numbers are likewise cache-resident)."""
     import glob
 
     from pyspark.sql import functions as F
@@ -158,7 +162,7 @@ def scan_floor_run(spark, sf_dir: str, repeats: int = 3) -> dict:
     path = f"{sf_dir}/lineitem.parquet"
     paths = glob.glob(f"{path}/**/*.parquet", recursive=True) or [path]
     nbytes = sum(os.path.getsize(p) for p in paths if os.path.isfile(p))
-    best, rows = float("inf"), 0
+    best, first, rows = float("inf"), None, 0
     for _ in range(repeats):
         t0 = time.monotonic()
         row = (
@@ -169,14 +173,18 @@ def scan_floor_run(spark, sf_dir: str, repeats: int = 3) -> dict:
             )
             .collect()[0]
         )
-        best = min(best, time.monotonic() - t0)
+        dt = time.monotonic() - t0
+        if first is None:
+            first = dt
+        best = min(best, dt)
         rows = row["n"]
     return {
         "bytes_on_disk": nbytes,
         "rows": rows,
+        "seconds_first": round(first, 3),
         "seconds_best": round(best, 3),
-        "mb_per_sec": round(nbytes / 1e6 / best, 1) if best > 0 else 0.0,
-        "rows_per_sec": round(rows / best) if best > 0 else 0,
+        "mb_per_sec_warm": round(nbytes / 1e6 / best, 1) if best > 0 else 0.0,
+        "rows_per_sec_warm": round(rows / best) if best > 0 else 0,
     }
 
 

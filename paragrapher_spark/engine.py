@@ -114,6 +114,14 @@ class Engine:
           (`webgraph.c:513-520`): callback invocations completed so far.
         - ``read_edges`` — READ_EDGES (`webgraph.c:522-530`): edges
           delivered to the callback so far (poll while a scan runs).
+
+        Accuracy contract for the READ_* counters: they are accumulator-
+        backed and assume ONE full action per ``for_each_block`` call —
+        the reference's usage shape (test1:189-205 issues one request and
+        polls it). A partial action (``limit``) leaves status at
+        ``reading``; re-running an action on the same result, or task
+        retries/speculation, re-add updates so counters can overshoot.
+        Call ``for_each_block`` again to reset them for a new scan.
         """
         if request == "vertices_count":
             return graph.num_vertices  # from metadata, like `.properties`

@@ -44,10 +44,14 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """edges(src, dst, weight) with src < dst: weight = number of orders
-    the pair co-occurs in — the arc-labelled (weighted) derivation of the
-    co-purchase graph (the reference's WG404 weighted-arc capability,
-    `src/WG404AP.java:171-182`, expressed as a relational aggregation)."""
+    """edges(src, dst, weight) with src < dst: weight = number of
+    co-occurring LINEITEM PAIRS (an order that lists a part on k lineitems
+    contributes k pairs with each other part — co-occurrence strength, not
+    a distinct-order count) — the arc-labelled (weighted) derivation of
+    the co-purchase graph (the reference's WG404 weighted-arc capability,
+    `src/WG404AP.java:171-182`, expressed as a relational aggregation).
+    The DuckDB oracle (COPURCHASE_WEIGHTED_EDGES_SQL) mirrors the same
+    definition."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")

@@ -102,19 +102,41 @@ def write_edge_text(
 
 
 def write_adjacency_text(
-    graph: Graph, path: str, num_partitions: int | None = None
+    graph: Graph,
+    path: str,
+    num_partitions: int | None = None,
+    single_file: bool = False,
 ) -> None:
     """AdjacencyGraph textual format (test3:289-312): header with counts,
     then offsets, then destinations.
+
+    The format is POSITIONAL: the i-th offset line belongs to vertex i, so
+    vertex ids must be dense ``0..n-1`` (the reference's id space is dense
+    by construction, SURVEY.md §1.4); sparse ids would silently corrupt a
+    round-trip, so they raise here instead.
 
     Fully distributed — the format's sequential line order is expressed as
     a global sort key ``(section, k1, k2)`` (0=header, 1=offsets by id,
     2=dests by (src, dst)): range-partitioning on that key yields parts
     that are globally ordered by part number, so the concatenation of
     ``part-00000..part-NNNNN`` IS the file (no O(V+E) driver collect).
-    ``num_partitions=1`` gives the single-file interchange shape."""
+    ``single_file=True`` additionally stream-concatenates the parts into
+    ONE plain text file at ``path`` (atomic tmp+rename; constant driver
+    memory) — the shape external .adj consumers open directly."""
     spark = graph.edges.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    bounds = graph.vertices.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    ).collect()[0]
+    if graph.num_vertices and (
+        bounds["lo"] != 0 or bounds["hi"] != graph.num_vertices - 1
+    ):
+        raise ValueError(
+            "AdjacencyGraph requires dense vertex ids 0..n-1 (positional "
+            f"format); got id range [{bounds['lo']}, {bounds['hi']}] for "
+            f"n={graph.num_vertices}. Remint ids with operators.indexing."
+            "dense_ids first."
+        )
     header = spark.createDataFrame(
         [
             (0, 0, 0, "AdjacencyGraph"),
@@ -135,6 +157,7 @@ def write_adjacency_text(
         F.col("dst").alias("k2"),
         F.col("dst").cast("string").alias("value"),
     )
+    out_dir = path + ".parts" if single_file else path
     (
         header.unionByName(offs)
         .unionByName(dests)
@@ -142,8 +165,19 @@ def write_adjacency_text(
         .sortWithinPartitions("section", "k1", "k2")
         .select("value")
         .write.mode("overwrite")
-        .text(path)
+        .text(out_dir)
     )
+    if single_file:
+        import glob
+        import shutil
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as dst:
+            for part in sorted(glob.glob(os.path.join(out_dir, "part-*"))):
+                with open(part, "rb") as srcf:
+                    shutil.copyfileobj(srcf, dst)
+        os.replace(tmp, path)
+        shutil.rmtree(out_dir)
 
 
 def read_edge_text(
@@ -162,6 +196,10 @@ def read_edge_text(
     ]
     if weighted:
         cols.append(t.getItem(2).cast("double").alias("weight"))
+    # malformed lines fail LOUDLY rather than silently nulling edges:
+    # Spark 4's ANSI mode throws CAST_INVALID_INPUT for non-numeric tokens
+    # and INVALID_ARRAY_INDEX for missing columns (e.g. weighted=True on a
+    # 2-column file) — pinned by test_read_edge_text_rejects_malformed
     return (
         spark.read.text(path)
         .where(
@@ -200,10 +238,17 @@ def read_adjacency_text(spark: SparkSession, path: str) -> Graph:
     else:
         src = path
     rdd = spark.sparkContext.textFile(src)
-    lines = spark.createDataFrame(
-        rdd.zipWithIndex().map(lambda x: (x[1], x[0].strip())),
-        "idx long, value string",
-    ).where(F.col("value") != "")
+    # materialized once: zipWithIndex alone costs an extra counting pass,
+    # and the offsets/dests/edges derivations below would otherwise re-read
+    # and re-index the file for every downstream action
+    lines = (
+        spark.createDataFrame(
+            rdd.zipWithIndex().map(lambda x: (x[1], x[0].strip())),
+            "idx long, value string",
+        )
+        .where(F.col("value") != "")
+        .localCheckpoint(eager=True)
+    )
     head = {r.idx: r.value for r in lines.where(F.col("idx") < 3).collect()}
     if head.get(0) != "AdjacencyGraph":
         raise ValueError(f"not an AdjacencyGraph file: {path!r} ({head.get(0)!r})")

@@ -224,3 +224,41 @@ def test_weighted_edge_text_roundtrip(spark, tmp_path):
     back = read_edge_text(spark, path, weighted=True)
     got = sorted((r.src, r.dst, r.weight) for r in back.collect())
     assert got == [(0, 1, 2.5), (0, 2, 1.0), (1, 2, 7.25)]
+
+
+def test_adjacency_single_file_mode(spark, tmp_path):
+    g = graph_from_edges(small5x14(spark))
+    path = str(tmp_path / "one.adj")
+    write_adjacency_text(g, path, num_partitions=3, single_file=True)
+    import os
+
+    assert os.path.isfile(path)  # a plain file, not a part directory
+    lines = open(path).read().splitlines()
+    assert lines[0] == "AdjacencyGraph" and int(lines[1]) == 5
+    back = read_adjacency_text(spark, path)
+    assert edge_checksum(back.edges) == edge_checksum(g.edges)
+
+
+def test_adjacency_rejects_sparse_ids(spark):
+    e = spark.createDataFrame([(5, 9)], "src long, dst long")
+    g = graph_from_edges(e)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dense vertex ids"):
+        write_adjacency_text(g, "/tmp/should_not_exist.adj")
+
+
+def test_read_edge_text_rejects_malformed(spark, tmp_path):
+    import pytest as _pytest
+
+    p = tmp_path / "bad.el"
+    p.write_text("0 1\n2 notanumber\n")
+    # ANSI mode already fails the cast loudly; the assert_true guard covers
+    # the null-producing shapes (missing columns) below
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT|malformed edge line"):
+        read_edge_text(spark, str(p)).collect()
+    # weighted read of a 2-column file must fail, not yield null weights
+    p2 = tmp_path / "two.el"
+    p2.write_text("0 1\n1 2\n")
+    with _pytest.raises(Exception, match="INVALID_ARRAY_INDEX|malformed"):
+        read_edge_text(spark, str(p2), weighted=True).collect()

@@ -173,3 +173,61 @@ def test_personalized_uniform_teleport_matches_classic(spark):
     b = {r.id: r.rank for r in ppr.ranks.collect()}
     for v in a:
         assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_cached_edge_sort_order_reused_by_smj(spark):
+    """The superstep gather at scale is a SortMergeJoin; the kernel caches
+    its edge table sorted-within-partitions so the in-memory scan reports
+    the order and only the |V|-row rank side sorts per iteration. Pinned
+    here: with broadcast disabled, the pre-sorted cache shows exactly ONE
+    live Sort (rank side) vs TWO for an unsorted cache."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = spark.range(0, 100000).select(
+            (F.col("id") % 5000).alias("src"),
+            (F.col("id") % 777).alias("dst"),
+            F.lit(0.5).alias("coef"),
+        )
+        sorts = {}
+        for presort in (False, True):
+            ew = e.repartition(4, "src")
+            if presort:
+                ew = ew.sortWithinPartitions("src")
+            ew = ew.persist()
+            ew.count()
+            ranks = (
+                spark.range(0, 5000)
+                .select(F.col("id").alias("src"), F.lit(0.001).alias("rank"))
+                .repartition(4, "src")
+                .localCheckpoint(eager=True)
+            )
+            step = (
+                ew.join(ranks, on="src")
+                .select(F.col("dst").alias("id"), (F.col("rank") * F.col("coef")).alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("m"))
+            )
+            plan = step._jdf.queryExecution().executedPlan().toString()
+            live, skip = [], None
+            for ln in plan.splitlines():
+                ind = len(ln) - len(ln.lstrip(" :+-*("))
+                if skip is not None:
+                    if ind > skip:
+                        continue
+                    skip = None
+                if "InMemoryRelation" in ln:
+                    skip = ind
+                live.append(ln)
+            sorts[presort] = sum(
+                ("Sort " in l)
+                and ("SortMergeJoin" not in l)
+                and ("SortAggregate" not in l)
+                for l in live
+            )
+            ew.unpersist()
+        assert sorts[False] == 2 and sorts[True] == 1, sorts
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

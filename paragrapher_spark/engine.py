@@ -99,6 +99,7 @@ class Engine:
         self._paths.pop(id(graph), None)
         self._reads.pop(id(graph), None)
         graph.edge_index = None
+        graph._offsets = None
 
     # -- paragrapher_get_set_options ----------------------------------------
 

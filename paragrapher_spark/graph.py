@@ -40,6 +40,10 @@ class Graph:
     #: array once per graph, `src/webgraph.c:614-615`); Engine.scan_edges_rows
     #: populates it.
     edge_index: DataFrame | None = field(default=None, repr=False, compare=False)
+    #: memoized offsets table (same mmap-once economics: the prefix sum
+    #: runs once per handle even when offsets are consulted repeatedly —
+    #: csr writes, adjacency writes, engine get_offsets).
+    _offsets: DataFrame | None = field(default=None, repr=False, compare=False)
 
     def out_degrees(self) -> DataFrame:
         return self.edges.groupBy(F.col("src").alias("id")).agg(
@@ -54,13 +58,19 @@ class Graph:
     def offsets(self) -> DataFrame:
         """CSR offsets: offset[v] = edges before v's adjacency, covering all
         vertices (degree 0 included), ending such that the last vertex's
-        offset + degree == |E| (`src/WG400AP.java:255` invariant)."""
-        deg = (
-            self.vertices.select("id")
-            .join(self.out_degrees(), on="id", how="left")
-            .select("id", F.coalesce("out_degree", F.lit(0)).alias("out_degree"))
-        )
-        return prefix_sum(deg, ["id"], "out_degree", out_col="offset")
+        offset + degree == |E| (`src/WG400AP.java:255` invariant).
+        Memoized per handle — prefix_sum returns a materialized table, so
+        repeat callers reuse it instead of re-running the two-phase sum."""
+        if self._offsets is None:
+            deg = (
+                self.vertices.select("id")
+                .join(self.out_degrees(), on="id", how="left")
+                .select(
+                    "id", F.coalesce("out_degree", F.lit(0)).alias("out_degree")
+                )
+            )
+            self._offsets = prefix_sum(deg, ["id"], "out_degree", out_col="offset")
+        return self._offsets
 
 
 def edges_from_corpus(corpus: DataFrame, num_partitions: int | None = None) -> Graph:

@@ -6,8 +6,10 @@ the canonical dataflow formulation: repeatedly drop vertices whose degree
 in the CURRENT subgraph is < k until a fixpoint; what survives is the
 k-core. Each round is one degree aggregation + two semi-joins over the
 shrinking edge set — map-side-combinable, no driver-side vertex state,
-localCheckpoint bounds lineage (single-job-per-round discipline: the
-surviving-vertex count materializes the checkpoint).
+localCheckpoint bounds lineage (single-action-per-round discipline: the
+surviving-EDGE count materializes the non-eager checkpoint and doubles as
+the fixpoint detector — peeling strictly decreases the edge count until
+the vertex set is stable).
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 100) -> KCoreResult:
         .localCheckpoint(eager=False)
     )
     history: list[dict[str, Any]] = []
-    prev_n: int | None = None
+    prev_m: int | None = None
     rnd = 0
     for rnd in range(1, max_rounds + 1):
         t0 = time.monotonic()
@@ -49,20 +51,25 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 100) -> KCoreResult:
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.where(F.col("deg") >= k).select("id").localCheckpoint(eager=False)
-        n = keep.count()
+        keep = deg.where(F.col("deg") >= k).select("id")
+        # ONE action per round (the PageRank discipline): the filtered edge
+        # set rides a non-eager localCheckpoint materialized by the count
+        # below. Fixpoint detection on EDGE count — removing any vertex
+        # removes >= 1 of its incident edges, so the edge count strictly
+        # decreases until (and exactly until) the vertex set is stable.
         e = (
             e.join(keep.withColumnRenamed("id", "src"), on="src", how="left_semi")
             .join(keep.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        m = e.count()
         history.append(
-            {"round": rnd, "vertices": n, "duration_s": time.monotonic() - t0}
+            {"round": rnd, "edges": m, "duration_s": time.monotonic() - t0}
         )
-        if prev_n is not None and n == prev_n:
+        if prev_m is not None and m == prev_m:
             break
-        prev_n = n
-        if n == 0:
+        prev_m = m
+        if m == 0:
             break
     verts = (
         e.select(F.col("src").alias("id"))

@@ -46,7 +46,7 @@ from paragrapher_spark.operators.dedup import (
 from paragrapher_spark.operators.multimodal import media_stats, synth_media
 from paragrapher_spark.operators.indexing import prefix_sum
 from paragrapher_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
-from paragrapher_spark.sources.corpus import synth_corpus
+from paragrapher_spark.sources.corpus import synth_corpus, synth_corpus_sql
 from paragrapher_spark.sources.edges import (
     COPURCHASE_EDGES_SQL,
     COPURCHASE_WEIGHTED_EDGES_SQL,
@@ -225,6 +225,23 @@ def _q_import_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataF
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings / events)
 # ---------------------------------------------------------------------------
+
+
+def _q_import_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule pipeline END TO END under the oracle gate: synthetic
+    source-code corpus (SQL-reproducible arithmetic twin) -> vectorized
+    import extraction (regexp over content) -> dense-id minting by global
+    (repo, path) rank -> weighted PageRank, 8 fixed supersteps. The DuckDB
+    oracle regenerates the identical link structure from the generator's
+    formulas (no string parsing needed — verifying that extraction
+    recovered exactly the generated imports IS the check) and unrolls the
+    same superstep arithmetic."""
+    corpus = synth_corpus_sql(spark, n_files=1200, n_repos=8, max_out=10)
+    g = edges_from_corpus(corpus, num_partitions=8)
+    res = pagerank(g.edges, tol=0.0, max_iter=8, weight_col="weight")
+    return res.ranks.select(
+        F.col("id").cast("long"), F.round("rank", 6).alias("rank")
+    )
 
 
 def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_members": _q_kcore_members,
         "label_propagation": _q_label_propagation,
         "import_graph_pagerank": _q_import_graph_pagerank,
+        "import_pagerank_fixed": _q_import_pagerank_fixed,
         "import_graph_pagerank_weighted": _q_import_graph_pagerank_weighted,
         "pagerank_personalized": _q_pagerank_personalized,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -584,6 +602,7 @@ def _pagerank_oracle_sql(
     damping: float = 0.85,
     seeds_limit: int | None = None,
     weighted: bool = False,
+    edges_sql: str | None = None,
 ) -> str:
     """Damped PageRank with dangling redistribution (kernels/pagerank.py)
     unrolled. Arithmetic mirrors the Spark expressions operation-for-
@@ -595,7 +614,10 @@ def _pagerank_oracle_sql(
     ``weighted``: coef = weight / Σ_out weights instead of 1/outdeg
     (integer-valued weights sum exactly in float64 — deterministic)."""
     d = damping
-    edges_sql = COPURCHASE_WEIGHTED_EDGES_SQL if weighted else COPURCHASE_EDGES_SQL
+    if edges_sql is None:
+        edges_sql = (
+            COPURCHASE_WEIGHTED_EDGES_SQL if weighted else COPURCHASE_EDGES_SQL
+        )
     if weighted:
         coef_sql = """
     wsum AS MATERIALIZED (
@@ -659,6 +681,55 @@ def _pagerank_oracle_sql(
         f" FROM pr{iters}"
     )
     return "".join(parts)
+
+
+def _import_edges_sql(n_files: int, n_repos: int, max_out: int) -> str:
+    """Dense-id weighted import-edge table of sources/corpus.py's
+    ``synth_corpus_sql`` regenerated from its arithmetic formulas: files
+    and paths from modular arithmetic, dense ids by (repo, path) rank
+    (operators/indexing.dense_ids' global key order), weight = number of
+    import sites. A nested WITH so it can sit inside the pagerank
+    generator's ``edges`` CTE."""
+    return f"""
+    WITH files AS MATERIALIZED (
+        SELECT i,
+               'repo_' || lpad(CAST(i % {n_repos} AS VARCHAR), 3, '0') AS repo,
+               'pkg' || CAST((i // {n_repos}) % 4 AS VARCHAR)
+                   || '/f' || CAST(i // {n_repos} AS VARCHAR)
+                   || CASE WHEN i % 2 = 0 THEN '.py' ELSE '.h' END AS path
+        FROM range(0, {n_files}) t(i)
+    ),
+    ivertsq AS MATERIALIZED (
+        SELECT i, row_number() OVER (ORDER BY repo, path) - 1 AS vid
+        FROM files
+    ),
+    isites AS MATERIALIZED (
+        SELECT i AS src_i,
+               unnest(range(1, ((i * 7919 + 13) % {max_out}) + 1)) AS j
+        FROM files
+    ),
+    itarg AS MATERIALIZED (
+        SELECT src_i,
+               CASE WHEN t2 = src_i THEN (t2 + 2) % {n_files} ELSE t2 END AS dst_i
+        FROM (
+            SELECT src_i,
+                   CASE WHEN t1 >= {n_files} THEN t1 - 2 ELSE t1 END AS t2
+            FROM (
+                SELECT src_i, t0 - (t0 % 2) + (src_i % 2) AS t1
+                FROM (
+                    SELECT src_i,
+                           (src_i * 104729 + j * 7907 + 17) % {n_files} AS t0
+                    FROM isites
+                )
+            )
+        )
+    )
+    SELECT sv.vid AS src, dv.vid AS dst, count(*) AS weight
+    FROM itarg s
+    JOIN ivertsq sv ON sv.i = s.src_i
+    JOIN ivertsq dv ON dv.i = s.dst_i
+    GROUP BY 1, 2
+    """
 
 
 def _lang_pred_ctes(src: str) -> str:
@@ -840,6 +911,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed8": _pagerank_oracle_sql(8),
         "pagerank_personalized_fixed": _pagerank_oracle_sql(8, seeds_limit=10),
         "pagerank_weighted_fixed": _pagerank_oracle_sql(8, weighted=True),
+        "import_pagerank_fixed": _pagerank_oracle_sql(
+            8, weighted=True, edges_sql=_import_edges_sql(1200, 8, 10)
+        ),
         "label_propagation": _lp_oracle_sql(10),
         "kcore_members": _kcore_oracle_sql(64, 8),
         "language_id": _language_id_oracle_sql(),
@@ -1059,8 +1133,8 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (the remaining genuinely inexpressible set):
         #   pagerank_copurchase, pagerank_personalized, import_graph_pagerank*
         #       — converged fixpoints (iteration count is data-dependent;
-        #         the superstep arithmetic itself IS oracle-checked via the
-        #         pagerank_*fixed* unrolled variants above)
+        #         the superstep arithmetic AND the full import pipeline are
+        #         oracle-checked via pagerank_*fixed* / import_pagerank_fixed)
         #   minhash_near_dups, simhash_near_dups, knn_lsh, knn_ivf
         #       — defined by engine-specific hash families / xxhash64-seeded
         #         k-means; estimator accuracy + recall pinned in tests/

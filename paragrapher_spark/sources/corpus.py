@@ -136,6 +136,101 @@ def synth_corpus(
     )
 
 
+def synth_corpus_sql(
+    spark: SparkSession,
+    n_files: int = 1200,
+    n_repos: int = 8,
+    max_out: int = 10,
+    partitions: int = 8,
+) -> DataFrame:
+    """ANSI-SQL-reproducible corpus twin of ``synth_corpus``: identical
+    schema and import-statement formats, but every random-looking choice
+    is plain modular ARITHMETIC (no xxhash64), so a DuckDB oracle can
+    regenerate the exact link structure and check the whole
+    extract→dense-ids→PageRank pipeline end to end
+    (__spark_entry__._import_pagerank_sql mirrors these formulas).
+
+    deg(i) = (i*7919 + 13) % max_out; target j of file i starts from
+    (i*104729 + j*7907 + 17) % n_files and is parity-aligned to the
+    source's language exactly like synth_corpus. All products stay below
+    2^62 (ANSI overflow-safe in Spark and DuckDB BIGINT alike).
+    """
+    if n_files % 2 or n_repos % 2:
+        raise ValueError("n_files and n_repos must be even (parity = language)")
+
+    def repo_of(t: Column) -> Column:
+        return F.concat(F.lit("repo_"), F.lpad((t % n_repos).cast("string"), 3, "0"))
+
+    def path_of(t: Column, t_ext: Column) -> Column:
+        tk = (t / n_repos).cast("long")
+        return F.concat(
+            F.lit("pkg"), (tk % N_PATH_DIRS).cast("string"),
+            F.lit("/f"), tk.cast("string"), t_ext,
+        )
+
+    def module_of(t: Column) -> Column:
+        tk = (t / n_repos).cast("long")
+        return F.concat(
+            F.lit("pkg"), (tk % N_PATH_DIRS).cast("string"),
+            F.lit(".f"), tk.cast("string"),
+        )
+
+    df = spark.range(0, n_files, 1, partitions)
+    i = F.col("id")
+    is_py = (i % 2) == 0
+    ext = F.when(is_py, ".py").otherwise(".h")
+    deg = (i * 7919 + 13) % max_out
+
+    def target(j: Column) -> Column:
+        t0 = (i * 104729 + j * 7907 + 17) % n_files
+        t1 = t0 - (t0 % 2) + (i % 2)
+        t2 = F.when(t1 >= n_files, t1 - 2).otherwise(t1)
+        return F.when(t2 == i, (t2 + 2) % n_files).otherwise(t2)
+
+    imports = F.when(
+        deg > 0,
+        F.transform(
+            F.sequence(F.lit(1), deg),
+            lambda j: F.when(
+                is_py,
+                F.concat(
+                    F.lit("from "), repo_of(target(j)), F.lit(" import "),
+                    module_of(target(j)),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('#include "'), repo_of(target(j)), F.lit("/"),
+                    path_of(target(j), F.lit(".h")), F.lit('"'),
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    header = F.when(is_py, F.concat(F.lit("# file "), i.cast("string"))).otherwise(
+        F.concat(F.lit("// file "), i.cast("string"))
+    )
+    filler_val = ((i * 523 + 7) % 1000000).cast("string")
+    filler = F.when(
+        is_py, F.concat(F.lit("x_"), i.cast("string"), F.lit(" = "), filler_val)
+    ).otherwise(
+        F.concat(
+            F.lit("static int v_"), i.cast("string"), F.lit(" = "),
+            filler_val, F.lit(";"),
+        )
+    )
+    content = F.concat_ws("\n", F.concat(F.array(header), imports, F.array(filler)))
+
+    return df.select(
+        repo_of(i).alias("repo"),
+        path_of(i, ext).alias("path"),
+        F.substring(
+            F.sha2(F.concat(F.lit("commit"), i.cast("string")), 256), 1, 40
+        ).alias("commit"),
+        F.when(is_py, F.lit("python")).otherwise(F.lit("c")).alias("lang"),
+        content.alias("content"),
+    )
+
+
 def content_sha256(df: DataFrame) -> DataFrame:
     """Per-row invariant column (input_hint: content sha256 equality)."""
     return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))

@@ -99,3 +99,25 @@ def test_skew_present(spark):
     mx = indeg.agg(F.max("count")).collect()[0][0]
     avg = indeg.agg(F.avg("count")).collect()[0][0]
     assert mx > 10 * avg
+
+
+def test_sql_corpus_extraction_zero_loss(spark):
+    """The SQL-reproducible corpus twin resolves every generated import
+    through the same regex-extraction path (the oracle regenerates edges
+    arithmetically; this pins that the STRING route recovers them all)."""
+    from paragrapher_spark.sources.corpus import synth_corpus_sql
+    from paragrapher_spark.functions.extract import extract_import_keys
+    from paragrapher_spark.graph import edges_from_corpus
+
+    corpus = synth_corpus_sql(spark, n_files=400, n_repos=8, max_out=10)
+    sites = extract_import_keys(corpus)
+    n_sites = sites.count()
+    # every site resolves: total edge weight == number of import sites
+    g = edges_from_corpus(corpus, num_partitions=4)
+    from pyspark.sql import functions as F
+
+    total_w = g.edges.agg(F.sum("weight")).collect()[0][0]
+    assert n_sites > 0 and total_w == n_sites
+    # expected site count from the generator's degree formula
+    want = sum((i * 7919 + 13) % 10 for i in range(400))
+    assert n_sites == want

@@ -690,11 +690,13 @@ def _import_edges_sql(n_files: int, n_repos: int, max_out: int) -> str:
     (operators/indexing.dense_ids' global key order), weight = number of
     import sites. A nested WITH so it can sit inside the pagerank
     generator's ``edges`` CTE."""
+    from paragrapher_spark.sources.corpus import N_PATH_DIRS
+
     return f"""
     WITH files AS MATERIALIZED (
         SELECT i,
                'repo_' || lpad(CAST(i % {n_repos} AS VARCHAR), 3, '0') AS repo,
-               'pkg' || CAST((i // {n_repos}) % 4 AS VARCHAR)
+               'pkg' || CAST((i // {n_repos}) % {N_PATH_DIRS} AS VARCHAR)
                    || '/f' || CAST(i // {n_repos} AS VARCHAR)
                    || CASE WHEN i % 2 = 0 THEN '.py' ELSE '.h' END AS path
         FROM range(0, {n_files}) t(i)
@@ -915,7 +917,10 @@ def oracle_sql() -> dict[str, str]:
             8, weighted=True, edges_sql=_import_edges_sql(1200, 8, 10)
         ),
         "label_propagation": _lp_oracle_sql(10),
-        "kcore_members": _kcore_oracle_sql(64, 8),
+        # generously over-unrolled (peeling is idempotent at the fixpoint,
+        # so extra rounds are free): the Spark kernel peels to a
+        # data-dependent fixpoint; 32 rounds covers any SF the gate runs at
+        "kcore_members": _kcore_oracle_sql(64, 32),
         "language_id": _language_id_oracle_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "media_stats": _MEDIA_STATS_SQL,

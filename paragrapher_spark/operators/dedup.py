@@ -136,12 +136,19 @@ def minhash_candidates(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) candidate near-dup pairs, id_a < id_b.
 
     est_jaccard = fraction of equal signature components (unbiased MinHash
     estimator); pairs below ``threshold`` are dropped after the LSH
     bucket-join proposes them.
+
+    Pass a dict as ``metrics`` to receive the degenerate-bucket drop
+    counts (``n_dropped_buckets`` / ``n_dropped_rows``) — at 100 TB a
+    silent candidate loss would read as "deduped" when it isn't, so the
+    cap's effect is observable. The count is one extra O(#buckets)
+    aggregation over the (persisted) bucket-size table.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -162,11 +169,26 @@ def minhash_candidates(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    # guard: drop degenerate buckets instead of exploding the self-join
-    bucket_sizes = band_keys.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bn"))
+    # guard: drop degenerate buckets instead of exploding the self-join;
+    # the size table is tiny (one row per bucket) and persisted so the
+    # drop-count metric below reuses it instead of re-banding |docs| rows
+    bucket_sizes = (
+        band_keys.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bn")).persist()
+    )
     ok_buckets = bucket_sizes.where(
         (F.col("bn") > 1) & (F.col("bn") <= max_bucket_size)
     ).select("band", "bh")
+    if metrics is not None:
+        drop = (
+            bucket_sizes.where(F.col("bn") > max_bucket_size)
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.coalesce(F.sum("bn"), F.lit(0)).alias("r"),
+            )
+            .collect()[0]
+        )
+        metrics["n_dropped_buckets"] = int(drop["b"])
+        metrics["n_dropped_rows"] = int(drop["r"])
     bk = band_keys.join(ok_buckets, on=["band", "bh"], how="left_semi")
 
     a = bk.select("band", "bh", F.col("id").alias("id_a"))
@@ -196,6 +218,7 @@ def minhash_candidates(
         .localCheckpoint(eager=True)
     )
     sigs.unpersist()
+    bucket_sizes.unpersist()
     return out
 
 

@@ -147,9 +147,15 @@ def knn_lsh(
     id_col: str = "vec_id",
     seed: int = 42,
     max_bucket_size: int = 10000,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates share at least one LSH band
-    bucket; exact cosine re-ranks. Same output schema as knn_bruteforce."""
+    bucket; exact cosine re-ranks. Same output schema as knn_bruteforce.
+
+    Pass a dict as ``metrics`` to receive the degenerate-bucket drop
+    counts (``n_dropped_buckets`` / ``n_dropped_rows``) — silent candidate
+    loss at scale must be observable (same contract as
+    dedup.minhash_candidates)."""
     assert n_bits % bands == 0
     rows = n_bits // bands
     base = with_norm(emb, vec_col, id_col).persist()
@@ -175,8 +181,19 @@ def knn_lsh(
     banded = sig.select(
         "id", "vec", "norm", F.explode(band_arr).alias("bk")
     ).select("id", "vec", "norm", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
-    sizes = banded.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("bn"))
+    sizes = banded.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("bn")).persist()
     ok = sizes.where((F.col("bn") > 1) & (F.col("bn") <= max_bucket_size)).select("band", "bv")
+    if metrics is not None:
+        drop = (
+            sizes.where(F.col("bn") > max_bucket_size)
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.coalesce(F.sum("bn"), F.lit(0)).alias("r"),
+            )
+            .collect()[0]
+        )
+        metrics["n_dropped_buckets"] = int(drop["b"])
+        metrics["n_dropped_rows"] = int(drop["r"])
     bb = banded.join(ok, on=["band", "bv"], how="left_semi")
     a = bb.select("band", "bv", F.col("id").alias("query_id"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm"))
     b = bb.select("band", "bv", F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), F.col("norm").alias("cnorm"))
@@ -194,6 +211,7 @@ def knn_lsh(
     # lifetime block leak; checkpointed RDDs are GC-cleaned when dropped)
     out = _topk(cand, k).localCheckpoint(eager=True)
     base.unpersist()
+    sizes.unpersist()
     return out
 
 

@@ -87,12 +87,17 @@ def write_edge_text(
     `.el` writer (`test/test3_converter_WG400.c:277-287`).
     ``single_file`` coalesces to one part (only for small graphs; the
     distributed default writes sorted parts)."""
+    n_part = (
+        1
+        if single_file
+        else edges.sparkSession.sparkContext.defaultParallelism
+    )
     cols = [F.col("src").cast("string"), F.col("dst").cast("string")]
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("string"))
     out = (
         edges.select(F.concat_ws(" ", *cols).alias("value"), "src", "dst")
-        .repartitionByRange(1 if single_file else 8, "src", "dst")
+        .repartitionByRange(n_part, "src", "dst")
         .sortWithinPartitions("src", "dst")
         .select("value")
     )
@@ -190,16 +195,30 @@ def read_edge_text(
     round-trippable). Whitespace-tolerant, skips blank and `#`-comment
     lines."""
     t = F.split(F.trim(F.col("value")), r"\s+")
+
+    # malformed lines fail LOUDLY rather than silently nulling edges.
+    # Under ANSI mode (Spark 4 default) the cast itself throws
+    # CAST_INVALID_INPUT / INVALID_ARRAY_INDEX; the explicit null guard
+    # below keeps the contract even with spark.sql.ansi.enabled=false,
+    # where casts and out-of-range getItem silently yield null — pinned by
+    # test_read_edge_text_rejects_malformed.
+    def _req(c, what: str):
+        return F.when(
+            c.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"malformed edge line (missing/non-numeric {what}): "),
+                    F.col("value"),
+                )
+            ),
+        ).otherwise(c)
+
     cols = [
-        t.getItem(0).cast("long").alias("src"),
-        t.getItem(1).cast("long").alias("dst"),
+        _req(t.getItem(0).cast("long"), "src").alias("src"),
+        _req(t.getItem(1).cast("long"), "dst").alias("dst"),
     ]
     if weighted:
-        cols.append(t.getItem(2).cast("double").alias("weight"))
-    # malformed lines fail LOUDLY rather than silently nulling edges:
-    # Spark 4's ANSI mode throws CAST_INVALID_INPUT for non-numeric tokens
-    # and INVALID_ARRAY_INDEX for missing columns (e.g. weighted=True on a
-    # 2-column file) — pinned by test_read_edge_text_rejects_malformed
+        cols.append(_req(t.getItem(2).cast("double"), "weight").alias("weight"))
     return (
         spark.read.text(path)
         .where(
@@ -253,6 +272,19 @@ def read_adjacency_text(spark: SparkSession, path: str) -> Graph:
     if head.get(0) != "AdjacencyGraph":
         raise ValueError(f"not an AdjacencyGraph file: {path!r} ({head.get(0)!r})")
     n, m = int(head[1]), int(head[2])
+    # the format is positional, so the body must hold EXACTLY n + m
+    # non-blank lines after the 3-line header: blank lines consume
+    # zipWithIndex slots (shifting every later row to the wrong vertex) and
+    # a truncated file would otherwise just drop edges in the join below.
+    # Loud-malformed-input contract, same as read_edge_text.
+    n_body = lines.where(F.col("idx") >= 3).count()
+    if n_body != n + m:
+        raise ValueError(
+            f"malformed AdjacencyGraph {path!r}: header declares n={n} "
+            f"offsets + m={m} destinations but the body has {n_body} "
+            "non-blank lines (truncated file, trailing junk, or interior "
+            "blank lines shifting the positional layout)"
+        )
     offs = lines.where((F.col("idx") >= 3) & (F.col("idx") < 3 + n)).select(
         (F.col("idx") - 3).alias("id"), F.col("value").cast("long").alias("off")
     )

@@ -167,3 +167,33 @@ def test_ngram_jaccard_max_df_caps_stop_grams(spark):
     assert uncapped >= 30 * 29 // 2
     assert (100, 101) in got and got[(100, 101)] == pytest.approx(1.0)
     assert all(a == 100 for (a, b) in got)
+
+
+def test_minhash_dropped_bucket_metrics(spark):
+    """A planted degenerate bucket (many identical docs) must be counted
+    when it is dropped by max_bucket_size — the cap's effect is observable,
+    not silent (VERDICT r2 'What's wrong #3')."""
+    boiler = [(i, "same boilerplate text repeated everywhere forever") for i in range(12)]
+    docs = spark.createDataFrame(
+        boiler + [(100, "one genuinely unique document about spark engines")],
+        "doc_id long, text string",
+    )
+    metrics: dict = {}
+    out = minhash_candidates(
+        docs, num_hashes=16, bands=4, threshold=0.0, max_bucket_size=4,
+        metrics=metrics,
+    )
+    # identical docs share every band bucket -> every bucket of size 12 > 4
+    assert metrics["n_dropped_buckets"] > 0
+    assert metrics["n_dropped_rows"] >= 12
+    # and the degenerate pairs were indeed NOT proposed
+    assert out.count() == 0
+    # without the cap the same input floods: sanity-check the metric is
+    # about the cap, not the data
+    m2: dict = {}
+    full = minhash_candidates(
+        docs, num_hashes=16, bands=4, threshold=0.0, max_bucket_size=1000,
+        metrics=m2,
+    )
+    assert m2["n_dropped_buckets"] == 0 and m2["n_dropped_rows"] == 0
+    assert full.count() == 12 * 11 // 2

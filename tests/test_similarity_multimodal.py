@@ -276,3 +276,19 @@ def test_ppm_wav_codec_unit_roundtrip():
     samp = (np.sin(np.arange(800) / 10.0) * 1000).astype(np.int16)
     back, rate = decode_wav(encode_wav(samp, 8000))
     assert rate == 8000 and np.array_equal(back, samp)
+
+
+def test_knn_lsh_dropped_bucket_metrics(spark):
+    """Planted degenerate LSH bucket (many identical vectors) is counted
+    when dropped (same observability contract as minhash_candidates)."""
+    from paragrapher_spark.operators.similarity import knn_lsh
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)]
+    rows += [(100 + i, [float(i + 1), -1.0, 0.5, 2.0]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    metrics: dict = {}
+    knn_lsh(
+        emb, k=3, n_bits=8, bands=4, max_bucket_size=8, metrics=metrics
+    ).collect()
+    assert metrics["n_dropped_buckets"] > 0
+    assert metrics["n_dropped_rows"] >= 20

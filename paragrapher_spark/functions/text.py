@@ -132,24 +132,127 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+_MERSENNE61 = (1 << 61) - 1
+_MASK53 = (1 << 53) - 1
+
+
+_FP_CHUNK = 7  # bytes per Horner chunk; 257^7 < 2^57 fits uint64 exactly
+_FP_R = pow(257, _FP_CHUNK, _MERSENNE61)  # chunk radix mod p
+_FP_INV257 = pow(257, _MERSENNE61 - 2, _MERSENNE61)  # p prime => inverse
+
+
+def _fingerprint_batch(byte_rows: list[bytes]) -> "object":
+    """Vectorized Rabin-Karp Horner fold, base 257 mod p = 2^61-1, over a
+    batch of byte strings: identical values to the scalar
+    ``h = (h*257 + byte) % p`` loop, with the per-byte work batched two
+    ways:
+
+    - bytes are folded 7 at a time: each 7-byte chunk's value
+      ``c = ((b0*257 + b1)*257 + ...)`` (< 257^7 < 2^57) is computed for
+      ALL rows and ALL chunk positions in one 3-D numpy pass, then the
+      sequential dependency collapses to one ``h = h*257^7 + c (mod p)``
+      step per CHUNK COLUMN (7x fewer sequential steps, each a wide
+      uint64 vector op);
+    - every row in a group is zero-padded to the group's max length and
+      the pad is cancelled afterwards by multiplying with the
+      precomputed modular inverse 257^-pad (p is prime), so the column
+      loop needs no per-row masking.
+
+    Modular products never need 128-bit ints: operands split into 31-bit
+    halves and 2^61 ≡ 1 (Mersenne) folds each partial product back below
+    2^62 (``_mulmod61``).
+
+    Rows are processed in length-sorted groups capped at ~2^24 matrix
+    cells so one pathological long document cannot blow the padded-batch
+    memory (or padding waste) to |batch| x max_len.
+    """
+    import numpy as np
+
+    p = np.uint64(_MERSENNE61)
+    u31 = np.uint64(31)
+    u30 = np.uint64(30)
+    u61 = np.uint64(61)
+    m30 = np.uint64((1 << 30) - 1)
+    m31 = np.uint64((1 << 31) - 1)
+
+    def red(x):  # partial Mersenne reduce: x < 2^63 -> < 2^62
+        return (x & p) + (x >> u61)
+
+    def canon(x):  # full reduce to [0, p)
+        x = red(red(x))
+        return np.where(x == p, np.uint64(0), x)
+
+    def mulmod(a, b):
+        """(a*b) mod p for a, b < 2^61, elementwise, uint64-only."""
+        a1, a0 = a >> u31, a & m31
+        b1, b0 = b >> u31, b & m31
+        hi = red(a1 * b1 * np.uint64(2))  # *2^62 == *2 (mod p)
+        cross = red(a1 * b0 + a0 * b1)  # < 2^62 -> < 2^61+
+        c1, c0 = cross >> u30, cross & m30
+        mid = red(c1 + (c0 << u31))  # cross * 2^31 (mod p)
+        return red(hi + mid + red(a0 * b0))
+
+    n = len(byte_rows)
+    out = np.zeros(n, dtype=np.uint64)
+    order = sorted(range(n), key=lambda r: len(byte_rows[r]))
+    cells_cap = 1 << 24
+    r7 = np.uint64(_FP_R)
+
+    def run_group(rows: list[int]) -> None:
+        if not rows:
+            return
+        lens = np.array([len(byte_rows[r]) for r in rows], dtype=np.int64)
+        lmax = int(lens.max())
+        if lmax == 0:
+            return
+        w = _FP_CHUNK
+        lpad = -(-lmax // w) * w
+        mat = np.zeros((len(rows), lpad), dtype=np.uint8)
+        for k, r in enumerate(rows):
+            b = byte_rows[r]
+            mat[k, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        # chunk values for all rows x chunk positions in one pass
+        chunks = mat.reshape(len(rows), lpad // w, w).astype(np.uint64)
+        c = chunks[:, :, 0]
+        for j in range(1, w):
+            c = c * np.uint64(257) + chunks[:, :, j]  # < 257^7 < 2^57
+        h = np.zeros(len(rows), dtype=np.uint64)
+        for j in range(lpad // w):
+            h = canon(mulmod(h, r7) + c[:, j])
+        # cancel the zero padding: h *= 257^-(lpad - len)  (mod p)
+        pads = lpad - lens
+        inv = np.array(
+            [pow(_FP_INV257, int(k), _MERSENNE61) for k in np.unique(pads)],
+            dtype=np.uint64,
+        )[np.searchsorted(np.unique(pads), pads)]
+        out[rows] = canon(mulmod(h, inv))
+
+    group: list[int] = []
+    for r in order:
+        if group and (len(group) + 1) * len(byte_rows[r]) > cells_cap:
+            run_group(group)
+            group = []
+        group.append(r)
+    run_group(group)
+    return out.astype(np.int64)
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, fingerprint: long) Rabin-Karp rolling hash over bytes,
+    """(id, fingerprint: long) Rabin-Karp rolling hash over utf-8 bytes,
     base 257 mod 2^61-1 — an order-SENSITIVE content id (the reference's
     order-sensitive converter checksum, `test/test3_converter_WG400.c:303`).
-    Arrow-batched pandas UDF; numpy Horner loop per batch."""
+    Arrow-batched pandas UDF; the per-byte Horner step is vectorized
+    across the batch (``_fingerprint_batch``) — no Python-int inner loop
+    in the hot path."""
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mod = (1 << 61) - 1
-        out_rows: list[int]
         for pdf in it:
-            out_rows = []
-            for text in pdf[text_col].astype(str):
-                h = 0
-                for byte in text.encode("utf-8"):
-                    h = (h * 257 + byte) % mod
-                out_rows.append(h)
+            rows = [t.encode("utf-8") for t in pdf[text_col].astype(str)]
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "fingerprint": pd.Series(out_rows, dtype="int64")}
+                {
+                    id_col: pdf[id_col],
+                    "fingerprint": pd.Series(_fingerprint_batch(rows), dtype="int64"),
+                }
             )
 
     return docs.select(id_col, text_col).mapInPandas(

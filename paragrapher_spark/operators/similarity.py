@@ -8,9 +8,10 @@ Two paths, as a scale ladder:
   float64); top-k per query via ``min_by``-style struct max aggregation,
   not a window over the full cross product.
 - ``knn_lsh`` — random-hyperplane (sign) LSH: H deterministic pseudo-random
-  hyperplanes (xxhash-derived ±1 components, no RNG state), banded into
-  buckets; candidates are bucket-mates, exact cosine re-ranks them. The
-  100 TB path: the cross product never materializes; cost ~ bucket sizes.
+  hyperplanes (splitmix64-derived ±1 literal components, no RNG state —
+  reproducible by the DuckDB oracle), banded into buckets; candidates are
+  bucket-mates, exact cosine re-ranks them. The 100 TB path: the cross
+  product never materializes; cost ~ bucket sizes.
 
 Norms are precomputed and folded into the vector rows. Queries with zero
 vectors get no neighbors (cosine undefined -> excluded), deterministic.
@@ -116,17 +117,35 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _hyperplane_bits(vec: Column, dim: int, n_bits: int, seed: int = 42) -> Column:
-    """n_bits sign bits of <v, r_i> for deterministic ±1 hyperplanes
-    r_i[d] = ±1 from xxhash64(seed, i, d) parity. Pure JVM expressions."""
-    def bit(i: int) -> Column:
-        def signed(x: Column, d: Column) -> Column:
-            return F.when(
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(i), d), 2) == 0, x
-            ).otherwise(-x)
+def plane_signs(n_bits: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components from a splitmix64 stream —
+    generated DRIVER-side and embedded as literals in both the Spark plan
+    and the DuckDB oracle (an engine-portable hash family: the xxhash64
+    parity it replaced was Spark-only — VERDICT r2 task #1). No RNG
+    state: same (n_bits, dim, seed) always yields the same planes."""
+    m64 = (1 << 64) - 1
+    x = seed & m64
+    signs: list[float] = []
+    for _ in range(n_bits * dim):
+        x = (x + 0x9E3779B97F4A7C15) & m64
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m64
+        z ^= z >> 31
+        signs.append(1.0 if z & 1 == 0 else -1.0)
+    return [signs[i * dim : (i + 1) * dim] for i in range(n_bits)]
 
+
+def _hyperplane_bits(vec: Column, dim: int, n_bits: int, seed: int = 42) -> Column:
+    """n_bits sign bits of <v, r_i> for the deterministic ±1 hyperplanes of
+    ``plane_signs``. Pure JVM expressions; the dot product is a sequential
+    left fold (zip_with + aggregate), so the IEEE summation order is
+    reproducible by an oracle's left-associated explicit sum."""
+    planes = plane_signs(n_bits, dim, seed)
+
+    def bit(i: int) -> Column:
         s = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), signed),
+            F.zip_with(vec, _lit_vec(planes[i]), lambda x, r: x * r),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

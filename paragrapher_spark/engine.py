@@ -71,7 +71,12 @@ class Engine:
         """kind='csr': a directory written by sinks.write_csr (the
         reference's on-disk graph + `.properties` metadata). kind='corpus':
         an Iceberg/parquet corpus table or path -> import-graph extraction.
-        kind='edges': a raw (src, dst[, weight]) DataFrame."""
+        kind='edges': a raw (src, dst[, weight]) DataFrame.
+        kind='webgraph': a BVGraph basename (`.graph`/`.offsets`/
+        `.properties`) — the reference's PARAGRAPHER_CSX_WG_400_AP format
+        (`src/webgraph.c:84-390`), decoded natively.
+        kind='bin'/'g3': the reference's uncompressed binary CSR
+        interchange files (test4 / test3 layouts)."""
         if kind == "csr":
             g = read_csr(self.spark, source)  # type: ignore[arg-type]
         elif kind == "corpus":
@@ -83,6 +88,14 @@ class Engine:
             g = edges_from_corpus(df)
         elif kind == "edges":
             g = graph_from_edges(source)  # type: ignore[arg-type]
+        elif kind == "webgraph":
+            from paragrapher_spark.sources.webgraph import read_webgraph
+
+            g = read_webgraph(self.spark, source)  # type: ignore[arg-type]
+        elif kind in ("bin", "g3"):
+            from paragrapher_spark.sources.binary import read_binary_csr
+
+            g = read_binary_csr(self.spark, source, fmt=kind)  # type: ignore[arg-type]
         else:
             raise ValueError(f"unknown graph kind: {kind}")
         self._graphs.append(g)
@@ -139,6 +152,8 @@ class Engine:
             if request == "read_status":
                 if info is None:
                     return "not_started"
+                if "request" in info:  # async handle: authoritative status
+                    return info["request"].status
                 done = graph is not None and info["rows"].value >= graph.num_edges
                 return "complete" if done else "reading"
             if info is None:
@@ -240,3 +255,100 @@ class Engine:
                 yield out
 
         return graph.edges.mapInPandas(batches, schema=schema)
+
+    def for_each_block_async(
+        self,
+        graph: Graph,
+        fn: Callable[[pd.DataFrame], pd.DataFrame],
+        schema: str,
+        action: Callable[[DataFrame], Any] | None = None,
+    ) -> "ReadRequest":
+        """The reference's flagship NON-BLOCKING shape: `csx_get_subgraph`
+        returns a `paragrapher_read_request*` immediately and the caller
+        polls READ_STATUS / READ_EDGES while the library reads
+        (`src/webgraph.c:1036-1091`; status poll 504-518; the test clients
+        sleep-poll it, `test/test4_bin_converter_WG400.c:196-218`).
+
+        The mapped DataFrame's ``action`` (default: ``count``) runs on a
+        daemon thread — Spark job submission is thread-safe, so the scan
+        proceeds concurrently with driver-side polling. The returned
+        handle exposes ``status`` (not_started → reading → complete /
+        failed), the accumulator-backed progress counters, and ``wait()``
+        for the action's result; ``get_option(graph, "read_*")`` sees the
+        same handle, completing the symbol-level parity."""
+        import threading
+
+        df = self.for_each_block(graph, fn, schema)
+        info = self._reads[id(graph)]
+        req = ReadRequest(
+            _rows=info["rows"],
+            _calls=info["callbacks"],
+            _total_edges=graph.num_edges,
+        )
+        info["request"] = req
+        act = action or (lambda d: d.count())
+
+        def run() -> None:
+            req._status = "reading"
+            try:
+                req.result = act(df)
+                req._status = "complete"
+            except BaseException as exc:  # noqa: BLE001 — surfaced on wait()
+                req.error = exc
+                req._status = "failed"
+            finally:
+                req._done.set()
+
+        req._thread = threading.Thread(
+            target=run, name="paragrapher-read-request", daemon=True
+        )
+        req._thread.start()
+        return req
+
+
+class ReadRequest:
+    """Poll-able handle for an in-flight scan — the
+    `paragrapher_read_request` analogue (`include/paragrapher.h:63-74`).
+
+    ``status``/``read_edges``/``read_callbacks`` can be read from the
+    calling thread while the action runs on the handle's daemon thread;
+    edge counts advance as Spark tasks complete (accumulator updates ship
+    with task results), so a mid-scan poll observes monotonically
+    increasing progress exactly like the reference's READ_EDGES counter
+    (`src/webgraph.c:522-530`)."""
+
+    def __init__(self, _rows: Any, _calls: Any, _total_edges: int) -> None:
+        import threading
+
+        self._rows = _rows
+        self._calls = _calls
+        self._total_edges = _total_edges
+        self._status = "not_started"
+        self._done = threading.Event()
+        self._thread: Any = None
+        self.result: Any = None
+        self.error: BaseException | None = None
+
+    @property
+    def status(self) -> str:
+        return self._status
+
+    @property
+    def read_edges(self) -> int:
+        return self._rows.value
+
+    @property
+    def read_callbacks(self) -> int:
+        return self._calls.value
+
+    def wait(self, timeout: float | None = None) -> Any:
+        """Block until the scan's action completes; returns its result.
+        Raises the action's exception if it failed — loud-failure, the
+        repo standard."""
+        if not self._done.wait(timeout):
+            raise TimeoutError(
+                f"read request still {self._status} after {timeout}s"
+            )
+        if self.error is not None:
+            raise self.error
+        return self.result

@@ -150,3 +150,58 @@ def test_scan_edges_rows_index_cached(engine, graph, monkeypatch):
 def test_release_graph(engine, graph):
     engine.release_graph(graph)
     assert graph not in engine._graphs
+
+
+def test_async_read_request_polls_during_scan(engine, spark):
+    # the reference's non-blocking flagship shape: csx_get_subgraph
+    # returns a request that the caller sleep-polls with READ_STATUS /
+    # READ_EDGES while the library reads (src/webgraph.c:504-550;
+    # client loop test/test4_bin_converter_WG400.c:196-218). A slow
+    # callback staggers task completions across several scheduler waves
+    # so the mid-scan poll observes partial, monotonically increasing
+    # progress.
+    import time
+
+    n = 4000
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        .repartition(128)
+    )
+    g = engine.open_graph(df, kind="edges")
+
+    def slow_cb(pdf: pd.DataFrame) -> pd.DataFrame:
+        time.sleep(0.15)
+        return pdf[["src"]]
+
+    req = engine.for_each_block_async(g, slow_cb, schema="src long")
+    samples: list[tuple[str, int]] = []
+    while not req._done.is_set():
+        samples.append((req.status, req.read_edges))
+        assert engine.get_option(g, "read_status") == req.status
+        time.sleep(0.005)
+    assert req.wait(30) == n
+    assert req.status == "complete"
+    assert engine.get_option(g, "read_status") == "complete"
+    assert req.read_edges == n
+    assert req.read_callbacks >= 1
+    # observed mid-scan: some sample strictly between 0 and |E|, and the
+    # edge counter never decreased
+    counts = [c for _, c in samples]
+    assert any(s == "reading" and 0 < c < n for s, c in samples)
+    assert all(a <= b for a, b in zip(counts, counts[1:]))
+    engine.release_graph(g)
+
+
+def test_async_read_request_failure_is_loud(engine, spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    g = engine.open_graph(df, kind="edges")
+
+    def bad_cb(pdf: pd.DataFrame) -> pd.DataFrame:
+        raise RuntimeError("boom in callback")
+
+    req = engine.for_each_block_async(g, bad_cb, schema="src long")
+    with pytest.raises(Exception, match="boom"):
+        req.wait(60)
+    assert req.status == "failed"
+    engine.release_graph(g)

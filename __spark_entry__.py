@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from paragrapher_spark.functions.text import detect_language, fingerprint, text_stats
-from paragrapher_spark.graph import edges_from_corpus
+from paragrapher_spark.graph import Graph, edges_from_corpus
 from paragrapher_spark.kernels.bfs import bfs
 from paragrapher_spark.kernels.components import component_sizes, connected_components
 from paragrapher_spark.kernels.degrees import degree_distribution, top_k_degrees
@@ -129,9 +129,18 @@ def _q_csr_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERGED PageRank under the oracle gate: the DuckDB twin unrolls
+    40 materialized rounds, computes the same per-round L-inf delta, and
+    selects the FIRST round whose delta < tol — the kernel's exact
+    termination rule (kernels/pagerank.py:300), so the data-dependent
+    iteration count needs no carve-out. round(rank, 6) absorbs the
+    ~1e-16 float-summation-order noise (same contract as the *_fixed
+    variants)."""
     edges = copurchase_edges(spark, sf_dir)
     res = pagerank(edges, tol=1e-6, max_iter=60)
-    return res.ranks.select("id", "rank")
+    return res.ranks.select(
+        F.col("id").cast("long"), F.round("rank", 6).alias("rank")
+    )
 
 
 def _q_wcc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,26 +209,32 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_import_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule pipeline end-to-end: synthetic source-code corpus ->
-    vectorized import extraction -> dense-id edge table -> PageRank.
-    Hash-generated corpus => no ANSI-SQL oracle; exactness is covered by
-    tests/test_corpus_extract.py + tests/test_pagerank.py."""
+    vectorized import extraction -> dense-id edge table -> CONVERGED
+    PageRank. The corpus hash family is md5-derived (sources/corpus.py),
+    so the DuckDB oracle regenerates the exact skewed link structure from
+    the generator's formulas and runs the same delta-terminated unrolled
+    supersteps — the full pipeline sits under the gate."""
     corpus = synth_corpus(spark, n_files=2000, n_repos=8)
     g = edges_from_corpus(corpus, num_partitions=8)
     res = pagerank(g.edges, vertices=g.vertices, tol=1e-6, max_iter=60)
-    return res.ranks.select("id", "rank")
+    return res.ranks.select(
+        F.col("id").cast("long"), F.round("rank", 6).alias("rank")
+    )
 
 
 def _q_import_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted variant: rank flows proportionally to import-site counts
     (edge weight) — the reference's WG404 arc-labelled capability
-    (`src/WG404AP.java:171-182`). Rows-only; weighted oracle in
-    tests/test_pagerank.py::test_weighted_pagerank."""
+    (`src/WG404AP.java:171-182`). Oracle: same md5-regenerated corpus
+    edges, weighted coef = w / Σ_out w, delta-terminated unroll."""
     corpus = synth_corpus(spark, n_files=2000, n_repos=8)
     g = edges_from_corpus(corpus, num_partitions=8)
     res = pagerank(
         g.edges, vertices=g.vertices, tol=1e-6, max_iter=60, weight_col="weight"
     )
-    return res.ranks.select("id", "rank")
+    return res.ranks.select(
+        F.col("id").cast("long"), F.round("rank", 6).alias("rank")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -245,13 +260,16 @@ def _q_import_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Personalized PageRank seeded at the 10 smallest vertex ids —
-    restart + dangling mass return to the seed set. Iterative fixpoint =>
-    rows-only; numpy oracle in tests/test_pagerank.py."""
+    """Personalized PageRank seeded at the 10 smallest least(src,dst)
+    values — restart + dangling mass return to the seed set. Converged
+    variant under the oracle gate via the same delta-terminated unroll as
+    pagerank_copurchase (numpy twin additionally in tests/test_pagerank.py)."""
     edges = copurchase_edges(spark, sf_dir)
     seeds = [r[0] for r in edges.select(F.least("src", "dst")).distinct().orderBy(F.least("src", "dst")).limit(10).collect()]
     res = pagerank(edges, tol=1e-6, max_iter=60, teleport=seeds)
-    return res.ranks.select("id", "rank")
+    return res.ranks.select(
+        F.col("id").cast("long"), F.round("rank", 6).alias("rank")
+    )
 
 
 def _q_pagerank_fixed8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,6 +455,116 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# on-disk format roundtrips: BVGraph codec + binary CSR under the gate
+# ---------------------------------------------------------------------------
+
+# Arithmetic graph fixture (SQL-reproducible): deg(i) = (i % 7) + 37 hub
+# boost every 97th vertex; dst(i,j) = (i*53 + j*j*19 + 11) % N, dedup'd.
+_WG_FIXTURE_N = 1200
+
+
+def _format_fixture_edges(spark: SparkSession) -> DataFrame:
+    n = _WG_FIXTURE_N
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("src"),
+            (
+                (F.col("id") % 7)
+                + F.when(F.col("id") % 97 == 0, F.lit(37)).otherwise(F.lit(0))
+            ).alias("deg"),
+        )
+        .where(F.col("deg") > 0)
+        .select(
+            "src", F.explode(F.sequence(F.lit(1), F.col("deg"))).alias("j")
+        )
+        .select(
+            "src",
+            (
+                (F.col("src") * 53 + F.col("j") * F.col("j") * 19 + 11)
+                % F.lit(_WG_FIXTURE_N)
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_FORMAT_FIXTURE_SQL = f"""
+    SELECT DISTINCT CAST(i AS BIGINT) AS src,
+           CAST((i * 53 + j * j * 19 + 11) % {_WG_FIXTURE_N} AS BIGINT) AS dst
+    FROM (
+        SELECT i,
+               unnest(range(1, ((i % 7)
+                   + CASE WHEN i % 97 = 0 THEN 37 ELSE 0 END) + 1)) AS j
+        FROM range(0, {_WG_FIXTURE_N}) t(i)
+    )
+"""
+
+
+def _format_fixture_graph(spark: SparkSession) -> Graph:
+    edges = _format_fixture_edges(spark).withColumn(
+        "weight", F.lit(1).cast("long")
+    )
+    m = edges.count()
+    verts = spark.range(_WG_FIXTURE_N).select(
+        "id",
+        F.lit(None).cast("string").alias("repo"),
+        F.lit(None).cast("string").alias("path"),
+    )
+    return Graph(
+        vertices=verts, edges=edges, num_vertices=_WG_FIXTURE_N, num_edges=m
+    )
+
+
+def _q_webgraph_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual input format end-to-end: encode the fixture
+    graph as a BVGraph (`.graph`/`.offsets`/`.properties`, published
+    Boldi–Vigna codes — `src/webgraph.c:84-390` decodes the same streams),
+    then decode it back distributed (random-access via the offsets
+    stream). The oracle regenerates the edge set arithmetically, so every
+    bit of the codec sits under the gate."""
+    import os
+    import tempfile
+
+    from paragrapher_spark.sources.webgraph import read_webgraph, write_webgraph
+
+    g = _format_fixture_graph(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), f"pg_webgraph_fixture_{_WG_FIXTURE_N}"
+    )
+    write_webgraph(g, base, num_partitions=8)
+    back = read_webgraph(spark, base, num_partitions=8)
+    return back.edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
+def _q_binary_csr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """test4's uncompressed binary CSR interchange file end-to-end:
+    positioned parallel writes (`test/test4_bin_converter_WG400.c:25-63`
+    layout), then the edge-balanced distributed reader. Same arithmetic
+    oracle as the BVGraph roundtrip — a different IO path must yield the
+    identical edge set."""
+    import os
+    import tempfile
+
+    from paragrapher_spark.sources.binary import (
+        read_binary_csr,
+        write_binary_csr,
+    )
+
+    g = _format_fixture_graph(spark)
+    path = os.path.join(
+        tempfile.gettempdir(), f"pg_bincsr_fixture_{_WG_FIXTURE_N}.bin"
+    )
+    write_binary_csr(g, path, fmt="bin", num_partitions=8)
+    back = read_binary_csr(spark, path, fmt="bin", num_partitions=8)
+    return back.edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -485,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _q_knn_ivf,
         "events_hourly": _q_events_hourly,
         "sessions": _q_sessions,
+        "webgraph_roundtrip": _q_webgraph_roundtrip,
+        "binary_csr_roundtrip": _q_binary_csr_roundtrip,
     }
 
 
@@ -603,6 +733,9 @@ def _pagerank_oracle_sql(
     seeds_limit: int | None = None,
     weighted: bool = False,
     edges_sql: str | None = None,
+    converged_tol: float | None = None,
+    verts_sql: str | None = None,
+    seeds_sql: str | None = None,
 ) -> str:
     """Damped PageRank with dangling redistribution (kernels/pagerank.py)
     unrolled. Arithmetic mirrors the Spark expressions operation-for-
@@ -611,8 +744,20 @@ def _pagerank_oracle_sql(
     order, ~1e-16 relative, absorbed by ROUND(rank, 6) on both sides.
 
     ``seeds_limit=k``: personalized over the k smallest vertex ids.
+    ``seeds_sql``: explicit seed-set SELECT (overrides seeds_limit's
+    default ORDER BY id LIMIT k rule; must yield a column ``id``).
     ``weighted``: coef = weight / Σ_out weights instead of 1/outdeg
-    (integer-valued weights sum exactly in float64 — deterministic)."""
+    (integer-valued weights sum exactly in float64 — deterministic).
+    ``verts_sql``: explicit vertex-set SELECT (default: edge endpoints) —
+    the kernel's ``vertices=`` argument, e.g. every corpus file including
+    isolated ones.
+    ``converged_tol``: mirror the kernel's CONVERGED mode — a per-round
+    L-inf delta CTE rides each unrolled superstep and the final select
+    picks the FIRST round with delta < tol (falling back to round
+    ``iters``, the kernel's max_iter cap). Past the true stop round the
+    extra unrolled rounds are dead CTEs — over-unrolling is safe, so
+    ``iters`` only needs to be >= the data's actual iteration count
+    (probed 21-28 at sf0.001/sf0.01; 40 leaves margin)."""
     d = damping
     if edges_sql is None:
         edges_sql = (
@@ -637,7 +782,8 @@ def _pagerank_oracle_sql(
         FROM edges e JOIN odeg o ON o.src = e.src
     ),
     linked AS MATERIALIZED (SELECT src AS id FROM odeg)"""
-    if seeds_limit is None:
+    personalized = seeds_limit is not None or seeds_sql is not None
+    if not personalized:
         p_sql = "SELECT id, 1.0 / (SELECT n FROM nn) AS p FROM verts"
     else:
         p_sql = f"""
@@ -645,16 +791,20 @@ def _pagerank_oracle_sql(
                           THEN 1.0 / (SELECT ns FROM nseeds)
                           ELSE 0.0 END AS p
         FROM verts v LEFT JOIN seeds s ON s.id = v.id"""
+    if verts_sql is None:
+        verts_sql = "SELECT src AS id FROM edges UNION SELECT dst FROM edges"
     parts = [
         f"WITH edges AS MATERIALIZED ({edges_sql}),",
-        """
-    verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        f"""
+    verts AS MATERIALIZED ({verts_sql}),
     nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),""",
         coef_sql + ",",
     ]
-    if seeds_limit is not None:
+    if personalized:
+        if seeds_sql is None:
+            seeds_sql = f"SELECT id FROM verts ORDER BY id LIMIT {seeds_limit}"
         parts.append(f"""
-    seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {seeds_limit}),
+    seeds AS MATERIALIZED ({seeds_sql}),
     nseeds AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),""")
     parts.append(f"""
     pv AS MATERIALIZED ({p_sql}),
@@ -676,10 +826,38 @@ def _pagerank_oracle_sql(
             GROUP BY e.dst
         ) m ON m.id = v.id
     )""")
-    parts.append(
-        f"\n    SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 6) AS rank"
-        f" FROM pr{iters}"
+        if converged_tol is not None:
+            parts.append(f""",
+    dl{r} AS MATERIALIZED (
+        SELECT MAX(ABS(p.rank - q.rank)) AS delta
+        FROM pr{r} p JOIN pr{r - 1} q ON q.id = p.id
+    )""")
+    if converged_tol is None:
+        parts.append(
+            f"\n    SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 6) AS rank"
+            f" FROM pr{iters}"
+        )
+    else:
+        deltas = "\n        UNION ALL ".join(
+            f"SELECT {r} AS r, (SELECT delta FROM dl{r}) AS delta"
+            for r in range(1, iters + 1)
+        )
+        rounds = "\n        UNION ALL ".join(
+            f"SELECT {r} AS r, id, rank FROM pr{r}" for r in range(1, iters + 1)
+        )
+        parts.append(f""",
+    alld AS MATERIALIZED (
+        {deltas}
+    ),
+    stopr AS MATERIALIZED (
+        SELECT COALESCE(MIN(r), {iters}) AS r FROM alld
+        WHERE delta < {converged_tol}
+    ),
+    allr AS MATERIALIZED (
+        {rounds}
     )
+    SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 6) AS rank
+    FROM allr WHERE r = (SELECT r FROM stopr)""")
     return "".join(parts)
 
 
@@ -731,6 +909,251 @@ def _import_edges_sql(n_files: int, n_repos: int, max_out: int) -> str:
     JOIN ivertsq sv ON sv.i = s.src_i
     JOIN ivertsq dv ON dv.i = s.dst_i
     GROUP BY 1, 2
+    """
+
+
+def _md5h(tag: str, cols: str) -> str:
+    """DuckDB twin of sources/corpus.py's engine-portable hash ``h``:
+    first 15 md5 hex chars of 'tag:seed:col:col' parsed base-16."""
+    return (
+        f"('0x' || substr(md5(concat_ws(':', '{tag}', '42', {cols})), 1, 15))"
+        "::BIGINT"
+    )
+
+
+def _import_edges_md5_sql(
+    n_files: int, n_repos: int, max_out: int, hub_count: int
+) -> str:
+    """Dense-id weighted import-edge table of sources/corpus.py's
+    ``synth_corpus`` (the hash-skew fixture) regenerated from its md5
+    hash formulas — deg, Zipf-ish target draw, hub boost, parity
+    alignment, self-loop avoidance all mirrored term-for-term
+    (corpus.py:86-97). Dense ids by (repo, path) rank as in
+    ``_import_edges_sql``."""
+    from paragrapher_spark.sources.corpus import N_PATH_DIRS
+
+    i1 = "CAST(i AS VARCHAR)"
+    ij = "CAST(src_i AS VARCHAR), CAST(j AS VARCHAR)"
+    return f"""
+    WITH files AS MATERIALIZED (
+        SELECT i,
+               'repo_' || lpad(CAST(i % {n_repos} AS VARCHAR), 3, '0') AS repo,
+               'pkg' || CAST((i // {n_repos}) % {N_PATH_DIRS} AS VARCHAR)
+                   || '/f' || CAST(i // {n_repos} AS VARCHAR)
+                   || CASE WHEN i % 2 = 0 THEN '.py' ELSE '.h' END AS path
+        FROM range(0, {n_files}) t(i)
+    ),
+    ivertsq AS MATERIALIZED (
+        SELECT i, row_number() OVER (ORDER BY repo, path) - 1 AS vid
+        FROM files
+    ),
+    isites AS MATERIALIZED (
+        SELECT i AS src_i,
+               unnest(range(1, ({_md5h('deg', i1)} % {max_out}) + 1)) AS j
+        FROM files
+    ),
+    itarg AS MATERIALIZED (
+        SELECT src_i,
+               CASE WHEN t2 = src_i THEN (t2 + 2) % {n_files} ELSE t2 END AS dst_i
+        FROM (
+            SELECT src_i,
+                   CASE WHEN t1 >= {n_files} THEN t1 - 2 ELSE t1 END AS t2
+            FROM (
+                SELECT src_i, t0 - (t0 % 2) + (src_i % 2) AS t1
+                FROM (
+                    SELECT src_i,
+                           CASE WHEN {_md5h('hub', ij)} % 4 = 0
+                                THEN {_md5h('hb', ij)} % {hub_count * 2}
+                                ELSE {_md5h('t', ij)}
+                                     % (({_md5h('m', ij)} % {n_files}) + 1)
+                           END AS t0
+                    FROM isites
+                )
+            )
+        )
+    )
+    SELECT sv.vid AS src, dv.vid AS dst, count(*) AS weight
+    FROM itarg s
+    JOIN ivertsq sv ON sv.i = s.src_i
+    JOIN ivertsq dv ON dv.i = s.dst_i
+    GROUP BY 1, 2
+    """
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    threshold: float = 0.35,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> str:
+    """operators/dedup.py minhash_candidates mirrored exactly: md5-derived
+    shingle hashes into [0, 2^31), the same splitmix-derived universal-hash
+    (a, b) literals (imported from _hash_coeffs — single source of truth),
+    banded signature-slice equi-join with the bucket-size guard, estimator
+    = equal-components / num_hashes (exact double: n/64)."""
+    from paragrapher_spark.operators.dedup import _C31, _P31, _hash_coeffs
+
+    rows = num_hashes // bands
+    coeffs = _hash_coeffs(num_hashes, seed)
+    mins = ",\n               ".join(
+        f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {_P31}))"
+        for a, b in coeffs
+    )
+    est = f"CAST(len(list_filter(range(1, {num_hashes} + 1), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {float(num_hashes)}"
+    return f"""
+    WITH sht AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(length(text) - {shingle_k - 1}, 1) + 1),
+                   i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), {shingle_k})), 1, 15))::BIGINT % {_C31}
+               )) AS sh
+        FROM documents
+    ),
+    sigs AS MATERIALIZED (
+        SELECT doc_id,
+               [{mins}] AS sig
+        FROM sht
+    ),
+    bandt AS MATERIALIZED (
+        SELECT doc_id, b,
+               list_slice(sig, b * {rows} + 1, b * {rows} + {rows}) AS bh
+        FROM sigs, range(0, {bands}) r(b)
+    ),
+    okb AS MATERIALIZED (
+        SELECT b, bh FROM bandt GROUP BY b, bh
+        HAVING count(*) > 1 AND count(*) <= {max_bucket_size}
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM bandt a
+        JOIN okb o ON o.b = a.b AND o.bh = a.bh
+        JOIN bandt c ON c.b = a.b AND c.bh = a.bh AND c.doc_id > a.doc_id
+    )
+    SELECT CAST(cand.id_a AS BIGINT) AS id_a,
+           CAST(cand.id_b AS BIGINT) AS id_b,
+           {est} AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = cand.id_a
+    JOIN sigs sb ON sb.doc_id = cand.id_b
+    WHERE {est} >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 8) -> str:
+    """operators/dedup.py simhash_candidates mirrored: 60-bit SimHash
+    (token_hash60 per token, majority bit-vote 2*ones > n), 4x15-bit
+    pigeonhole bands, popcount(xor) Hamming filter. Docs with zero tokens
+    hash to 0 and participate in banding, exactly like the kernel."""
+    from paragrapher_spark.operators.dedup import SIMHASH_BITS
+
+    svotes = ",\n               ".join(
+        f"sum((h >> {j}) & 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    sbits = "\n                 + ".join(
+        f"(CASE WHEN 2 * s{j} > n THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tokst AS MATERIALIZED (
+        SELECT doc_id, {_TOKENS} AS tk FROM documents
+    ),
+    tht AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_transform(tk,
+                   t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS h
+        FROM tokst
+    ),
+    votes AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n,
+               {svotes}
+        FROM tht GROUP BY doc_id
+    ),
+    sigs AS MATERIALIZED (
+        SELECT t.doc_id,
+               COALESCE(CAST({sbits} AS BIGINT), 0) AS sh
+        FROM tokst t LEFT JOIN votes v ON v.doc_id = t.doc_id
+    ),
+    blocks AS MATERIALIZED (
+        SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bv
+        FROM sigs, range(0, 4) r(b)
+    )
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(c.doc_id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.sh, c.sh)) AS BIGINT) AS hamming
+    FROM blocks a
+    JOIN blocks c ON c.b = a.b AND c.bv = a.bv AND c.doc_id > a.doc_id
+    WHERE bit_count(xor(a.sh, c.sh)) <= {max_hamming}
+    """
+
+
+def _knn_lsh_oracle_sql(
+    k: int = 5,
+    n_bits: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket_size: int = 10000,
+) -> str:
+    """operators/similarity.py knn_lsh mirrored: the SAME splitmix64
+    ±1 hyperplane literals (plane_signs — single source of truth), sign
+    bits from a left-fold dot product (list_reduce == Spark's
+    aggregate-from-0.0 fold bit-for-bit, since 0.0 + x == x), banded
+    bucket join with the size guard, exact-cosine re-rank, row_number
+    top-k with (score DESC, neighbor_id) tie-break."""
+    from paragrapher_spark.operators.similarity import plane_signs
+
+    rows = n_bits // bands
+    mask = (1 << rows) - 1
+    planes = plane_signs(n_bits, dim, seed)
+    bit_terms = "\n                 + ".join(
+        "(CASE WHEN list_reduce(list_transform(range(1, %d), d -> e[d] * ([%s])[d]), (a, b) -> a + b) >= 0 THEN %d ELSE 0 END)"
+        % (dim + 1, ", ".join(str(x) for x in p), 1 << i)
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    nv AS MATERIALIZED (
+        SELECT vec_id, e,
+               sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS norm
+        FROM v
+    ),
+    base AS MATERIALIZED (SELECT * FROM nv WHERE norm > 0),
+    sig AS MATERIALIZED (
+        SELECT vec_id, e, norm,
+               CAST({bit_terms} AS BIGINT) AS bits
+        FROM base
+    ),
+    banded AS MATERIALIZED (
+        SELECT vec_id, e, norm, b, (bits >> (b * {rows})) & {mask} AS bv
+        FROM sig, range(0, {bands}) r(b)
+    ),
+    okb AS MATERIALIZED (
+        SELECT b, bv FROM banded GROUP BY b, bv
+        HAVING count(*) > 1 AND count(*) <= {max_bucket_size}
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(a.e, c.e) AS sc
+        FROM banded a
+        JOIN okb o ON o.b = a.b AND o.bv = a.bv
+        JOIN banded c ON c.b = a.b AND c.bv = a.bv
+             AND c.vec_id <> a.vec_id
+    ),
+    ranked AS MATERIALIZED (
+        SELECT query_id, neighbor_id, sc,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sc DESC, neighbor_id
+               ) AS rn
+        FROM cand
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           ROUND(sc, 6) AS score
+    FROM ranked WHERE rn <= {k}
     """
 
 
@@ -916,6 +1339,39 @@ def oracle_sql() -> dict[str, str]:
         "import_pagerank_fixed": _pagerank_oracle_sql(
             8, weighted=True, edges_sql=_import_edges_sql(1200, 8, 10)
         ),
+        # converged variants: delta-terminated unroll (first round with
+        # L-inf delta < tol), mirroring kernels/pagerank.py:300 exactly
+        "pagerank_copurchase": _pagerank_oracle_sql(40, converged_tol=1e-6),
+        "pagerank_personalized": _pagerank_oracle_sql(
+            40,
+            converged_tol=1e-6,
+            seeds_sql=(
+                "SELECT DISTINCT LEAST(src, dst) AS id FROM edges"
+                " ORDER BY id LIMIT 10"
+            ),
+        ),
+        # the north-rule pipeline on the hash-skew corpus, end-to-end:
+        # md5-regenerated link structure + converged pagerank
+        "import_graph_pagerank": _pagerank_oracle_sql(
+            40,
+            converged_tol=1e-6,
+            edges_sql=_import_edges_md5_sql(2000, 8, 12, 16),
+            verts_sql="SELECT i AS id FROM range(0, 2000) t(i)",
+        ),
+        "import_graph_pagerank_weighted": _pagerank_oracle_sql(
+            40,
+            converged_tol=1e-6,
+            weighted=True,
+            edges_sql=_import_edges_md5_sql(2000, 8, 12, 16),
+            verts_sql="SELECT i AS id FROM range(0, 2000) t(i)",
+        ),
+        "minhash_near_dups": _minhash_oracle_sql(),
+        "simhash_near_dups": _simhash_oracle_sql(),
+        "knn_lsh": _knn_lsh_oracle_sql(),
+        # on-disk format roundtrips: BOTH codecs must reproduce the
+        # arithmetically-regenerated fixture edge set bit-for-bit
+        "webgraph_roundtrip": _FORMAT_FIXTURE_SQL,
+        "binary_csr_roundtrip": _FORMAT_FIXTURE_SQL,
         "label_propagation": _lp_oracle_sql(10),
         # generously over-unrolled (peeling is idempotent at the fixpoint,
         # so extra rounds are free): the Spark kernel peels to a
@@ -1135,12 +1591,8 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 6) AS sum_value
             FROM s GROUP BY user_id, sid
         """,
-        # rows-only (the remaining genuinely inexpressible set):
-        #   pagerank_copurchase, pagerank_personalized, import_graph_pagerank*
-        #       — converged fixpoints (iteration count is data-dependent;
-        #         the superstep arithmetic AND the full import pipeline are
-        #         oracle-checked via pagerank_*fixed* / import_pagerank_fixed)
-        #   minhash_near_dups, simhash_near_dups, knn_lsh, knn_ivf
-        #       — defined by engine-specific hash families / xxhash64-seeded
-        #         k-means; estimator accuracy + recall pinned in tests/
+        # rows-only (the one remaining genuinely inexpressible query):
+        #   knn_ivf — the coarse quantizer is iterative float k-means
+        #       (Lloyd mean updates with engine-ordered float summation);
+        #       recall vs brute force + determinism pinned in tests/
     }

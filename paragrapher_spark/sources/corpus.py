@@ -14,7 +14,7 @@ free corpus whose link structure is power-law skewed, so the salting path
 is exercised (the reference splits giant adjacencies across buffers,
 `src/webgraph.c:957-971`).
 
-Everything is built from ``spark.range`` + built-in expressions (xxhash64,
+Everything is built from ``spark.range`` + built-in expressions (md5,
 transform, concat) — fully JVM-side, whole-stage-codegen friendly, and
 embarrassingly parallel: at 10^12 rows this is a single map stage with no
 shuffle.
@@ -55,7 +55,27 @@ def synth_corpus(
         raise ValueError("n_files and n_repos must be even (parity = language)")
 
     def h(tag: str, *cols: Column) -> Column:
-        return F.xxhash64(F.lit(tag), F.lit(seed), *cols)
+        # engine-portable uniform hash (not xxhash64, which only Spark
+        # computes): first 15 md5 hex chars of "tag:seed:col:col..." parsed
+        # base-16 — a DuckDB oracle regenerates the exact same stream with
+        # ('0x' || substr(md5(concat_ws(':', ...)), 1, 15))::BIGINT, which
+        # is what puts the hash-skew corpus pipeline under the oracle gate
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(tag),
+                        F.lit(str(seed)),
+                        *[c.cast("string") for c in cols],
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
 
     def pm(c: Column, m: int) -> Column:
         return F.pmod(c, F.lit(m))

@@ -1,14 +1,20 @@
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — prints ONE COMPACT JSON line for the driver.
 
 Headline metric (BASELINE.json): PageRank edges/sec to 1e-6 convergence on
 the derived code/co-purchase edge table, plus throughput scaling efficiency
 between two parallelism levels (the sandbox stand-in for N vs 4N executors:
 same job, same input, local[SCALE_LO] vs local[SCALE_HI] in separate JVMs).
 
+The driver records only the LAST ~2000 chars of stdout, so the final line
+is a compact summary (headline, per-query seconds, efficiency pairs); the
+full detail (per-pass superstep arrays, scan-floor probes, worker runs)
+goes to ``BENCH_local.json`` next to this file.
+
 Env knobs:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     main parallelism (default 32)
   SPARK_GRAFT_SCALING  "0" to skip the scaling subprocess runs (default on)
+  SPARK_GRAFT_ALLQ     "0" to skip the all-queries sf0.01 sweep (default on)
 """
 
 from __future__ import annotations
@@ -278,6 +284,29 @@ def main() -> None:
     sessionize_batch(ev, gap_minutes=30).count()
     queries["sessions"] = round(time.monotonic() - t0, 3)
 
+    # per-query regression sweep: every driver query, one pass at sf0.01
+    # (VERDICT r2 task #9 — round-over-round visibility for all queries,
+    # not just the 8 headline ones). Timed as plan + execute + fetch-count;
+    # sf0.01 keeps the sweep under ~2 min total.
+    allq: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_ALLQ", "1") != "0":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __spark_entry__ as entrymod
+
+        allq_dir = os.environ.get(
+            "SPARK_GRAFT_ALLQ_DIR", "/root/testdata/sf0.01"
+        )
+        for name, fn in entrymod.queries().items():
+            t0 = time.monotonic()
+            try:
+                fn(spark, allq_dir).count()
+                allq[name] = round(time.monotonic() - t0, 2)
+            except Exception as exc:  # noqa: BLE001 — a broken query must
+                # not take down the whole bench record
+                sys.stderr.write(f"allq {name} failed: {exc}\n")
+                allq[name] = -1.0
+        extra["queries_sf001"] = allq
+
     spark.stop()
 
     # scaling evidence: same job, ladder of parallelism levels, separate JVMs
@@ -329,7 +358,7 @@ def main() -> None:
             "efficiency": pairs[0]["efficiency"] if pairs else None,
         }
 
-    out = {
+    detail = {
         "metric": "pagerank_copurchase_to_1e-6_wall_sec",
         "value": queries["pagerank_copurchase"],
         "unit": "sec",
@@ -339,7 +368,36 @@ def main() -> None:
         "pagerank_iterations": pr["iterations"],
         **extra,
     }
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    # compact final line: the driver keeps a ~2000-char stdout tail, so
+    # this line (and nothing longer after it) is what BENCH_rN.json parses
+    scaling = extra.get("scaling", {})
+    out = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": detail["sf"],
+        "pagerank_edges_per_sec": detail["pagerank_edges_per_sec"],
+        "pagerank_iterations": detail["pagerank_iterations"],
+        "scaling_pairs": [
+            [p["cores_lo"], p["cores_hi"], p["efficiency"]]
+            for p in scaling.get("pairs", [])
+        ],
+        "scaling_efficiency": scaling.get("efficiency"),
+        "queries_sf001": allq,
+        "detail": "BENCH_local.json",
+    }
+    line = json.dumps(out)
+    if len(line) > 1900:  # never let the tail cut truncate the JSON
+        out.pop("queries_sf001", None)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

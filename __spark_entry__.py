@@ -565,6 +565,55 @@ def _q_binary_csr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_webgraph_weighted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc-labelled BVGraph (the reference's WG404 graph type: labels in
+    `.labels`/`.labeloffsets`, `src/webgraph.c:115-122,297-334`): the
+    fixture edges carry weight (src + dst) % 9 + 1, written with_labels
+    and decoded back as the weight column."""
+    import os
+    import tempfile
+
+    from paragrapher_spark.sources.webgraph import read_webgraph, write_webgraph
+
+    g = _format_fixture_graph(spark)
+    weighted = Graph(
+        vertices=g.vertices,
+        edges=g.edges.withColumn(
+            "weight", ((F.col("src") + F.col("dst")) % 9 + 1).cast("long")
+        ),
+        num_vertices=g.num_vertices,
+        num_edges=g.num_edges,
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"pg_webgraph_wfixture_{_WG_FIXTURE_N}"
+    )
+    write_webgraph(weighted, base, num_partitions=8, with_labels=True)
+    back = read_webgraph(spark, base, num_partitions=8)
+    return back.edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col("weight").cast("long"),
+    )
+
+
+def _q_knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a FIXED deterministic quantizer (the vectors of the 16
+    smallest vec_ids): bucket assignment, probing, and exact-cosine
+    re-rank all sit under the oracle — retiring the 'iterative k-means =>
+    rows-only' carve-out for everything except Lloyd training itself
+    (still covered by knn_ivf + recall tests)."""
+    from paragrapher_spark.operators.similarity import with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = with_norm(emb).orderBy("vec_id").limit(16).collect()
+    cents = [(i, list(r["vec"])) for i, r in enumerate(rows)]
+    return knn_ivf(emb, k=5, n_probe=4, centroids=cents).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "score",
+    )
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -614,7 +663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "sessions": _q_sessions,
         "webgraph_roundtrip": _q_webgraph_roundtrip,
+        "webgraph_weighted_roundtrip": _q_webgraph_weighted_roundtrip,
         "binary_csr_roundtrip": _q_binary_csr_roundtrip,
+        "knn_ivf_fixed": _q_knn_ivf_fixed,
     }
 
 
@@ -1157,6 +1208,75 @@ def _knn_lsh_oracle_sql(
     """
 
 
+def _knn_ivf_fixed_oracle_sql(
+    k: int = 5, n_centroids: int = 16, n_probe: int = 4, dim: int = 64
+) -> str:
+    """operators/similarity.py knn_ivf with the fixed quantizer mirrored
+    exactly: centroids = vectors of the n_centroids smallest vec_ids
+    (norm > 0), assignment by ascending (-dot(v,c)/|c|, cid) — DuckDB's
+    left-fold list_reduce reproduces Spark's aggregate-from-0.0 dot
+    bit-for-bit, and both engines use correctly-rounded sqrt for |c| —
+    home bucket = nearest, candidates = probed-bucket equi-join, exact
+    cosine re-rank, (score DESC, neighbor_id) top-k."""
+    fold = (
+        "list_reduce(list_transform(range(1, %d), i -> {a}[i] * {b}[i]),"
+        " (acc, x) -> acc + x)" % (dim + 1)
+    )
+    dot_vc = fold.format(a="b.e", b="c.c")
+    dot_qd = fold.format(a="q.e", b="d.e")
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    nv AS MATERIALIZED (
+        SELECT vec_id, e,
+               sqrt(list_reduce(list_transform(e, x -> x * x),
+                    (a, b) -> a + b)) AS norm
+        FROM v
+    ),
+    base AS MATERIALIZED (SELECT * FROM nv WHERE norm > 0),
+    cents AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c,
+               norm AS cn
+        FROM (SELECT * FROM base ORDER BY vec_id LIMIT {n_centroids})
+    ),
+    scored AS MATERIALIZED (
+        SELECT b.vec_id, b.e, b.norm, c.cid,
+               -({dot_vc}) / c.cn AS neg
+        FROM base b CROSS JOIN cents c
+    ),
+    probes AS MATERIALIZED (
+        SELECT vec_id, e, norm, cid, rn FROM (
+            SELECT vec_id, e, norm, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY neg, cid
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= {n_probe}
+    ),
+    home AS MATERIALIZED (
+        SELECT vec_id, e, norm, cid FROM probes WHERE rn = 1
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               ({dot_qd}) / (q.norm * d.norm) AS sc
+        FROM probes q
+        JOIN home d ON d.cid = q.cid AND d.vec_id <> q.vec_id
+    ),
+    ranked AS MATERIALIZED (
+        SELECT query_id, neighbor_id, sc,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sc DESC, neighbor_id
+               ) AS rn
+        FROM cand
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           ROUND(sc, 6) AS score
+    FROM ranked WHERE rn <= {k}
+    """
+
+
 def _lang_pred_ctes(src: str) -> str:
     """CTE chain computing per-doc ``lang_pred`` over ``src(doc_id, text)``
     — functions/text.py detect_language re-expressed in SQL: same lexicons,
@@ -1372,6 +1492,11 @@ def oracle_sql() -> dict[str, str]:
         # arithmetically-regenerated fixture edge set bit-for-bit
         "webgraph_roundtrip": _FORMAT_FIXTURE_SQL,
         "binary_csr_roundtrip": _FORMAT_FIXTURE_SQL,
+        "webgraph_weighted_roundtrip": f"""
+            SELECT src, dst, (src + dst) % 9 + 1 AS weight
+            FROM ({_FORMAT_FIXTURE_SQL})
+        """,
+        "knn_ivf_fixed": _knn_ivf_fixed_oracle_sql(),
         "label_propagation": _lp_oracle_sql(10),
         # generously over-unrolled (peeling is idempotent at the fixpoint,
         # so extra rounds are free): the Spark kernel peels to a
@@ -1592,7 +1717,9 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sid
         """,
         # rows-only (the one remaining genuinely inexpressible query):
-        #   knn_ivf — the coarse quantizer is iterative float k-means
+        #   knn_ivf — its coarse quantizer is iterative float k-means
         #       (Lloyd mean updates with engine-ordered float summation);
-        #       recall vs brute force + determinism pinned in tests/
+        #       recall vs brute force + determinism pinned in tests/, and
+        #       the entire post-quantizer pipeline (assignment, probing,
+        #       re-rank, top-k) is oracle-checked via knn_ivf_fixed
     }

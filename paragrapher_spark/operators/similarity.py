@@ -259,7 +259,12 @@ def _centroid_scores(cents: list[tuple[int, list[float]]]) -> Column:
 
 
 def _l2(v: list[float]) -> float:
-    return sum(x * x for x in v) ** 0.5 or 1.0
+    import math
+
+    # math.sqrt (correctly-rounded IEEE sqrt) rather than **0.5: an
+    # external SQL oracle computing sqrt(fold(x*x)) must get the exact
+    # same float64, and pow(x, 0.5) is not guaranteed ULP-identical
+    return math.sqrt(sum(x * x for x in v)) or 1.0
 
 
 def train_ivf_centroids(
@@ -312,6 +317,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k via an IVF index: vectors are bucketed
     by nearest centroid; each query scans only its n_probe nearest
@@ -320,8 +326,13 @@ def knn_ivf(
     broadcast as literals; the candidate join is an equi-join on cid —
     per-bucket fan-out is |bucket| x |probing queries|, bounded by the
     quantizer balance instead of |corpus|^2.
+
+    ``centroids``: precomputed (cid, vector) quantizer, bypassing Lloyd
+    training — a pre-trained/externally-supplied coarse index (and the
+    deterministic, SQL-reproducible path used by the oracle-gated
+    ``knn_ivf_fixed`` driver query).
     """
-    cents = train_ivf_centroids(
+    cents = centroids or train_ivf_centroids(
         emb, n_centroids, lloyd_iters, vec_col, id_col, seed
     )
     base = with_norm(emb, vec_col, id_col).persist()

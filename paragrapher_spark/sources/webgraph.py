@@ -50,7 +50,7 @@ Scale design:
 from __future__ import annotations
 
 import os
-from typing import Iterator
+from typing import Any, Iterator
 
 import numpy as np
 import pandas as pd
@@ -459,8 +459,8 @@ def _write_offsets(basename: str, bit_positions: list[int]) -> None:
         fh.write(w.getvalue())
 
 
-def _read_offsets(basename: str, n: int) -> np.ndarray:
-    with open(basename + ".offsets", "rb") as fh:
+def _read_offsets(basename: str, n: int, suffix: str = ".offsets") -> np.ndarray:
+    with open(basename + suffix, "rb") as fh:
         r = BitReader(fh.read())
     out = np.empty(n + 1, dtype=np.int64)
     prev = 0
@@ -470,9 +470,71 @@ def _read_offsets(basename: str, n: int) -> np.ndarray:
     return out
 
 
+def build_offsets(basename: str) -> None:
+    """Rebuild a missing ``.offsets`` file by one sequential decode pass
+    over ``.graph`` — the reference handles the same situation by shelling
+    to the WebGraph jar's offline offsets step
+    (`src/webgraph.c:559-599`, command at 580-582); here it is native.
+
+    Sequential decode keeps the last ``windowsize`` successor lists in a
+    ring so back-references always resolve; cost is one driver-side pass,
+    the same shape as the jar's."""
+    props = read_properties(basename)
+    n = int(props["nodes"])
+    window = int(props.get("windowsize", DEFAULT_WINDOW))
+    mi = int(props.get("minintervallength", DEFAULT_MIN_INTERVAL))
+    min_interval: int | None = mi if mi >= 2 else None
+    zeta_k = int(props.get("zetak", DEFAULT_ZETA_K))
+    with open(basename + ".graph", "rb") as fh:
+        r = BitReader(fh.read())
+    ring: dict[int, list[int]] = {}
+    bitpos = [0]
+    for v in range(n):
+        ring[v] = _decode_list(
+            r, v, lambda u: ring[u], min_interval, zeta_k, window
+        )
+        ring.pop(v - window, None)
+        bitpos.append(r.pos)
+    _write_offsets(basename, bitpos)
+
+
 # ---------------------------------------------------------------------------
 # writer
 # ---------------------------------------------------------------------------
+
+
+def _concat_chunks(
+    path: str,
+    ranges: list[tuple[int, int]],
+    chunks: dict[int, tuple[bytes, int, list[int]]],
+    fill,
+) -> list[int]:
+    """Stream per-range bit buffers into one file with bit-shifting (no
+    padding between chunks). ``fill(lo, hi)`` supplies the encoding of a
+    range that produced no task output. Returns the n+1 node bit
+    positions. Driver memory stays flat: whole bytes flush as they form."""
+    bitpos: list[int] = [0]
+    w = BitWriter()
+    with open(path, "wb") as fh:
+        for cid, (lo, hi) in enumerate(ranges):
+            got = chunks.get(cid)
+            data, nbits, node_bits = got if got is not None else fill(lo, hi)
+            for nb in node_bits:
+                bitpos.append(bitpos[-1] + nb)
+            r = BitReader(data)
+            remaining = nbits
+            while remaining > 0:
+                take = min(32, remaining)
+                w.write(r.read(take), take)
+                remaining -= take
+            whole = len(w._buf)
+            if whole:
+                fh.write(bytes(w._buf[:whole]))
+                del w._buf[:whole]
+        fh.write(bytes(w._buf))
+        if w._nbits:
+            fh.write(bytes([w._cur << (8 - w._nbits)]))
+    return bitpos
 
 
 def write_webgraph(
@@ -483,6 +545,7 @@ def write_webgraph(
     min_interval: int | None = DEFAULT_MIN_INTERVAL,
     zeta_k: int = DEFAULT_ZETA_K,
     num_partitions: int | None = None,
+    with_labels: bool = False,
 ) -> None:
     """Compress ``graph`` to ``basename.{graph,offsets,properties}``.
 
@@ -491,7 +554,14 @@ def write_webgraph(
     crosses a seam), then the driver streams the per-range bit buffers
     into one spec-clean stream with bit-shifting. Successor lists are the
     deduplicated sorted destinations (BVGraph lists are strictly
-    increasing sets)."""
+    increasing sets).
+
+    ``with_labels=True`` additionally emits the arc-labelled companion
+    streams ``basename.labels`` / ``basename.labeloffsets`` carrying the
+    edge ``weight`` column γ-coded per arc in successor order — the
+    WG404 capability (the reference reads arc labels from exactly this
+    file pair, `src/webgraph.c:115-122,297-334`). Duplicate (src, dst)
+    rows sum their weights, matching the import-graph convention."""
     spark = graph.edges.sparkSession
     n, m = graph.num_vertices, graph.num_edges
     nparts = num_partitions or spark.sparkContext.defaultParallelism
@@ -511,8 +581,12 @@ def write_webgraph(
         offs.unpersist()
     ranges = [(lo, hi) for lo, hi in zip(bounds, bounds[1:]) if hi > lo]
 
-    edges = graph.edges.select("src", "dst")
-    chunk_schema = "cid long, data binary, nbits long, node_bits array<long>"
+    cols = ["src", "dst"] + (["weight"] if with_labels else [])
+    edges = graph.edges.select(*cols)
+    chunk_schema = (
+        "cid long, data binary, nbits long, node_bits array<long>, "
+        "ldata binary, lnbits long, lnode_bits array<long>"
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         by_cid: dict[int, list[pd.DataFrame]] = {}
@@ -525,19 +599,48 @@ def write_webgraph(
         for cid, frames in by_cid.items():
             allp = pd.concat(frames).sort_values(["src", "dst"])
             lo, hi = ranges[cid]
-            adj: dict[int, list[int]] = {
-                int(s): sorted(set(g["dst"].tolist()))
-                for s, g in allp.groupby("src")
-            }
+            if with_labels:
+                grouped = allp.groupby(["src", "dst"], as_index=False)[
+                    "weight"
+                ].sum()
+                adjw: dict[int, list[tuple[int, int]]] = {
+                    int(s): list(zip(g["dst"].tolist(), g["weight"].tolist()))
+                    for s, g in grouped.groupby("src")
+                }
+                adj = {s: [d for d, _ in lst] for s, lst in adjw.items()}
+            else:
+                adj = {
+                    int(s): sorted(set(g["dst"].tolist()))
+                    for s, g in allp.groupby("src")
+                }
             data, nbits, node_bits = _encode_chunk(
                 lo, hi, adj, window, max_ref, min_interval, zeta_k
             )
+            if with_labels:
+                lw = BitWriter()
+                lnode_bits = []
+                for v in range(lo, hi):
+                    before = lw.bit_length
+                    for _, wt in adjw.get(v, []):
+                        if wt < 0:
+                            raise ValueError(
+                                f"arc label {wt} on node {v}: γ-coded "
+                                "labels must be non-negative"
+                            )
+                        lw.write_gamma(int(wt))
+                    lnode_bits.append(lw.bit_length - before)
+                ldata, lnbits = lw.getvalue(), lw.bit_length
+            else:
+                ldata, lnbits, lnode_bits = b"", 0, []
             yield pd.DataFrame(
                 {
                     "cid": [cid],
                     "data": [data],
                     "nbits": [nbits],
                     "node_bits": [node_bits],
+                    "ldata": [ldata],
+                    "lnbits": [lnbits],
+                    "lnode_bits": [lnode_bits],
                 }
             )
 
@@ -554,52 +657,54 @@ def write_webgraph(
         .mapInPandas(_encode, schema=chunk_schema)
         .collect()
     )
-    seen = {}
+    seen: dict[int, Any] = {}
     for row in parts:
         if row["cid"] in seen:  # hash routing makes this unreachable
             raise RuntimeError(
                 f"node range {row['cid']} was split across tasks"
             )
         seen[row["cid"]] = row
-    # driver: streaming bit-shift concat + offsets
-    bitpos: list[int] = [0]
-    w = BitWriter()
-    with open(basename + ".graph", "wb") as fh:
-        for cid, (lo, hi) in enumerate(ranges):
-            row = seen.get(cid)
-            node_bits = list(row["node_bits"]) if row else [0] * 0
-            data = bytes(row["data"]) if row else b""
-            nbits = int(row["nbits"]) if row else 0
-            if row is None:
-                # range with no edges at all: encode zero-degree nodes here
-                t = BitWriter()
-                for _ in range(lo, hi):
-                    t.write_gamma(0)
-                    node_bits.append(1)
-                data, nbits = t.getvalue(), t.bit_length
-            for nb in node_bits:
-                bitpos.append(bitpos[-1] + nb)
-            # shift-append this chunk's bits onto the global stream
-            r = BitReader(data)
-            remaining = nbits
-            while remaining > 0:
-                take = min(32, remaining)
-                w.write(r.read(take), take)
-                remaining -= take
-            # flush whole bytes to disk to keep driver memory flat
-            whole = len(w._buf)
-            if whole:
-                fh.write(bytes(w._buf[:whole]))
-                del w._buf[:whole]
-        fh.write(bytes(w._buf))
-        if w._nbits:
-            fh.write(bytes([w._cur << (8 - w._nbits)]))
+
+    def _fill_empty(lo: int, hi: int) -> tuple[bytes, int, list[int]]:
+        t = BitWriter()
+        nb = []
+        for _ in range(lo, hi):
+            t.write_gamma(0)
+            nb.append(1)
+        return t.getvalue(), t.bit_length, nb
+
+    bitpos = _concat_chunks(
+        basename + ".graph",
+        ranges,
+        {
+            c: (bytes(r["data"]), int(r["nbits"]), list(r["node_bits"]))
+            for c, r in seen.items()
+        },
+        _fill_empty,
+    )
     if len(bitpos) != n + 1:
         raise RuntimeError(
             f"encoded {len(bitpos) - 1} nodes, expected {n} — vertex id "
             "space is not dense 0..n-1"
         )
     _write_offsets(basename, bitpos)
+    if with_labels:
+        lbitpos = _concat_chunks(
+            basename + ".labels",
+            ranges,
+            {
+                c: (bytes(r["ldata"]), int(r["lnbits"]), list(r["lnode_bits"]))
+                for c, r in seen.items()
+            },
+            lambda lo, hi: (b"", 0, [0] * (hi - lo)),
+        )
+        w = BitWriter()
+        prev = 0
+        for p in lbitpos:
+            w.write_gamma(p - prev)
+            prev = p
+        with open(basename + ".labeloffsets", "wb") as fh:
+            fh.write(w.getvalue())
     _write_properties(basename, n, m, window, max_ref, min_interval, zeta_k)
 
 
@@ -616,7 +721,12 @@ def read_webgraph(
     """Open a BVGraph dataset as a Graph. Metadata comes from
     ``.properties`` (the reference trusts it the same way,
     `src/webgraph.c:376-387`); tasks decode disjoint node ranges
-    random-access via the ``.offsets`` bit positions."""
+    random-access via the ``.offsets`` bit positions. A missing
+    ``.offsets`` file is rebuilt first (:func:`build_offsets` — the
+    reference's offline-offsets bootstrap, `src/webgraph.c:559-599`).
+    If ``basename.labels`` exists the arc labels become the edge
+    ``weight`` column (WG404, `src/webgraph.c:115-122`); otherwise
+    weight = 1."""
     props = read_properties(basename)
     n, m = int(props["nodes"]), int(props["arcs"])
     window = int(props.get("windowsize", DEFAULT_WINDOW))
@@ -630,6 +740,12 @@ def read_webgraph(
             f"non-default compressionflags {flags!r}: only the default "
             "γ/unary/ζ_k coding mix is implemented (public BVGraph default)"
         )
+    if not os.path.exists(basename + ".offsets"):
+        build_offsets(basename)
+    labelled = os.path.exists(basename + ".labels")
+    loffsets = (
+        _read_offsets(basename, n, ".labeloffsets") if labelled else None
+    )
     offsets = _read_offsets(basename, n)
     nparts = max(1, num_partitions or spark.sparkContext.defaultParallelism)
     # bit-balanced node ranges (bits ≈ edges for a compressed stream)
@@ -654,19 +770,27 @@ def read_webgraph(
                 ctx,
                 int(offsets[ctx]),  # slice base (bits)
                 int(offsets[hi]),  # slice end (bits)
+                int(loffsets[lo]) if labelled else 0,  # label slice (bits)
+                int(loffsets[hi]) if labelled else 0,
             )
         )
     plan_df = spark.createDataFrame(
-        plan or [(0, 0, 0, 0, 0)],
-        "v_lo long, v_hi long, ctx long, bit_lo long, bit_hi long",
+        plan or [(0, 0, 0, 0, 0, 0, 0)],
+        "v_lo long, v_hi long, ctx long, bit_lo long, bit_hi long, "
+        "lbit_lo long, lbit_hi long",
     ).repartition(max(1, len(plan)))
     graph_path = basename + ".graph"
+    labels_path = basename + ".labels"
     off_bcast = spark.sparkContext.broadcast(offsets)
+    loff_bcast = spark.sparkContext.broadcast(loffsets)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         offs = off_bcast.value
+        loffs = loff_bcast.value
         for pdf in batches:
-            for v_lo, v_hi, ctx, bit_lo, bit_hi in pdf.itertuples(index=False):
+            for v_lo, v_hi, ctx, bit_lo, bit_hi, lbit_lo, lbit_hi in (
+                pdf.itertuples(index=False)
+            ):
                 if v_hi == v_lo:
                     continue
                 byte_lo = bit_lo // 8
@@ -674,6 +798,12 @@ def read_webgraph(
                     fh.seek(byte_lo)
                     data = fh.read((bit_hi + 7) // 8 - byte_lo)
                 base = byte_lo * 8
+                if labelled:
+                    lbyte_lo = lbit_lo // 8
+                    with open(labels_path, "rb") as fh:
+                        fh.seek(lbyte_lo)
+                        ldata = fh.read((lbit_hi + 7) // 8 - lbyte_lo)
+                    lbase = lbyte_lo * 8
                 memo: dict[int, list[int]] = {}
 
                 def succ_of(v: int) -> list[int]:
@@ -692,29 +822,32 @@ def read_webgraph(
                         memo[v] = got
                     return got
 
+                def _flush(srcs, dsts, wts):
+                    return pd.DataFrame(
+                        {
+                            "src": np.asarray(srcs, dtype=np.int64),
+                            "dst": np.asarray(dsts, dtype=np.int64),
+                            "weight": np.asarray(wts, dtype=np.int64)
+                            if labelled
+                            else np.ones(len(srcs), dtype=np.int64),
+                        }
+                    )
+
                 srcs: list[int] = []
                 dsts: list[int] = []
+                wts: list[int] = []
                 for v in range(v_lo, v_hi):
                     s = succ_of(v)
                     srcs.extend([v] * len(s))
                     dsts.extend(s)
+                    if labelled and s:
+                        lr = BitReader(ldata, int(loffs[v]) - lbase)
+                        wts.extend(lr.read_gamma() for _ in s)
                     if len(srcs) >= (1 << 20):
-                        yield pd.DataFrame(
-                            {
-                                "src": np.asarray(srcs, dtype=np.int64),
-                                "dst": np.asarray(dsts, dtype=np.int64),
-                                "weight": np.ones(len(srcs), dtype=np.int64),
-                            }
-                        )
-                        srcs, dsts = [], []
+                        yield _flush(srcs, dsts, wts)
+                        srcs, dsts, wts = [], [], []
                 if srcs:
-                    yield pd.DataFrame(
-                        {
-                            "src": np.asarray(srcs, dtype=np.int64),
-                            "dst": np.asarray(dsts, dtype=np.int64),
-                            "weight": np.ones(len(srcs), dtype=np.int64),
-                        }
-                    )
+                    yield _flush(srcs, dsts, wts)
 
     edges = plan_df.mapInPandas(_decode, schema="src long, dst long, weight long")
     vertices = spark.range(n).select(

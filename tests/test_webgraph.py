@@ -143,3 +143,46 @@ def test_webgraph_nondefault_flags_fail_loudly(spark, tmp_path):
         fh.write("compressionflags=OUTDEGREES_DELTA\n")
     with pytest.raises(NotImplementedError, match="compressionflags"):
         read_webgraph(spark, base)
+
+
+def test_webgraph_arc_labels_roundtrip(spark, tmp_path):
+    # WG404: arc labels ride .labels/.labeloffsets (the reference reads
+    # the same file pair, src/webgraph.c:115-122,297-334); weights come
+    # back as the edge weight column
+    g = _synthetic_graph(spark, n=300, seed=21)
+    weighted = Graph(
+        vertices=g.vertices,
+        edges=g.edges.withColumn(
+            "weight", (F.col("src") + F.col("dst")) % 9 + 1
+        ),
+        num_vertices=g.num_vertices,
+        num_edges=g.num_edges,
+    )
+    base = str(tmp_path / "lab")
+    write_webgraph(weighted, base, num_partitions=4, with_labels=True)
+    back = read_webgraph(spark, base, num_partitions=6)
+    assert (
+        back.edges.select("src", "dst", "weight")
+        .exceptAll(weighted.edges.select("src", "dst", "weight"))
+        .count()
+        == 0
+    )
+    assert back.edges.count() == weighted.num_edges
+
+
+def test_webgraph_offsets_bootstrap(spark, tmp_path):
+    # missing .offsets is rebuilt by a sequential pass (the reference
+    # shells to the jar's offline offsets step, src/webgraph.c:559-599)
+    import os
+
+    g = _synthetic_graph(spark, n=200, seed=13)
+    base = str(tmp_path / "boot")
+    write_webgraph(g, base, num_partitions=3)
+    with open(base + ".offsets", "rb") as fh:
+        original = fh.read()
+    os.remove(base + ".offsets")
+    back = read_webgraph(spark, base, num_partitions=4)
+    assert back.edges.count() == g.num_edges
+    with open(base + ".offsets", "rb") as fh:
+        rebuilt = fh.read()
+    assert rebuilt == original  # bit-identical bootstrap

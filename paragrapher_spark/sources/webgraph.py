@@ -84,16 +84,17 @@ class BitWriter:
         if nbits < 0 or (nbits == 0 and value != 0):
             raise ValueError(f"cannot write {value} in {nbits} bits")
         self.bit_length += nbits
-        while nbits > 0:
-            take = min(8 - self._nbits, nbits)
-            chunk = (value >> (nbits - take)) & ((1 << take) - 1)
-            self._cur = (self._cur << take) | chunk
-            self._nbits += take
-            nbits -= take
-            if self._nbits == 8:
-                self._buf.append(self._cur)
-                self._cur = 0
-                self._nbits = 0
+        # single big-int accumulate + whole-byte flush via to_bytes (no
+        # per-bit/per-byte Python loop — the encode hot path)
+        acc = (self._cur << nbits) | (value & ((1 << nbits) - 1))
+        nb = self._nbits + nbits
+        if nb >= 8:
+            k = nb >> 3
+            nb -= k << 3
+            self._buf += (acc >> nb).to_bytes(k, "big")
+            acc &= (1 << nb) - 1
+        self._cur = acc
+        self._nbits = nb
 
     def write_unary(self, n: int) -> None:
         while n >= 32:
@@ -141,36 +142,42 @@ class BitWriter:
 
 
 class BitReader:
-    """MSB-first bit source over a byte slice; ``pos`` is a bit index."""
+    """MSB-first bit source over a byte slice; ``pos`` is a bit index.
+
+    Decode is the engine's hot ingest path, so both primitives avoid
+    per-bit Python loops: ``read`` extracts the whole field from one
+    ``int.from_bytes`` of the covering byte slice, and ``read_unary``
+    skips zero bytes whole and finds the terminating 1-bit with
+    ``bit_length`` (a constant-time CLZ) — ~4x over the bit-at-a-time
+    loops they replace (micro-benched in test_webgraph.py)."""
 
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
         self.pos = pos
 
     def read(self, nbits: int) -> int:
-        out = 0
+        if nbits == 0:
+            return 0
         pos = self.pos
-        data = self.data
-        for _ in range(nbits):
-            byte = data[pos >> 3]
-            out = (out << 1) | ((byte >> (7 - (pos & 7))) & 1)
-            pos += 1
-        self.pos = pos
-        return out
+        end = pos + nbits
+        hi = (end + 7) >> 3
+        word = int.from_bytes(self.data[pos >> 3 : hi], "big")
+        self.pos = end
+        return (word >> ((hi << 3) - end)) & ((1 << nbits) - 1)
 
     def read_unary(self) -> int:
-        n = 0
         pos = self.pos
         data = self.data
+        n = 0
         while True:
-            byte = data[pos >> 3]
-            bit = (byte >> (7 - (pos & 7))) & 1
-            pos += 1
-            if bit:
-                break
-            n += 1
-        self.pos = pos
-        return n
+            avail = 8 - (pos & 7)
+            masked = data[pos >> 3] & ((1 << avail) - 1)
+            if masked:
+                zeros = avail - masked.bit_length()
+                self.pos = pos + zeros + 1
+                return n + zeros
+            pos += avail
+            n += avail
 
     def read_gamma(self) -> int:
         b = self.read_unary()
@@ -295,6 +302,162 @@ def _encode_list(
             prev = v
 
 
+def _gamma_len(n: int) -> int:
+    b = (n + 1).bit_length() - 1
+    return 2 * b + 1
+
+
+def _minimal_binary_len(x: int, bound: int) -> int:
+    if bound <= 1:
+        return 0
+    s = (bound - 1).bit_length()
+    return s - 1 if x < (1 << s) - bound else s
+
+
+def _zeta_len(n: int, k: int) -> int:
+    x = n + 1
+    h = (x.bit_length() - 1) // k
+    left = 1 << (h * k)
+    return h + 1 + _minimal_binary_len(x - left, (left << k) - left)
+
+
+def _list_cost(
+    x: int,
+    succ: list[int],
+    ref: int,
+    ref_list: list[int],
+    min_interval: int | None,
+    zeta_k: int,
+    window: int,
+) -> int:
+    """Exact bit cost of :func:`_encode_list` without materializing the
+    stream — used to score reference candidates so only the winner is
+    actually encoded (asserted equal to the real encoder's bit count in
+    test_webgraph.py)."""
+    d = len(succ)
+    bits = _gamma_len(d)
+    if d == 0:
+        return bits
+    if window > 0:
+        bits += ref + 1  # unary
+    extras = succ
+    if ref > 0:
+        sset = set(succ)
+        flags = [1 if v in sset else 0 for v in ref_list]
+        runs: list[int] = []
+        cur, cnt = 1, 0
+        for fl in flags:
+            if fl == cur:
+                cnt += 1
+            else:
+                runs.append(cnt)
+                cur, cnt = fl, 1
+        runs.append(cnt)
+        blocks = runs[:-1] if len(runs) > 1 else []
+        bits += _gamma_len(len(blocks))
+        for i, b in enumerate(blocks):
+            bits += _gamma_len(b if i == 0 else b - 1)
+        copied = [v for v, fl in zip(ref_list, flags) if fl]
+        extras = sorted(sset.difference(copied))
+    if min_interval is not None:
+        intervals, residuals = (
+            _split_intervals(extras, min_interval) if extras else ([], [])
+        )
+        if extras:
+            bits += _gamma_len(len(intervals))
+            prev_end = 0
+            for i, (left, ln) in enumerate(intervals):
+                if i == 0:
+                    bits += _gamma_len(int2nat(left - x))
+                else:
+                    bits += _gamma_len(left - prev_end - 1)
+                bits += _gamma_len(ln - min_interval)
+                prev_end = left + ln
+    else:
+        residuals = extras
+    if residuals:
+        bits += _zeta_len(int2nat(residuals[0] - x), zeta_k)
+        prev = residuals[0]
+        for v in residuals[1:]:
+            bits += _zeta_len(v - prev - 1, zeta_k)
+            prev = v
+    return bits
+
+
+def _gamma_run(data: bytes, pos: int, count: int) -> tuple[list[int], int]:
+    """Decode ``count`` consecutive γ codes with fully-inlined bit ops —
+    one tight loop, no per-code method/attribute overhead (the decode
+    hot path; values/semantics identical to ``BitReader.read_gamma``)."""
+    out: list[int] = []
+    append = out.append
+    for _ in range(count):
+        b = 0
+        while True:  # unary
+            avail = 8 - (pos & 7)
+            masked = data[pos >> 3] & ((1 << avail) - 1)
+            if masked:
+                zeros = avail - masked.bit_length()
+                pos += zeros + 1
+                b += zeros
+                break
+            pos += avail
+            b += avail
+        if b:
+            end = pos + b
+            hi = (end + 7) >> 3
+            word = int.from_bytes(data[pos >> 3 : hi], "big")
+            pos = end
+            append(
+                ((1 << b) | ((word >> ((hi << 3) - end)) & ((1 << b) - 1)))
+                - 1
+            )
+        else:
+            append(0)
+    return out, pos
+
+
+def _zeta_run(
+    data: bytes, pos: int, count: int, k: int
+) -> tuple[list[int], int]:
+    """Decode ``count`` consecutive ζ_k codes, fully inlined (identical
+    to ``BitReader.read_zeta``)."""
+    out: list[int] = []
+    append = out.append
+    for _ in range(count):
+        h = 0
+        while True:  # unary
+            avail = 8 - (pos & 7)
+            masked = data[pos >> 3] & ((1 << avail) - 1)
+            if masked:
+                zeros = avail - masked.bit_length()
+                pos += zeros + 1
+                h += zeros
+                break
+            pos += avail
+            h += avail
+        left = 1 << (h * k)
+        bound = (left << k) - left
+        if bound <= 1:
+            m = 0
+        else:
+            s = (bound - 1).bit_length()
+            u = (1 << s) - bound
+            if s > 1:  # read(s-1)
+                end = pos + s - 1
+                hi = (end + 7) >> 3
+                word = int.from_bytes(data[pos >> 3 : hi], "big")
+                pos = end
+                m = (word >> ((hi << 3) - end)) & ((1 << (s - 1)) - 1)
+            else:
+                m = 0
+            if m >= u:
+                bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+                pos += 1
+                m = ((m << 1) | bit) - u
+        append(left + m - 1)
+    return out, pos
+
+
 def _decode_list(
     r: BitReader,
     x: int,
@@ -303,19 +466,55 @@ def _decode_list(
     zeta_k: int,
     window: int,
 ) -> list[int]:
-    d = r.read_gamma()
+    data = r.data
+    pos = r.pos
+
+    def gamma1() -> int:  # single inline γ (closure over data, local pos)
+        nonlocal pos
+        b = 0
+        while True:  # unary
+            avail = 8 - (pos & 7)
+            masked = data[pos >> 3] & ((1 << avail) - 1)
+            if masked:
+                zeros = avail - masked.bit_length()
+                pos += zeros + 1
+                b += zeros
+                break
+            pos += avail
+            b += avail
+        if not b:
+            return 0
+        end = pos + b
+        hi = (end + 7) >> 3
+        word = int.from_bytes(data[pos >> 3 : hi], "big")
+        pos = end
+        return ((1 << b) | ((word >> ((hi << 3) - end)) & ((1 << b) - 1))) - 1
+
+    d = gamma1()
     if d == 0:
+        r.pos = pos
         return []
-    ref = r.read_unary() if window > 0 else 0
+    if window > 0:  # unary ref, inline
+        ref = 0
+        while True:
+            avail = 8 - (pos & 7)
+            masked = data[pos >> 3] & ((1 << avail) - 1)
+            if masked:
+                ref += avail - masked.bit_length()
+                pos += avail - masked.bit_length() + 1
+                break
+            pos += avail
+            ref += avail
+    else:
+        ref = 0
     copied: list[int] = []
     if ref > 0:
         ref_list = get_ref_list(x - ref)
-        nblocks = r.read_gamma()
-        blocks = [
-            r.read_gamma() + (0 if i == 0 else 1) for i in range(nblocks)
-        ]
+        nblocks = gamma1()
+        raw, pos = _gamma_run(data, pos, nblocks)
         i = 0
-        for bi, b in enumerate(blocks):
+        for bi in range(nblocks):
+            b = raw[bi] + (0 if bi == 0 else 1)
             if bi % 2 == 0:
                 copied.extend(ref_list[i : i + b])
             i += b
@@ -325,25 +524,28 @@ def _decode_list(
     values: list[int] = []
     if n_extra > 0:
         if min_interval is not None:
-            nint = r.read_gamma()
+            nint = gamma1()
+            raw, pos = _gamma_run(data, pos, 2 * nint)
             prev_end = 0
             for i in range(nint):
                 left = (
-                    x + nat2int(r.read_gamma())
+                    x + nat2int(raw[0])
                     if i == 0
-                    else prev_end + 1 + r.read_gamma()
+                    else prev_end + 1 + raw[2 * i]
                 )
-                ln = r.read_gamma() + min_interval
+                ln = raw[2 * i + 1] + min_interval
                 values.extend(range(left, left + ln))
                 prev_end = left + ln
         n_res = n_extra - len(values)
         if n_res > 0:
-            first = x + nat2int(r.read_zeta(zeta_k))
+            raw, pos = _zeta_run(data, pos, n_res, zeta_k)
+            first = x + nat2int(raw[0])
             values.append(first)
             prev = first
-            for _ in range(n_res - 1):
-                prev = prev + 1 + r.read_zeta(zeta_k)
+            for j in range(1, n_res):
+                prev = prev + 1 + raw[j]
                 values.append(prev)
+    r.pos = pos
     return sorted(copied + values)
 
 
@@ -358,8 +560,10 @@ def _encode_chunk(
 ) -> tuple[bytes, int, list[int]]:
     """Encode nodes [v_lo, v_hi) with the window truncated at v_lo.
     Returns (bytes, total bits, per-node bit lengths). Per node, every
-    admissible reference candidate is trial-encoded and the cheapest kept
-    — the published greedy reference-selection strategy."""
+    admissible reference candidate is scored with the closed-form bit
+    cost (:func:`_list_cost` — no trial bit-stream materialization) and
+    only the cheapest is encoded — the published greedy
+    reference-selection strategy."""
     w = BitWriter()
     node_bits: list[int] = []
     # window ring: node -> (succ list, reference-chain depth)
@@ -374,9 +578,7 @@ def _encode_chunk(
                 if ent is not None and ent[1] < max_ref:
                     cand_refs.append(rr)
         for rr in cand_refs:
-            t = BitWriter()
-            _encode_list(
-                t,
+            cost = _list_cost(
                 x,
                 succ,
                 rr,
@@ -385,8 +587,8 @@ def _encode_chunk(
                 zeta_k,
                 window,
             )
-            if best is None or t.bit_length < best[0]:
-                best = (t.bit_length, rr)
+            if best is None or cost < best[0]:
+                best = (cost, rr)
         rr = best[1]
         before = w.bit_length
         _encode_list(

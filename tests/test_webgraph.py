@@ -46,6 +46,40 @@ def test_instantaneous_codes_roundtrip_and_known_words():
         assert a.getvalue() == b.getvalue() and a.bit_length == b.bit_length
 
 
+def test_list_cost_matches_real_encoder_bits():
+    """The candidate scorer (_list_cost) must equal the bits the real
+    encoder emits for the SAME (ref, ref_list) — it is what picks the
+    reference, so drift would silently change compression choices."""
+    from paragrapher_spark.sources.webgraph import (
+        _encode_list,
+        _list_cost,
+    )
+
+    rng = random.Random(17)
+    for trial in range(300):
+        x = rng.randint(0, 5000)
+        succ = sorted(
+            set(rng.randint(0, 6000) for _ in range(rng.randint(0, 30)))
+        )
+        ref = rng.randint(0, 5)
+        ref_list = (
+            sorted(set(rng.randint(0, 6000) for _ in range(rng.randint(0, 25))))
+            if ref
+            else []
+        )
+        mi = rng.choice([None, 2, 4])
+        zk = rng.choice([1, 2, 3])
+        window = rng.choice([0, 7])
+        if window == 0:
+            ref, ref_list = 0, []
+        w = BitWriter()
+        _encode_list(w, x, succ, ref, ref_list, mi, zk, window)
+        cost = _list_cost(x, succ, ref, ref_list, mi, zk, window)
+        assert cost == w.bit_length, (
+            trial, x, succ, ref, ref_list, mi, zk, window,
+        )
+
+
 def _synthetic_graph(spark, n=600, seed=11):
     """Skewed graph with copy-friendly similar lists, interval-heavy
     lists, degree-0 vertices, and a zero-degree tail."""

@@ -284,6 +284,61 @@ def main() -> None:
     sessionize_batch(ev, gap_minutes=30).count()
     queries["sessions"] = round(time.monotonic() - t0, 3)
 
+    # BVGraph ingest probe — the reference's headline metric class is
+    # compressed-graph LOAD throughput (paper §5.2/§5.4: 179-952 M
+    # edges/s with a C/Java codec). This engine's steady-state path is
+    # transcode-once -> parquet (the parquet scan_floor below is then the
+    # "decompressor"); the native pure-Python codec is the one-time
+    # bridge, measured here in both directions on the headline graph so
+    # the cost is disclosed, not hidden.
+    import shutil
+    import tempfile
+
+    from paragrapher_spark.graph import Graph
+    from paragrapher_spark.sources.webgraph import read_webgraph, write_webgraph
+
+    ed = copurchase_edges(spark, SF_DIR)
+    n_v = ed.agg(
+        F.greatest(F.max("src"), F.max("dst")).alias("mx")
+    ).collect()[0]["mx"] + 1
+    n_e = ed.count()
+    gw = Graph(
+        vertices=spark.range(n_v).select(
+            "id",
+            F.lit(None).cast("string").alias("repo"),
+            F.lit(None).cast("string").alias("path"),
+        ),
+        edges=ed.withColumn("weight", F.lit(1).cast("long")),
+        num_vertices=int(n_v),
+        num_edges=n_e,
+    )
+    wg_dir = tempfile.mkdtemp(prefix="bench_wg_")
+    base = os.path.join(wg_dir, "copurchase")
+    try:
+        t0 = time.monotonic()
+        write_webgraph(gw, base)
+        enc_dt = time.monotonic() - t0
+        t0 = time.monotonic()
+        m_dec = read_webgraph(spark, base).edges.count()
+        dec_dt = time.monotonic() - t0
+        gbytes = os.path.getsize(base + ".graph")
+        queries["webgraph_decode"] = round(dec_dt, 3)
+        extra["webgraph_ingest"] = {
+            "edges": m_dec,
+            "bits_per_edge": round(gbytes * 8 / max(1, m_dec), 2),
+            "encode_sec": round(enc_dt, 3),
+            "encode_edges_per_sec": round(m_dec / enc_dt) if enc_dt > 0 else 0,
+            "decode_sec": round(dec_dt, 3),
+            "decode_edges_per_sec": round(m_dec / dec_dt) if dec_dt > 0 else 0,
+            "note": (
+                "one-time transcode bridge (pure-Python bit codec, "
+                "distributed); steady-state reads use parquet — see "
+                "scan_floor"
+            ),
+        }
+    finally:
+        shutil.rmtree(wg_dir, ignore_errors=True)
+
     # per-query regression sweep: every driver query, one pass at sf0.01
     # (VERDICT r2 task #9 — round-over-round visibility for all queries,
     # not just the 8 headline ones). Timed as plan + execute + fetch-count;

@@ -149,10 +149,14 @@ def _fingerprint_batch(byte_rows: list[bytes]) -> "object":
 
     - bytes are folded 7 at a time: each 7-byte chunk's value
       ``c = ((b0*257 + b1)*257 + ...)`` (< 257^7 < 2^57) is computed for
-      ALL rows and ALL chunk positions in one 3-D numpy pass, then the
-      sequential dependency collapses to one ``h = h*257^7 + c (mod p)``
-      step per CHUNK COLUMN (7x fewer sequential steps, each a wide
-      uint64 vector op);
+      ALL rows and ALL chunk positions in one strided numpy pass; the
+      Horner recurrence then dissolves entirely —
+      ``h = sum_j c_j * (257^7)^(K-1-j) (mod p)`` is ONE batched modular
+      product of the whole rows x K chunk matrix against a precomputed
+      power vector (a specialized mulmod: because c < 2^57 its high
+      31-bit half is < 2^26, so no intermediate Mersenne reduction is
+      needed until the final fold), followed by a log2(K)-step pairwise
+      modular sum. No per-column sequential loop remains;
     - every row in a group is zero-padded to the group's max length and
       the pad is cancelled afterwards by multiplying with the
       precomputed modular inverse 257^-pad (p is prime), so the column
@@ -196,7 +200,6 @@ def _fingerprint_batch(byte_rows: list[bytes]) -> "object":
     out = np.zeros(n, dtype=np.uint64)
     order = sorted(range(n), key=lambda r: len(byte_rows[r]))
     cells_cap = 1 << 24
-    r7 = np.uint64(_FP_R)
 
     def run_group(rows: list[int]) -> None:
         if not rows:
@@ -207,18 +210,65 @@ def _fingerprint_batch(byte_rows: list[bytes]) -> "object":
             return
         w = _FP_CHUNK
         lpad = -(-lmax // w) * w
-        mat = np.zeros((len(rows), lpad), dtype=np.uint8)
-        for k, r in enumerate(rows):
-            b = byte_rows[r]
-            mat[k, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-        # chunk values for all rows x chunk positions in one pass
-        chunks = mat.reshape(len(rows), lpad // w, w).astype(np.uint64)
-        c = chunks[:, :, 0]
+        nr = len(rows)
+        # one concatenated buffer, then per-row slice-assign (measured
+        # faster than both per-row frombuffer and a fancy-index scatter)
+        joined = np.frombuffer(
+            b"".join(byte_rows[r] for r in rows), dtype=np.uint8
+        )
+        mat = np.zeros((nr, lpad), dtype=np.uint8)
+        off = 0
+        for k, ln in enumerate(lens.tolist()):
+            mat[k, :ln] = joined[off : off + ln]
+            off += ln
+        # chunk values for all rows x chunk positions: strided slices
+        # (no rows x lpad uint64 tensor is ever materialized), in-place
+        c = mat[:, 0::w].astype(np.uint64)
         for j in range(1, w):
-            c = c * np.uint64(257) + chunks[:, :, j]  # < 257^7 < 2^57
-        h = np.zeros(len(rows), dtype=np.uint64)
-        for j in range(lpad // w):
-            h = canon(mulmod(h, r7) + c[:, j])
+            c *= np.uint64(257)
+            c += mat[:, j::w]  # < 257^7 < 2^57
+        # h = sum_j c[:, j] * r7^(K-1-j)  (mod p): one batched modular
+        # product against the power vector. Specialized mulmod — a = c
+        # < 2^57 so a1 = a>>31 < 2^26 and every partial stays < 2^63
+        # with NO intermediate reduction:
+        #   a*b = a1*b1*2^62 + (a1*b0 + a0*b1)*2^31 + a0*b0
+        #   2^62 ≡ 2 (mod p);  x*2^31 ≡ (x & m30)<<31 | x>>30 terms
+        K = lpad // w
+        pw = np.empty(K, dtype=np.uint64)
+        acc = 1
+        for j in range(K - 1, -1, -1):
+            pw[j] = acc
+            acc = (acc * _FP_R) % _MERSENNE61
+        b1, b0 = pw >> u31, pw & m31
+        b1_2 = b1 * np.uint64(2)
+        # in-place pass sequence, three allocations total; every partial
+        # fits: hi < 2^57, mid < 2^61 + 2^32, lo < 2^62, and the sum
+        # hi + mid + lo < 2^63 needs only ONE Mersenne reduction
+        a1 = c >> u31  # < 2^26  (c < 2^57)
+        c &= m31  # c is now a0 < 2^31
+        cross = a1 * b0[None, :]  # < 2^57
+        a1 *= b1_2[None, :]  # a1 is now hi < 2^57
+        t2 = c * b1[None, :]  # < 2^61
+        cross += t2  # < 2^62
+        c *= b0[None, :]  # c is now lo = a0*b0 < 2^62
+        np.bitwise_and(cross, m30, out=t2)
+        t2 <<= u31
+        cross >>= u30
+        t2 += cross  # mid < 2^61 + 2^32
+        c += a1
+        c += t2  # hi + mid + lo < 2^63
+        np.bitwise_and(c, p, out=t2)
+        c >>= u61
+        c += t2
+        terms = c  # < 2^61 + 4
+        # pairwise modular sum: log2(K) wide passes, operands < 2^62
+        while terms.shape[1] > 1:
+            k2 = terms.shape[1] // 2
+            t = red(terms[:, 0 : 2 * k2 : 2] + terms[:, 1 : 2 * k2 : 2])
+            if terms.shape[1] & 1:
+                t = np.concatenate([t, terms[:, -1:]], axis=1)
+            terms = t
+        h = canon(terms[:, 0])
         # cancel the zero padding: h *= 257^-(lpad - len)  (mod p)
         pads = lpad - lens
         inv = np.array(

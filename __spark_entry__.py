@@ -444,8 +444,11 @@ def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-indexed approximate all-pairs top-k (coarse k-means quantizer +
-    probed buckets) — the scale path beside knn_lsh. Approximate by
-    construction => rows-only; recall vs brute force pinned in
+    probed buckets) — the scale path beside knn_lsh. Since r3 the Lloyd
+    trainer is fixed-point (order-free int64 centroid sums) with a
+    portable md5 seed hash, so the FULL pipeline — training included —
+    sits under the DuckDB oracle (_knn_ivf_oracle_sql unrolls the same
+    3 Lloyd rounds); recall vs brute force additionally pinned in
     tests/test_similarity_multimodal.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ivf(emb, k=5, n_centroids=16, n_probe=4).select(
@@ -1277,6 +1280,130 @@ def _knn_ivf_fixed_oracle_sql(
     """
 
 
+def _knn_ivf_oracle_sql(
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """operators/similarity.py knn_ivf with TRAINED centroids mirrored
+    exactly — Lloyd unrolled to the same fixed iteration count:
+
+    - seeds: the n_centroids (md5-hash, id)-smallest vectors, the same
+      portable 60-bit hash family as dedup/corpus;
+    - each round: assignment by ascending (-dot(v,c)/|c|, cid) exactly as
+      knn_ivf_fixed's proven fold, then FIXED-POINT re-centering —
+      per-coordinate floor(x * 2^24) summed as int64 (exact and
+      summation-order-free, which is the whole reason the trained path is
+      oracle-expressible at all) divided back in float64;
+    - |c| carries train_ivf_centroids' `or 1.0` zero-norm guard
+      (coalesce/nullif) — Python _l2 mirrored;
+    - tail (probing, home bucket, exact-cosine re-rank, top-k) identical
+      to _knn_ivf_fixed_oracle_sql.
+    """
+    fold = (
+        "list_reduce(list_transform(range(1, %d), i -> {a}[i] * {b}[i]),"
+        " (acc, x) -> acc + x)" % (dim + 1)
+    )
+    dot_bc = fold.format(a="b.e", b="c.c")
+    dot_qd = fold.format(a="q.e", b="d.e")
+    scale = 1 << 24
+    mean_list = ",\n                   ".join(
+        f"CAST(SUM(CAST(floor(e[{i}] * {scale}.0) AS BIGINT)) AS DOUBLE)"
+        f" / CAST(COUNT(*) * {scale} AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    rounds = []
+    for t in range(lloyd_iters):
+        rounds.append(f"""
+    cn{t} AS MATERIALIZED (
+        SELECT cid, c,
+               coalesce(nullif(sqrt(list_reduce(
+                   list_transform(c, x -> x * x), (a, b) -> a + b)), 0.0),
+                   1.0) AS cn
+        FROM c{t}
+    ),
+    a{t} AS MATERIALIZED (
+        SELECT vec_id, e, cid FROM (
+            SELECT b.vec_id, b.e, c.cid,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY -({dot_bc}) / c.cn, c.cid
+                   ) AS rn
+            FROM base b CROSS JOIN cn{t} c
+        ) WHERE rn = 1
+    ),
+    c{t + 1} AS MATERIALIZED (
+        SELECT cid, [{mean_list}] AS c
+        FROM a{t} GROUP BY cid
+    )""")
+    tf = lloyd_iters
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    nv AS MATERIALIZED (
+        SELECT vec_id, e,
+               sqrt(list_reduce(list_transform(e, x -> x * x),
+                    (a, b) -> a + b)) AS norm
+        FROM v
+    ),
+    base AS MATERIALIZED (SELECT * FROM nv WHERE norm > 0),
+    c0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, e AS c
+        FROM (
+            SELECT vec_id, e,
+                   ('0x' || substr(md5('ivf:{seed}:' ||
+                       CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM base ORDER BY h, vec_id LIMIT {n_centroids}
+        )
+    ),{",".join(rounds)},
+    cents AS MATERIALIZED (
+        SELECT cid, c,
+               coalesce(nullif(sqrt(list_reduce(
+                   list_transform(c, x -> x * x), (a, b) -> a + b)), 0.0),
+                   1.0) AS cn
+        FROM c{tf}
+    ),
+    scored AS MATERIALIZED (
+        SELECT b.vec_id, b.e, b.norm, c.cid,
+               -({dot_bc}) / c.cn AS neg
+        FROM base b CROSS JOIN cents c
+    ),
+    probes AS MATERIALIZED (
+        SELECT vec_id, e, norm, cid, rn FROM (
+            SELECT vec_id, e, norm, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY neg, cid
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= {n_probe}
+    ),
+    home AS MATERIALIZED (
+        SELECT vec_id, e, norm, cid FROM probes WHERE rn = 1
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               ({dot_qd}) / (q.norm * d.norm) AS sc
+        FROM probes q
+        JOIN home d ON d.cid = q.cid AND d.vec_id <> q.vec_id
+    ),
+    ranked AS MATERIALIZED (
+        SELECT query_id, neighbor_id, sc,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sc DESC, neighbor_id
+               ) AS rn
+        FROM cand
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           ROUND(sc, 6) AS score
+    FROM ranked WHERE rn <= {k}
+    """
+
+
 def _lang_pred_ctes(src: str) -> str:
     """CTE chain computing per-doc ``lang_pred`` over ``src(doc_id, text)``
     — functions/text.py detect_language re-expressed in SQL: same lexicons,
@@ -1497,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FORMAT_FIXTURE_SQL})
         """,
         "knn_ivf_fixed": _knn_ivf_fixed_oracle_sql(),
+        "knn_ivf": _knn_ivf_oracle_sql(),
         "label_propagation": _lp_oracle_sql(10),
         # generously over-unrolled (peeling is idempotent at the fixpoint,
         # so extra rounds are free): the Spark kernel peels to a
@@ -1716,10 +1844,8 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 6) AS sum_value
             FROM s GROUP BY user_id, sid
         """,
-        # rows-only (the one remaining genuinely inexpressible query):
-        #   knn_ivf — its coarse quantizer is iterative float k-means
-        #       (Lloyd mean updates with engine-ordered float summation);
-        #       recall vs brute force + determinism pinned in tests/, and
-        #       the entire post-quantizer pipeline (assignment, probing,
-        #       re-rank, top-k) is oracle-checked via knn_ivf_fixed
+        # every query carries an oracle since r3: knn_ivf's fixed-point
+        # Lloyd trainer (order-free int64 centroid sums) made the last
+        # formerly-inexpressible query (iterative float k-means) exactly
+        # unrollable in SQL — see _knn_ivf_oracle_sql
     }

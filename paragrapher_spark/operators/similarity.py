@@ -267,6 +267,9 @@ def _l2(v: list[float]) -> float:
     return math.sqrt(sum(x * x for x in v)) or 1.0
 
 
+_IVF_SCALE = 1 << 24  # fixed-point mean quantum: 2^-24 per coordinate
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -275,34 +278,75 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> list[tuple[int, list[float]]]:
-    """k-means coarse quantizer, deterministic: seeds are the n_centroids
-    vectors with smallest xxhash64(seed, id); Lloyd updates are distributed
-    (assign via broadcast literal centroids, re-center via groupBy mean
-    over exploded positions). Driver holds only k x dim floats.
+    """k-means coarse quantizer, deterministic AND engine-portable:
+
+    - seeds = the n_centroids vectors with smallest md5-derived 60-bit hash
+      of ``"ivf:{seed}:{id}"`` (ties broken by id) — the same portable hash
+      family as dedup/corpus, reproducible by a SQL oracle (xxhash64 was
+      Spark-only);
+    - Lloyd re-centering uses FIXED-POINT integer sums: each coordinate is
+      floored to a 2^-24 grid and summed as int64 (exact, summation-ORDER-
+      FREE — float means depend on Spark's nondeterministic partition
+      reduce order), then divided back in float64. The 2^-24 quantization
+      is noise relative to k-means convergence tolerance, and in exchange
+      every run — and an external DuckDB oracle unrolling the same
+      iterations — lands on bit-identical centroids (the last rows-only
+      carve-out in CORRECTNESS r2).
+
+    Scale shape: assignment is literal-broadcast centroids (no join);
+    re-centering is one groupBy("cid") with dim+1 map-side-combinable
+    int64 aggregates (no |V| x dim posexplode shuffle). Driver holds only
+    k x dim floats.
     """
     base = with_norm(emb, vec_col, id_col).persist()
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("ivf"),
+                    F.lit(str(seed)),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
     seeds = (
-        base.select("vec", F.xxhash64(F.lit(seed), F.col(id_col)).alias("h"))
-        .orderBy("h")
+        base.select("vec", h.alias("h"), F.col(id_col).alias("_id"))
+        .orderBy("h", "_id")
         .limit(n_centroids)
         .collect()
     )
     cents = [(i, list(r["vec"])) for i, r in enumerate(seeds)]
+    dim = len(cents[0][1])
+    sc = float(_IVF_SCALE)
     for _ in range(lloyd_iters):
         assigned = base.select(
             "vec", F.array_min(_centroid_scores(cents)).getField("cid").alias("cid")
         )
-        means = (
-            assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+        sums = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(
+                        F.floor(F.col("vec").getItem(i) * F.lit(sc)).cast("long")
+                    ).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
             .collect()
         )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
         cents = [
-            (cid, [d[p] for p in sorted(d)]) for cid, d in sorted(by_cid.items())
+            (
+                r["cid"],
+                [float(r[f"s{i}"]) / float(r["cnt"] * _IVF_SCALE) for i in range(dim)],
+            )
+            for r in sorted(sums, key=lambda r: r["cid"])
         ]
     base.unpersist()
     return cents

@@ -167,6 +167,59 @@ def test_knn_ivf_recalls_cluster_and_is_deterministic(emb):
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
 
 
+def test_train_ivf_centroids_matches_pure_python_bit_exact(emb):
+    """The fixed-point Lloyd trainer must be BIT-identical to an
+    independent scalar reference (same portable md5 seed hash, same
+    left-fold dots, same floor(x*2^24) int64 sums) — the contract that
+    makes the trained knn_ivf pipeline DuckDB-oracle-expressible."""
+    import hashlib
+    import math
+
+    from paragrapher_spark.operators.similarity import (
+        _IVF_SCALE,
+        train_ivf_centroids,
+    )
+
+    df, vecs = emb
+    got = train_ivf_centroids(df, n_centroids=8, lloyd_iters=3, seed=42)
+
+    pts = {i: [float(x) for x in vecs[i]] for i in range(len(vecs))}
+
+    def lfold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def l2(v):
+        return math.sqrt(lfold_dot(v, v)) or 1.0
+
+    def h60(i):
+        return int(hashlib.md5(f"ivf:42:{i}".encode()).hexdigest()[:15], 16)
+
+    seed_ids = sorted(pts, key=lambda i: (h60(i), i))[:8]
+    cents = [(c, list(pts[i])) for c, i in enumerate(seed_ids)]
+    for _ in range(3):
+        groups: dict[int, list[int]] = {}
+        for i, v in pts.items():
+            best = min(
+                (( -lfold_dot(v, c) / l2(c), cid) for cid, c in cents)
+            )[1]
+            groups.setdefault(best, []).append(i)
+        cents = [
+            (
+                cid,
+                [
+                    float(sum(math.floor(pts[i][p] * _IVF_SCALE) for i in members))
+                    / float(len(members) * _IVF_SCALE)
+                    for p in range(len(vecs[0]))
+                ],
+            )
+            for cid, members in sorted(groups.items())
+        ]
+    assert got == cents
+
+
 def test_knn_ivf_overlaps_bruteforce(emb):
     from paragrapher_spark.operators.similarity import knn_bruteforce, knn_ivf
 

@@ -568,6 +568,33 @@ def _q_binary_csr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_matrix_market_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatrixMarket coordinate COO end-to-end — the graph kind the
+    reference DECLARED (`PARAGRAPHER_COO_MM_400_SS`/`_404_SS`,
+    `include/paragrapher.h:28-29`) but left commented out
+    (`src/paragrapher.c:56-57`). Distributed write (global (section,row,
+    col) sort key, part-concat = file), distributed read (loud-malformed-
+    input). Same arithmetic oracle as the other format roundtrips — a
+    third IO path must yield the identical edge set."""
+    import os
+    import tempfile
+
+    from paragrapher_spark.sources.sinks import (
+        read_matrix_market,
+        write_matrix_market,
+    )
+
+    g = _format_fixture_graph(spark)
+    path = os.path.join(
+        tempfile.gettempdir(), f"pg_mtx_fixture_{_WG_FIXTURE_N}.mtx"
+    )
+    write_matrix_market(g, path, weight_col="weight", num_partitions=8)
+    back = read_matrix_market(spark, path)
+    return back.edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
 def _q_webgraph_weighted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arc-labelled BVGraph (the reference's WG404 graph type: labels in
     `.labels`/`.labeloffsets`, `src/webgraph.c:115-122,297-334`): the
@@ -668,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webgraph_roundtrip": _q_webgraph_roundtrip,
         "webgraph_weighted_roundtrip": _q_webgraph_weighted_roundtrip,
         "binary_csr_roundtrip": _q_binary_csr_roundtrip,
+        "matrix_market_roundtrip": _q_matrix_market_roundtrip,
         "knn_ivf_fixed": _q_knn_ivf_fixed,
     }
 
@@ -1619,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         # arithmetically-regenerated fixture edge set bit-for-bit
         "webgraph_roundtrip": _FORMAT_FIXTURE_SQL,
         "binary_csr_roundtrip": _FORMAT_FIXTURE_SQL,
+        "matrix_market_roundtrip": _FORMAT_FIXTURE_SQL,
         "webgraph_weighted_roundtrip": f"""
             SELECT src, dst, (src + dst) % 9 + 1 AS weight
             FROM ({_FORMAT_FIXTURE_SQL})

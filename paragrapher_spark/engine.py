@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from paragrapher_spark.graph import Graph, edges_from_corpus, graph_from_edges
-from paragrapher_spark.sources.sinks import read_csr, scan_edges
+from paragrapher_spark.sources.sinks import (
+    read_csr,
+    read_matrix_market,
+    scan_edges,
+)
 
 
 class Engine:
@@ -76,7 +80,10 @@ class Engine:
         `.properties`) — the reference's PARAGRAPHER_CSX_WG_400_AP format
         (`src/webgraph.c:84-390`), decoded natively.
         kind='bin'/'g3': the reference's uncompressed binary CSR
-        interchange files (test4 / test3 layouts)."""
+        interchange files (test4 / test3 layouts).
+        kind='mtx': MatrixMarket coordinate file — the COO graph kinds the
+        reference declared but never shipped (PARAGRAPHER_COO_MM_400_SS /
+        _404_SS, `include/paragrapher.h:28-29`, `src/paragrapher.c:56-57`)."""
         if kind == "csr":
             g = read_csr(self.spark, source)  # type: ignore[arg-type]
         elif kind == "corpus":
@@ -96,6 +103,8 @@ class Engine:
             from paragrapher_spark.sources.binary import read_binary_csr
 
             g = read_binary_csr(self.spark, source, fmt=kind)  # type: ignore[arg-type]
+        elif kind == "mtx":
+            g = read_matrix_market(self.spark, source)  # type: ignore[arg-type]
         else:
             raise ValueError(f"unknown graph kind: {kind}")
         self._graphs.append(g)

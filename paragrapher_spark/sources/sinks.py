@@ -318,6 +318,207 @@ def read_adjacency_text(spark: SparkSession, path: str) -> Graph:
     return Graph(vertices=vertices, edges=edges, num_vertices=n, num_edges=m)
 
 
+def write_matrix_market(
+    graph: Graph,
+    path: str,
+    weight_col: str | None = None,
+    symmetric: bool = False,
+    num_partitions: int | None = None,
+    single_file: bool = False,
+) -> None:
+    """MatrixMarket coordinate writer — the reference DECLARED this format
+    (`PARAGRAPHER_COO_MM_400_SS` / `_404_SS`, `include/paragrapher.h:28-29`)
+    but left its readers commented out (`src/paragrapher.c:56-57`); here
+    the COO graph kind is completed in both directions.
+
+    - ``weight_col=None`` -> ``pattern`` field (MM_400: id pairs only);
+      a long column -> ``integer`` (MM_404's 4-byte uint weight); any
+      other numeric column -> ``real``.
+    - ``symmetric=True`` stores each undirected edge ONCE as its
+      lower-triangle entry (row >= col, 1-based), the MatrixMarket
+      ``symmetric`` contract; the reader mirrors off-diagonals back.
+
+    Distribution shape: same as ``write_adjacency_text`` — the file's
+    sequential order is a global sort key (section 0 = banner+size line,
+    section 1 = entries by (row, col)); range partitioning makes the
+    name-ordered part concatenation BE the file, no driver collect.
+    """
+    spark = graph.edges.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    if weight_col is None:
+        field = "pattern"
+    else:
+        field = (
+            "integer"
+            if dict(graph.edges.dtypes).get(weight_col) in ("bigint", "int", "smallint", "tinyint")
+            else "real"
+        )
+    sym = "symmetric" if symmetric else "general"
+    # 1-based MatrixMarket indices; symmetric stores (max, min) = lower tri
+    r, c = F.col("src") + 1, F.col("dst") + 1
+    if symmetric:
+        r, c = F.greatest(F.col("src"), F.col("dst")) + 1, F.least(
+            F.col("src"), F.col("dst")
+        ) + 1
+    vals = [r.cast("string"), c.cast("string")]
+    if weight_col is not None:
+        vals.append(F.col(weight_col).cast("string"))
+    n, m = graph.num_vertices, graph.num_edges
+    header = spark.createDataFrame(
+        [
+            (0, 0, 0, f"%%MatrixMarket matrix coordinate {field} {sym}"),
+            (0, 1, 0, f"{n} {n} {m}"),
+        ],
+        "section int, k1 long, k2 long, value string",
+    )
+    entries = graph.edges.select(
+        F.lit(1).alias("section"),
+        r.cast("long").alias("k1"),
+        c.cast("long").alias("k2"),
+        F.concat_ws(" ", *vals).alias("value"),
+    )
+    out_dir = path + ".parts" if single_file else path
+    (
+        header.unionByName(entries)
+        .repartitionByRange(n_part, "section", "k1", "k2")
+        .sortWithinPartitions("section", "k1", "k2")
+        .select("value")
+        .write.mode("overwrite")
+        .text(out_dir)
+    )
+    if single_file:
+        import glob
+        import shutil
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as dst:
+            for part in sorted(glob.glob(os.path.join(out_dir, "part-*"))):
+                with open(part, "rb") as srcf:
+                    shutil.copyfileobj(srcf, dst)
+        os.replace(tmp, path)
+        shutil.rmtree(out_dir)
+
+
+def read_matrix_market(spark: SparkSession, path: str) -> Graph:
+    """MatrixMarket coordinate reader -> Graph (0-based ids) — the COO
+    graph kind the reference declared and never shipped
+    (`include/paragrapher.h:28-29`, `src/paragrapher.c:56-57`).
+
+    Handles ``pattern`` (weight 1), ``integer``/``real`` fields and
+    ``general``/``symmetric`` symmetry (symmetric entries are mirrored,
+    diagonal kept single — the spec's storage contract). Loud-malformed-
+    input contract (same as the `.el`/`.adj` readers): bad banner, a
+    non-square size line, an entry count that disagrees with the declared
+    nnz, out-of-range 1-based indices, or non-numeric tokens all raise
+    instead of silently dropping or nulling edges.
+    """
+    if os.path.isdir(path):
+        import glob
+
+        parts = sorted(
+            p
+            for p in glob.glob(os.path.join(path, "*"))
+            if os.path.basename(p).startswith("part-")
+        )
+        src = ",".join(parts)
+    else:
+        src = path
+    rdd = spark.sparkContext.textFile(src)
+    lines = (
+        spark.createDataFrame(
+            rdd.zipWithIndex().map(lambda x: (x[1], x[0].strip())),
+            "idx long, value string",
+        )
+        .where(F.col("value") != "")
+        .localCheckpoint(eager=True)
+    )
+    banner_row = lines.orderBy("idx").limit(1).collect()
+    if not banner_row or not banner_row[0]["value"].startswith("%%MatrixMarket"):
+        got = banner_row[0]["value"][:60] if banner_row else "<empty>"
+        raise ValueError(f"not a MatrixMarket file: {path!r} ({got!r})")
+    banner = banner_row[0]["value"].split()
+    if len(banner) != 5 or banner[1:3] != ["matrix", "coordinate"]:
+        raise ValueError(
+            f"unsupported MatrixMarket header (need 'matrix coordinate'): "
+            f"{banner_row[0]['value']!r}"
+        )
+    field, sym = banner[3].lower(), banner[4].lower()
+    if field not in ("pattern", "integer", "real"):
+        raise ValueError(f"unsupported MatrixMarket field: {field!r}")
+    if sym not in ("general", "symmetric"):
+        raise ValueError(f"unsupported MatrixMarket symmetry: {sym!r}")
+    body = lines.where(~F.col("value").startswith("%"))
+    size_row = body.orderBy("idx").limit(1).collect()[0]
+    size_toks = size_row["value"].split()
+    if len(size_toks) != 3:
+        raise ValueError(f"malformed MatrixMarket size line: {size_row['value']!r}")
+    nrows, ncols, nnz = (int(t) for t in size_toks)
+    if nrows != ncols:
+        raise ValueError(
+            f"MatrixMarket matrix is {nrows}x{ncols}; a graph adjacency "
+            "matrix must be square"
+        )
+    entries = body.where(F.col("idx") > size_row["idx"])
+    n_entries = entries.count()
+    if n_entries != nnz:
+        raise ValueError(
+            f"malformed MatrixMarket {path!r}: size line declares nnz={nnz} "
+            f"but the body has {n_entries} entry lines"
+        )
+    t = F.split(F.col("value"), r"\s+")
+
+    def _req(col, what: str):
+        return F.when(
+            col.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"malformed MatrixMarket entry (bad {what}): "),
+                    F.col("value"),
+                )
+            ),
+        ).otherwise(col)
+
+    def _in_range(col, what: str):
+        return F.when(
+            (col < 0) | (col >= nrows),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"MatrixMarket {what} index out of range [1, {nrows}]: "),
+                    F.col("value"),
+                )
+            ),
+        ).otherwise(col)
+
+    wcol = (
+        F.lit(1).cast("long")
+        if field == "pattern"
+        else _req(
+            t.getItem(2).cast("long" if field == "integer" else "double"),
+            "value",
+        )
+    )
+    parsed = entries.select(
+        _in_range(_req(t.getItem(0).cast("long"), "row") - 1, "row").alias("src"),
+        _in_range(_req(t.getItem(1).cast("long"), "col") - 1, "col").alias("dst"),
+        wcol.alias("weight"),
+    )
+    if sym == "symmetric":
+        mirrored = parsed.where(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        edges = parsed.unionByName(mirrored)
+        m = nnz + mirrored.count()
+    else:
+        edges = parsed
+        m = nnz
+    vertices = spark.range(nrows).select(
+        "id",
+        F.lit(None).cast("string").alias("repo"),
+        F.lit(None).cast("string").alias("path"),
+    )
+    return Graph(vertices=vertices, edges=edges, num_vertices=nrows, num_edges=m)
+
+
 def narrow_ids(edges: DataFrame) -> DataFrame:
     """u64 -> u32 narrowing (test5:33-40): cast src/dst to int after a
     range assertion — the reference narrows only when |V| < 2^32."""

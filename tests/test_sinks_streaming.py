@@ -15,10 +15,12 @@ from paragrapher_spark.sources.sinks import (
     read_adjacency_text,
     read_csr,
     read_edge_text,
+    read_matrix_market,
     scan_edges,
     write_adjacency_text,
     write_csr,
     write_edge_text,
+    write_matrix_market,
 )
 from paragrapher_spark.streaming.events import (
     stream_events_hourly,
@@ -262,3 +264,90 @@ def test_read_edge_text_rejects_malformed(spark, tmp_path):
     p2.write_text("0 1\n1 2\n")
     with _pytest.raises(Exception, match="INVALID_ARRAY_INDEX|malformed"):
         read_edge_text(spark, str(p2), weighted=True).collect()
+
+
+def test_matrix_market_roundtrip_general(spark, tmp_path):
+    g = graph_from_edges(small5x14(spark))
+    path = str(tmp_path / "g.mtx")
+    write_matrix_market(g, path, weight_col="weight", single_file=True)
+    import os
+
+    lines = open(path).read().splitlines()
+    assert lines[0] == "%%MatrixMarket matrix coordinate integer general"
+    assert lines[1] == "5 5 14"
+    assert os.path.isfile(path)
+    back = read_matrix_market(spark, path)
+    assert back.num_vertices == 5 and back.num_edges == 14
+    assert edge_checksum(back.edges) == edge_checksum(g.edges)
+    got = {(r.src, r.dst): r.weight for r in back.edges.collect()}
+    want = {(r.src, r.dst): r.weight for r in g.edges.collect()}
+    assert got == want
+
+
+def test_matrix_market_roundtrip_pattern_dir(spark, tmp_path):
+    # pattern field (MM_400: no weights), multi-part directory output
+    g = graph_from_edges(small5x14(spark))
+    path = str(tmp_path / "pat.mtx")
+    write_matrix_market(g, path, num_partitions=3)
+    back = read_matrix_market(spark, path)
+    assert edge_checksum(back.edges) == edge_checksum(g.edges)
+    assert back.edges.where(F.col("weight") != 1).count() == 0
+
+
+def test_matrix_market_symmetric_mirrors(spark, tmp_path):
+    # undirected triangle + a self-loop: symmetric storage keeps one
+    # triangular entry per edge; the reader mirrors off-diagonals only
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 2)], "src long, dst long"
+    )
+    g = graph_from_edges(e)
+    path = str(tmp_path / "sym.mtx")
+    write_matrix_market(g, path, symmetric=True, single_file=True)
+    lines = open(path).read().splitlines()
+    assert lines[0].endswith("pattern symmetric")
+    # stored lower-triangle (row >= col), 1-based
+    assert sorted(lines[2:]) == ["2 1", "3 1", "3 2", "3 3"]
+    back = read_matrix_market(spark, path)
+    got = sorted((r.src, r.dst) for r in back.edges.collect())
+    assert got == [(0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1), (2, 2)]
+    assert back.num_edges == 7
+
+
+def test_matrix_market_rejects_malformed(spark, tmp_path):
+    import pytest as _pytest
+
+    bad_banner = tmp_path / "b.mtx"
+    bad_banner.write_text("not a banner\n1 1 0\n")
+    with _pytest.raises(ValueError, match="not a MatrixMarket"):
+        read_matrix_market(spark, str(bad_banner))
+
+    rect = tmp_path / "r.mtx"
+    rect.write_text("%%MatrixMarket matrix coordinate pattern general\n2 3 1\n1 2\n")
+    with _pytest.raises(ValueError, match="square"):
+        read_matrix_market(spark, str(rect))
+
+    truncated = tmp_path / "t.mtx"
+    truncated.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n3 3 5\n1 2\n2 3\n"
+    )
+    with _pytest.raises(ValueError, match="nnz=5"):
+        read_matrix_market(spark, str(truncated))
+
+    oob = tmp_path / "o.mtx"
+    oob.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n3 3 1\n1 9\n"
+    )
+    with _pytest.raises(Exception, match="out of range"):
+        read_matrix_market(spark, str(oob)).edges.collect()
+
+
+def test_open_graph_mtx_kind(spark, tmp_path):
+    from paragrapher_spark.engine import Engine
+
+    g = graph_from_edges(small5x14(spark))
+    path = str(tmp_path / "eng.mtx")
+    write_matrix_market(g, path, weight_col="weight", single_file=True)
+    eng = Engine(spark)
+    back = eng.open_graph(path, kind="mtx")
+    assert back.num_vertices == 5 and back.num_edges == 14
+    eng.release_graph(back)

@@ -363,6 +363,26 @@ def write_matrix_market(
     vals = [r.cast("string"), c.cast("string")]
     if weight_col is not None:
         vals.append(F.col(weight_col).cast("string"))
+    if symmetric:
+        # MatrixMarket forbids duplicate entries: an edge table holding
+        # BOTH (i,j) and (j,i) would fold onto the same lower-triangle
+        # cell and silently corrupt the roundtrip (each stored duplicate
+        # mirrors back). Require canonical undirected edges, loudly.
+        n_cells = (
+            graph.edges.select(
+                F.greatest("src", "dst").alias("r"),
+                F.least("src", "dst").alias("c"),
+            )
+            .distinct()
+            .count()
+        )
+        if n_cells != graph.num_edges:
+            raise ValueError(
+                "symmetric MatrixMarket output requires canonical "
+                "undirected edges (at most one of (i,j)/(j,i) per pair); "
+                f"{graph.num_edges} edges collapse to {n_cells} "
+                "triangular cells — deduplicate first"
+            )
     n, m = graph.num_vertices, graph.num_edges
     header = spark.createDataFrame(
         [

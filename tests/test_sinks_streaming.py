@@ -351,3 +351,12 @@ def test_open_graph_mtx_kind(spark, tmp_path):
     back = eng.open_graph(path, kind="mtx")
     assert back.num_vertices == 5 and back.num_edges == 14
     eng.release_graph(back)
+
+
+def test_matrix_market_symmetric_rejects_both_directions(spark, tmp_path):
+    import pytest as _pytest
+
+    e = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    g = graph_from_edges(e)
+    with _pytest.raises(ValueError, match="canonical undirected"):
+        write_matrix_market(g, str(tmp_path / "dup.mtx"), symmetric=True)

@@ -192,13 +192,25 @@ def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_UNROLL = 32
+
+
 def _q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertices of the 64-core of the co-purchase graph. Oracle: the peel
     unrolled as materialized DuckDB CTEs (idempotent past the fixpoint, so
     over-unrolling is exact). k=64 sits just above the graph's min degree
     at these SFs, so the peel actually cascades before stabilizing."""
     edges = copurchase_edges(spark, sf_dir)
-    return kcore(edges, k=64).vertices.select(F.col("id").cast("long"))
+    res = kcore(edges, k=64)
+    # the oracle below materializes _KCORE_UNROLL peel rounds; if a bigger
+    # SF ever needs more, fail HERE with the cause rather than letting the
+    # gate report an opaque hash mismatch (ADVICE r2)
+    if res.rounds > _KCORE_UNROLL:
+        raise AssertionError(
+            f"k-core peel took {res.rounds} rounds > the oracle's "
+            f"{_KCORE_UNROLL}-round unroll; raise _KCORE_UNROLL"
+        )
+    return res.vertices.select(F.col("id").cast("long"))
 
 
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1658,7 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         # generously over-unrolled (peeling is idempotent at the fixpoint,
         # so extra rounds are free): the Spark kernel peels to a
         # data-dependent fixpoint; 32 rounds covers any SF the gate runs at
-        "kcore_members": _kcore_oracle_sql(64, 32),
+        "kcore_members": _kcore_oracle_sql(64, _KCORE_UNROLL),
         "language_id": _language_id_oracle_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "media_stats": _MEDIA_STATS_SQL,

@@ -15,6 +15,7 @@ Env knobs:
   SPARK_GRAFT_CPUS     main parallelism (default 32)
   SPARK_GRAFT_SCALING  "0" to skip the scaling subprocess runs (default on)
   SPARK_GRAFT_ALLQ     "0" to skip the all-queries sf0.01 sweep (default on)
+  SPARK_GRAFT_ONLY     "scaling" to run ONLY the core-ladder workers
 """
 
 from __future__ import annotations
@@ -74,6 +75,26 @@ def _get_spark(cores: int, shuffle_partitions: int):
     )
 
 
+def memcpy_probe(mb: int = 200, passes: int = 3) -> dict:
+    """Host-health disclosure: single-thread numpy memcpy bandwidth.
+
+    This sandbox VM is subject to host-side memory starvation (observed:
+    0.01-0.2 GB/s windows where a healthy box does 2-8 GB/s — a 10-100x
+    swing that hits every Spark stage equally). Recording the floor
+    alongside the timings lets a reader tell an engine regression from a
+    sick host: comparable numbers require comparable `memcpy_gb_s`."""
+    import numpy as np
+
+    a = np.random.randint(0, 255, mb * 1_000_000, dtype=np.uint8)
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.monotonic()
+        b = a.copy()
+        best = min(best, time.monotonic() - t0)
+        del b
+    return {"mb": mb, "passes": passes, "memcpy_gb_s": round(mb / 1000 / best, 2)}
+
+
 def pagerank_run(spark, sf_dir: str) -> dict:
     """Timed: derive co-purchase edges, PageRank to 1e-6. Returns metrics."""
     from pyspark.sql import functions as F
@@ -85,13 +106,21 @@ def pagerank_run(spark, sf_dir: str) -> dict:
     n_edges = edges.count()  # materialize outside the timed section (the
     # reference also excludes dataset prep; loading IS part of the kernel
     # loop below since every superstep rescans the persisted table)
-    t0 = time.monotonic()
-    res = pagerank(edges, tol=1e-6, max_iter=100)
-    res.ranks.count()
-    dt = time.monotonic() - t0
+    # best-of-2 convergence runs, both disclosed: a single pass is exposed
+    # to one bad host-starvation window (see memcpy_probe); the second
+    # pass costs ~25 s healthy and halves the flake odds
+    passes = []
+    res = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        res = pagerank(edges, tol=1e-6, max_iter=100)
+        res.ranks.count()
+        passes.append(time.monotonic() - t0)
+    dt = min(passes)
     edges.unpersist()
     return {
         "seconds": dt,
+        "passes": [round(p, 3) for p in passes],
         "edges": n_edges,
         "iterations": res.iterations,
         "converged": res.converged,
@@ -200,18 +229,30 @@ def _worker(cores: int, sf_dir: str) -> None:
     out = pagerank_scale_run(spark, sf_dir, SCALE_FACTOR, SCALE_ITERS)
     out["cores"] = cores
     out["scan_floor"] = scan_floor_run(spark, sf_dir)
+    out["host_health"] = memcpy_probe()
     print("BENCH_WORKER_JSON:" + json.dumps(out))
     spark.stop()
 
 
 def _run_worker(cores: int, sf_dir: str) -> dict | None:
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
-        capture_output=True,
-        text=True,
-        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-        timeout=3600,
-    )
+    """One ladder level in its own JVM. NEVER raises: a worker that times
+    out or dies (observed: host-side memory starvation stretching a 6-min
+    run past any sane timeout) yields None and the ladder continues — one
+    sick level must not cost the whole bench record."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            timeout=int(os.environ.get("SPARK_GRAFT_WORKER_TIMEOUT", "2700")),
+        )
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"scaling worker cores={cores} timed out; skipped\n")
+        return None
+    except Exception as exc:  # noqa: BLE001
+        sys.stderr.write(f"scaling worker cores={cores} failed: {exc}\n")
+        return None
     for line in proc.stdout.splitlines():
         if line.startswith("BENCH_WORKER_JSON:"):
             return json.loads(line[len("BENCH_WORKER_JSON:"):])
@@ -226,6 +267,12 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     extra: dict = {}
+    extra["host_health_start"] = memcpy_probe()
+
+    # SPARK_GRAFT_ONLY=scaling: skip the main-phase queries and run just
+    # the core-ladder workers — for re-measuring the scaling pairs after a
+    # host-starvation window without paying the full ~20-min sweep
+    only_scaling = os.environ.get("SPARK_GRAFT_ONLY") == "scaling"
 
     spark = _get_spark(CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -240,111 +287,116 @@ def main() -> None:
     from paragrapher_spark.sources.edges import copurchase_edges, load_table
 
     # headline: PageRank to convergence (in-process at CPUS)
-    pr = pagerank_run(spark, SF_DIR)
-    queries["pagerank_copurchase"] = round(pr["seconds"], 3)
-    extra["pagerank"] = pr
+    if only_scaling:
+        queries["pagerank_copurchase"] = -1.0
+        extra["pagerank"] = {"skipped": "SPARK_GRAFT_ONLY=scaling"}
+    else:
+        pr = pagerank_run(spark, SF_DIR)
+        queries["pagerank_copurchase"] = round(pr["seconds"], 3)
+        extra["pagerank"] = pr
 
-    edges = copurchase_edges(spark, SF_DIR).persist()
-    edges.count()
+    if not only_scaling:
+        edges = copurchase_edges(spark, SF_DIR).persist()
+        edges.count()
 
-    t0 = time.monotonic()
-    degree_distribution(edges, "in").agg(F.sum("frequency")).collect()
-    queries["in_degree_dist"] = round(time.monotonic() - t0, 3)
-
-    t0 = time.monotonic()
-    cc = connected_components(edges)
-    cc.components.groupBy().count().collect()
-    queries["wcc"] = round(time.monotonic() - t0, 3)
-
-    t0 = time.monotonic()
-    tri = triangle_count(edges).collect()[0]["triangles"]
-    queries["triangle_count"] = round(time.monotonic() - t0, 3)
-    extra["triangles"] = tri
-    edges.unpersist()
-
-    docs = load_table(spark, SF_DIR, "documents")
-    t0 = time.monotonic()
-    text_stats(docs).agg(F.sum("n_tokens")).collect()
-    queries["text_stats"] = round(time.monotonic() - t0, 3)
-
-    t0 = time.monotonic()
-    minhash_candidates(docs, num_hashes=64, bands=16, threshold=0.35).count()
-    queries["minhash_near_dups"] = round(time.monotonic() - t0, 3)
-
-    from paragrapher_spark.operators.similarity import knn_ivf
-    from paragrapher_spark.streaming.events import sessionize_batch
-
-    emb = load_table(spark, SF_DIR, "embeddings")
-    t0 = time.monotonic()
-    knn_ivf(emb, k=5, n_centroids=16, n_probe=4).count()
-    queries["knn_ivf"] = round(time.monotonic() - t0, 3)
-
-    ev = load_table(spark, SF_DIR, "events")
-    t0 = time.monotonic()
-    sessionize_batch(ev, gap_minutes=30).count()
-    queries["sessions"] = round(time.monotonic() - t0, 3)
-
-    # BVGraph ingest probe — the reference's headline metric class is
-    # compressed-graph LOAD throughput (paper §5.2/§5.4: 179-952 M
-    # edges/s with a C/Java codec). This engine's steady-state path is
-    # transcode-once -> parquet (the parquet scan_floor below is then the
-    # "decompressor"); the native pure-Python codec is the one-time
-    # bridge, measured here in both directions on the headline graph so
-    # the cost is disclosed, not hidden.
-    import shutil
-    import tempfile
-
-    from paragrapher_spark.graph import Graph
-    from paragrapher_spark.sources.webgraph import read_webgraph, write_webgraph
-
-    ed = copurchase_edges(spark, SF_DIR)
-    n_v = ed.agg(
-        F.greatest(F.max("src"), F.max("dst")).alias("mx")
-    ).collect()[0]["mx"] + 1
-    n_e = ed.count()
-    gw = Graph(
-        vertices=spark.range(n_v).select(
-            "id",
-            F.lit(None).cast("string").alias("repo"),
-            F.lit(None).cast("string").alias("path"),
-        ),
-        edges=ed.withColumn("weight", F.lit(1).cast("long")),
-        num_vertices=int(n_v),
-        num_edges=n_e,
-    )
-    wg_dir = tempfile.mkdtemp(prefix="bench_wg_")
-    base = os.path.join(wg_dir, "copurchase")
-    try:
         t0 = time.monotonic()
-        write_webgraph(gw, base)
-        enc_dt = time.monotonic() - t0
+        degree_distribution(edges, "in").agg(F.sum("frequency")).collect()
+        queries["in_degree_dist"] = round(time.monotonic() - t0, 3)
+
         t0 = time.monotonic()
-        m_dec = read_webgraph(spark, base).edges.count()
-        dec_dt = time.monotonic() - t0
-        gbytes = os.path.getsize(base + ".graph")
-        queries["webgraph_decode"] = round(dec_dt, 3)
-        extra["webgraph_ingest"] = {
-            "edges": m_dec,
-            "bits_per_edge": round(gbytes * 8 / max(1, m_dec), 2),
-            "encode_sec": round(enc_dt, 3),
-            "encode_edges_per_sec": round(m_dec / enc_dt) if enc_dt > 0 else 0,
-            "decode_sec": round(dec_dt, 3),
-            "decode_edges_per_sec": round(m_dec / dec_dt) if dec_dt > 0 else 0,
-            "note": (
-                "one-time transcode bridge (pure-Python bit codec, "
-                "distributed); steady-state reads use parquet — see "
-                "scan_floor"
+        cc = connected_components(edges)
+        cc.components.groupBy().count().collect()
+        queries["wcc"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        tri = triangle_count(edges).collect()[0]["triangles"]
+        queries["triangle_count"] = round(time.monotonic() - t0, 3)
+        extra["triangles"] = tri
+        edges.unpersist()
+
+        docs = load_table(spark, SF_DIR, "documents")
+        t0 = time.monotonic()
+        text_stats(docs).agg(F.sum("n_tokens")).collect()
+        queries["text_stats"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        minhash_candidates(docs, num_hashes=64, bands=16, threshold=0.35).count()
+        queries["minhash_near_dups"] = round(time.monotonic() - t0, 3)
+
+        from paragrapher_spark.operators.similarity import knn_ivf
+        from paragrapher_spark.streaming.events import sessionize_batch
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        t0 = time.monotonic()
+        knn_ivf(emb, k=5, n_centroids=16, n_probe=4).count()
+        queries["knn_ivf"] = round(time.monotonic() - t0, 3)
+
+        ev = load_table(spark, SF_DIR, "events")
+        t0 = time.monotonic()
+        sessionize_batch(ev, gap_minutes=30).count()
+        queries["sessions"] = round(time.monotonic() - t0, 3)
+
+        # BVGraph ingest probe — the reference's headline metric class is
+        # compressed-graph LOAD throughput (paper §5.2/§5.4: 179-952 M
+        # edges/s with a C/Java codec). This engine's steady-state path is
+        # transcode-once -> parquet (the parquet scan_floor below is then the
+        # "decompressor"); the native pure-Python codec is the one-time
+        # bridge, measured here in both directions on the headline graph so
+        # the cost is disclosed, not hidden.
+        import shutil
+        import tempfile
+
+        from paragrapher_spark.graph import Graph
+        from paragrapher_spark.sources.webgraph import read_webgraph, write_webgraph
+
+        ed = copurchase_edges(spark, SF_DIR)
+        n_v = ed.agg(
+            F.greatest(F.max("src"), F.max("dst")).alias("mx")
+        ).collect()[0]["mx"] + 1
+        n_e = ed.count()
+        gw = Graph(
+            vertices=spark.range(n_v).select(
+                "id",
+                F.lit(None).cast("string").alias("repo"),
+                F.lit(None).cast("string").alias("path"),
             ),
-        }
-    finally:
-        shutil.rmtree(wg_dir, ignore_errors=True)
+            edges=ed.withColumn("weight", F.lit(1).cast("long")),
+            num_vertices=int(n_v),
+            num_edges=n_e,
+        )
+        wg_dir = tempfile.mkdtemp(prefix="bench_wg_")
+        base = os.path.join(wg_dir, "copurchase")
+        try:
+            t0 = time.monotonic()
+            write_webgraph(gw, base)
+            enc_dt = time.monotonic() - t0
+            t0 = time.monotonic()
+            m_dec = read_webgraph(spark, base).edges.count()
+            dec_dt = time.monotonic() - t0
+            gbytes = os.path.getsize(base + ".graph")
+            queries["webgraph_decode"] = round(dec_dt, 3)
+            extra["webgraph_ingest"] = {
+                "edges": m_dec,
+                "bits_per_edge": round(gbytes * 8 / max(1, m_dec), 2),
+                "encode_sec": round(enc_dt, 3),
+                "encode_edges_per_sec": round(m_dec / enc_dt) if enc_dt > 0 else 0,
+                "decode_sec": round(dec_dt, 3),
+                "decode_edges_per_sec": round(m_dec / dec_dt) if dec_dt > 0 else 0,
+                "note": (
+                    "one-time transcode bridge (pure-Python bit codec, "
+                    "distributed); steady-state reads use parquet — see "
+                    "scan_floor"
+                ),
+            }
+        finally:
+            shutil.rmtree(wg_dir, ignore_errors=True)
 
-    # per-query regression sweep: every driver query, one pass at sf0.01
-    # (VERDICT r2 task #9 — round-over-round visibility for all queries,
-    # not just the 8 headline ones). Timed as plan + execute + fetch-count;
+        # per-query regression sweep: every driver query, one pass at sf0.01
+        # (VERDICT r2 task #9 — round-over-round visibility for all queries,
+        # not just the 8 headline ones). Timed as plan + execute + fetch-count;
     # sf0.01 keeps the sweep under ~2 min total.
     allq: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_ALLQ", "1") != "0":
+    if not only_scaling and os.environ.get("SPARK_GRAFT_ALLQ", "1") != "0":
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import __spark_entry__ as entrymod
 
@@ -367,6 +419,7 @@ def main() -> None:
     # scaling evidence: same job, ladder of parallelism levels, separate JVMs
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0" and len(SCALE_CORES) > 1:
         runs = {c: _run_worker(c, SF_DIR) for c in SCALE_CORES}
+        skipped = [c for c, r in runs.items() if r is None]
         pairs = []
         for lo_c, hi_c in zip(SCALE_CORES, SCALE_CORES[1:]):
             lo, hi = runs.get(lo_c), runs.get(hi_c)
@@ -396,6 +449,7 @@ def main() -> None:
             "replicate_factor": SCALE_FACTOR,
             "supersteps": SCALE_ITERS,
             "passes_per_level": SCALE_PASSES,
+            "skipped_levels": skipped,
             "steady_estimator": "best-of-passes pass-median superstep time",
             "edges": next(
                 (r["edges"] for r in runs.values() if r), None
@@ -413,14 +467,16 @@ def main() -> None:
             "efficiency": pairs[0]["efficiency"] if pairs else None,
         }
 
+    extra["host_health_end"] = memcpy_probe()
+
     detail = {
         "metric": "pagerank_copurchase_to_1e-6_wall_sec",
         "value": queries["pagerank_copurchase"],
         "unit": "sec",
         "queries": queries,
         "sf": _sf_label(SF_DIR),
-        "pagerank_edges_per_sec": round(pr["edges_per_sec"]),
-        "pagerank_iterations": pr["iterations"],
+        "pagerank_edges_per_sec": round(extra["pagerank"].get("edges_per_sec", -1)),
+        "pagerank_iterations": extra["pagerank"].get("iterations", -1),
         **extra,
     }
     detail_path = os.path.join(
@@ -445,6 +501,12 @@ def main() -> None:
             for p in scaling.get("pairs", [])
         ],
         "scaling_efficiency": scaling.get("efficiency"),
+        # host-starvation disclosure: healthy ~2-8 GB/s; readings <0.5
+        # mean the run was bandwidth-starved by the host, not the engine
+        "host_memcpy_gb_s": [
+            extra["host_health_start"]["memcpy_gb_s"],
+            extra["host_health_end"]["memcpy_gb_s"],
+        ],
         "queries_sf001": allq,
         "detail": "BENCH_local.json",
     }

@@ -277,13 +277,24 @@ def read_adjacency_text(spark: SparkSession, path: str) -> Graph:
     # zipWithIndex slots (shifting every later row to the wrong vertex) and
     # a truncated file would otherwise just drop edges in the join below.
     # Loud-malformed-input contract, same as read_edge_text.
-    n_body = lines.where(F.col("idx") >= 3).count()
-    if n_body != n + m:
+    # One aggregation proves BOTH properties: count == n + m AND
+    # max idx == 3 + n + m - 1 together mean (pigeonhole over distinct
+    # zipWithIndex slots) the body occupies exactly [3, 3+n+m) with no
+    # gaps — a count check alone passes when an interior blank line and
+    # the resulting shift cancel out in total but misalign the sections.
+    stats = (
+        lines.where(F.col("idx") >= 3)
+        .agg(F.count("*").alias("n_body"), F.max("idx").alias("max_idx"))
+        .collect()[0]
+    )
+    n_body, max_idx = stats["n_body"], stats["max_idx"]
+    if n_body != n + m or (n_body > 0 and max_idx != 3 + n + m - 1):
         raise ValueError(
             f"malformed AdjacencyGraph {path!r}: header declares n={n} "
             f"offsets + m={m} destinations but the body has {n_body} "
-            "non-blank lines (truncated file, trailing junk, or interior "
-            "blank lines shifting the positional layout)"
+            f"non-blank lines ending at slot {max_idx} (truncated file, "
+            "trailing junk, or interior blank lines shifting the "
+            "positional layout)"
         )
     offs = lines.where((F.col("idx") >= 3) & (F.col("idx") < 3 + n)).select(
         (F.col("idx") - 3).alias("id"), F.col("value").cast("long").alias("off")

@@ -613,6 +613,19 @@ def _encode_chunk(
 # ---------------------------------------------------------------------------
 
 
+# graphclass values the codec understands. The bit stream is IDENTICAL
+# between the two: the "big" variant exists because Java ints cap node
+# indices at 2^31-1 (the reference dispatches WG800AP and imports
+# `it.unimi.dsi.big.webgraph.*` for it, `src/WG800AP.java:7`, and shells
+# the big BVGraph class for its offsets, `src/webgraph.c:582`). Python
+# ints and Spark LongType have no such split, so one decoder serves both
+# — but the emitted graphclass must follow the Java convention or the
+# real WebGraph library would refuse datasets with n > 2^31-1.
+GRAPHCLASS_STD = "it.unimi.dsi.webgraph.BVGraph"
+GRAPHCLASS_BIG = "it.unimi.dsi.big.webgraph.BVGraph"
+_JAVA_INT_MAX = 2**31 - 1
+
+
 def _write_properties(
     basename: str,
     n: int,
@@ -621,11 +634,12 @@ def _write_properties(
     max_ref: int,
     min_interval: int | None,
     zeta_k: int,
+    big: bool = False,
 ) -> None:
     with open(basename + ".properties", "w") as fh:
         fh.write("#BVGraph properties\n")
         fh.write("version=0\n")
-        fh.write("graphclass=it.unimi.dsi.webgraph.BVGraph\n")
+        fh.write(f"graphclass={GRAPHCLASS_BIG if big else GRAPHCLASS_STD}\n")
         fh.write(f"nodes={n}\narcs={m}\n")
         fh.write(f"windowsize={window}\nmaxrefcount={max_ref}\n")
         fh.write(
@@ -748,8 +762,15 @@ def write_webgraph(
     zeta_k: int = DEFAULT_ZETA_K,
     num_partitions: int | None = None,
     with_labels: bool = False,
+    big: bool | None = None,
 ) -> None:
     """Compress ``graph`` to ``basename.{graph,offsets,properties}``.
+
+    ``big`` selects the ``it.unimi.dsi.big.webgraph`` graphclass (the
+    reference's WG800 u64 kind, `src/WG800AP.java:7`); default ``None``
+    auto-selects it when \\|V\\| exceeds Java's int range — the exact
+    boundary that forces the reference onto its 800AP reader
+    (`README.md:14-16`). The bit stream itself is identical.
 
     Parallel shape: contiguous edge-balanced node ranges encode
     independently (window truncated at each range start — r=0 never
@@ -907,7 +928,16 @@ def write_webgraph(
             prev = p
         with open(basename + ".labeloffsets", "wb") as fh:
             fh.write(w.getvalue())
-    _write_properties(basename, n, m, window, max_ref, min_interval, zeta_k)
+    _write_properties(
+        basename,
+        n,
+        m,
+        window,
+        max_ref,
+        min_interval,
+        zeta_k,
+        big=(big if big is not None else n > _JAVA_INT_MAX),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -930,6 +960,15 @@ def read_webgraph(
     ``weight`` column (WG404, `src/webgraph.c:115-122`); otherwise
     weight = 1."""
     props = read_properties(basename)
+    gclass = props.get("graphclass", GRAPHCLASS_STD)
+    if gclass not in (GRAPHCLASS_STD, GRAPHCLASS_BIG):
+        # loud on the formats the reference also cannot read (e.g.
+        # EFGraph): silent misdecode of a foreign bit stream is worse
+        # than refusal
+        raise NotImplementedError(
+            f"unsupported graphclass {gclass!r}: only BVGraph streams "
+            f"({GRAPHCLASS_STD}, {GRAPHCLASS_BIG}) are implemented"
+        )
     n, m = int(props["nodes"]), int(props["arcs"])
     window = int(props.get("windowsize", DEFAULT_WINDOW))
     max_ref = int(props.get("maxrefcount", DEFAULT_MAX_REF))

@@ -266,6 +266,37 @@ def test_read_edge_text_rejects_malformed(spark, tmp_path):
         read_edge_text(spark, str(p2), weighted=True).collect()
 
 
+def test_read_adjacency_text_rejects_interior_blank_shift(spark, tmp_path):
+    """An interior blank line leaves the non-blank body count at n + m
+    (so a count-only check passes) while shifting every later row one
+    positional slot — sections misalign and edges land on wrong
+    vertices. The reader must reject it (ADVICE: sinks.py loud-
+    malformed-input contract)."""
+    import pytest as _pytest
+
+    from paragrapher_spark.sources.sinks import read_adjacency_text
+
+    good = "AdjacencyGraph\n3\n4\n0\n2\n3\n1\n2\n0\n0\n"
+    p = tmp_path / "good.adj"
+    p.write_text(good)
+    g = read_adjacency_text(spark, str(p))
+    assert g.num_vertices == 3 and g.num_edges == 4
+
+    # same content with a blank line between offsets: count unchanged,
+    # positions shifted
+    bad = "AdjacencyGraph\n3\n4\n0\n\n2\n3\n1\n2\n0\n0\n"
+    p2 = tmp_path / "bad.adj"
+    p2.write_text(bad)
+    with _pytest.raises(ValueError, match="malformed AdjacencyGraph"):
+        read_adjacency_text(spark, str(p2))
+
+    # truncated body still rejected
+    p3 = tmp_path / "trunc.adj"
+    p3.write_text("AdjacencyGraph\n3\n4\n0\n2\n3\n1\n2\n")
+    with _pytest.raises(ValueError, match="malformed AdjacencyGraph"):
+        read_adjacency_text(spark, str(p3))
+
+
 def test_matrix_market_roundtrip_general(spark, tmp_path):
     g = graph_from_edges(small5x14(spark))
     path = str(tmp_path / "g.mtx")

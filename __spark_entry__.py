@@ -27,9 +27,12 @@ from paragrapher_spark.graph import Graph, edges_from_corpus
 from paragrapher_spark.kernels.bfs import bfs
 from paragrapher_spark.kernels.components import component_sizes, connected_components
 from paragrapher_spark.kernels.degrees import degree_distribution, top_k_degrees
+from paragrapher_spark.kernels.hits import hits
+from paragrapher_spark.kernels.hyperball import hyperball
 from paragrapher_spark.kernels.labelprop import label_propagation
 from paragrapher_spark.kernels.pagerank import pagerank
 from paragrapher_spark.kernels.kcore import kcore
+from paragrapher_spark.kernels.sssp import sssp
 from paragrapher_spark.kernels.triangles import (
     clustering_coefficient,
     triangle_count,
@@ -172,6 +175,59 @@ def _q_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bfs(edges, [int(src)], directed=False, max_depth=6)
     return res.distances.select(
         F.col("id").cast("long"), F.col("dist").cast("long")
+    )
+
+
+_SSSP_UNROLL = 24
+
+
+def _q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths on the arc-labelled (WG404-
+    style) co-purchase graph from the smallest vertex id, undirected.
+    Oracle: synchronous Bellman-Ford unrolled as materialized CTE rounds
+    (frontier relaxation reaches the identical round-k state; past the
+    fixpoint extra rounds are exact — the k-core argument)."""
+    edges = copurchase_weighted_edges(spark, sf_dir)
+    src = edges.agg(F.min(F.least("src", "dst"))).collect()[0][0]
+    res = sssp(edges, [int(src)], directed=False, max_iter=_SSSP_UNROLL + 1)
+    # the oracle materializes _SSSP_UNROLL relaxation rounds; fail HERE
+    # with the cause if a bigger SF ever needs more (the k-core guard)
+    if not res.converged or res.iterations > _SSSP_UNROLL:
+        raise AssertionError(
+            f"sssp took {res.iterations} rounds (converged={res.converged}) "
+            f"vs the oracle's {_SSSP_UNROLL}-round unroll; raise _SSSP_UNROLL"
+        )
+    return res.distances.select(
+        F.col("id").cast("long"), F.col("dist").cast("long")
+    )
+
+
+def _q_hyperball_balls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (the WebGraph framework's companion algorithm) at radius 3
+    on the undirected co-purchase graph: per-vertex ball-size estimate +
+    harmonic centrality. A SKETCH under the exact-hash gate: registers use
+    the portable md5 hash family and an exact-integer estimator, so DuckDB
+    reproduces every register and every rounded double bit-for-bit."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = hyperball(edges, radius=3, directed=False)
+    return res.states.select(
+        F.col("id").cast("long"),
+        F.col("ball").cast("double"),
+        F.col("harmonic").cast("double"),
+    )
+
+
+def _q_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS, 8 synchronous rounds, end-normalized, on the
+    directed customer->order graph. Oracle: 8 unrolled materialized CTE
+    rounds. At sf<=0.01 every intermediate is an exact integer in double
+    (max degree^8 < 2^53), so the hash match is exact, not rounding-luck."""
+    edges = customer_order_edges(spark, sf_dir)
+    res = hits(edges, iterations=8)
+    return res.scores.select(
+        F.col("id").cast("long"),
+        F.col("authority").cast("double"),
+        F.col("hub").cast("double"),
     )
 
 
@@ -682,6 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "bfs_depths": _q_bfs_depths,
+        "sssp_weighted": _q_sssp_weighted,
+        "hyperball_balls": _q_hyperball_balls,
+        "hits_fixed": _q_hits_fixed,
         "clustering_coeff": _q_clustering_coeff,
         "kcore_members": _q_kcore_members,
         "label_propagation": _q_label_propagation,
@@ -742,6 +801,175 @@ _TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 # internal-invariant asserts (`test/test1_deg_dist_WG400.c:230`,
 # `test/test2_jtcc_WG400.c:279`) — but checked against an independent engine.
 # ---------------------------------------------------------------------------
+
+
+def _sssp_oracle_sql(rounds: int) -> str:
+    """Synchronous Bellman-Ford unrolled to ``rounds`` materialized CTE
+    relaxations over the undirected weighted co-purchase graph, from the
+    smallest vertex id. Round k holds min summed weight over paths of <= k
+    edges — exactly kernels/sssp.py's round-k state; past convergence the
+    min-merge is a fixpoint, so over-unrolling is exact."""
+    ctes = []
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""
+    r{k} AS MATERIALIZED (
+        SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM r{k - 1}
+            UNION ALL
+            SELECT u.dst AS id, r.dist + u.w AS dist
+            FROM r{k - 1} r JOIN und u ON u.src = r.id
+        ) GROUP BY id
+    )"""
+        )
+    return f"""
+    WITH e AS ({COPURCHASE_WEIGHTED_EDGES_SQL}),
+    und AS (
+        SELECT src, dst, MIN(weight) AS w FROM (
+            SELECT src, dst, weight FROM e
+            UNION ALL
+            SELECT dst AS src, src AS dst, weight FROM e
+        ) GROUP BY src, dst
+    ),
+    r0 AS MATERIALIZED (
+        SELECT (SELECT MIN(LEAST(src, dst)) FROM e) AS id,
+               CAST(0 AS BIGINT) AS dist
+    ),
+    {",".join(ctes)}
+    SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
+    FROM r{rounds}
+    """
+
+
+def _hyperball_oracle_sql(radius: int) -> str:
+    """DuckDB twin of kernels/hyperball.py at ``radius`` on the undirected
+    co-purchase graph. Registers are SPARSE rows (v, reg, rho) — a missing
+    register means rho 0 — merged per round by GROUP BY max, exactly the
+    kernel's 16-column max-aggregation. The estimator is the verbatim
+    transliteration of hyperball.ball_estimate: exact-BIGINT denominator
+    (order-free), shared literal constants, shared ln() CASE table."""
+    from paragrapher_spark.kernels.hyperball import (
+        EST_NUM,
+        LN_TABLE,
+        M,
+        RHO_CAP,
+        SMALL_RANGE,
+    )
+
+    ln_case = " ".join(
+        f"WHEN {z} THEN {LN_TABLE[z - 1]!r}" for z in range(1, M + 1)
+    )
+    rounds, ests = [], []
+    for k in range(1, radius + 1):
+        rounds.append(
+            f"""
+    r{k} AS MATERIALIZED (
+        SELECT v, reg, MAX(rho) AS rho FROM (
+            SELECT v, reg, rho FROM r{k - 1}
+            UNION ALL
+            SELECT u.src AS v, s.reg, s.rho
+            FROM r{k - 1} s JOIN und u ON u.dst = s.v
+        ) GROUP BY v, reg
+    )"""
+        )
+    for k in range(0, radius + 1):
+        ests.append(
+            f"""
+    e{k} AS MATERIALIZED (
+        SELECT v, ROUND(CASE WHEN raw <= {SMALL_RANGE!r} AND zeros > 0
+                             THEN CASE zeros {ln_case} END
+                        ELSE raw END, 6) AS est
+        FROM (
+            SELECT v, {EST_NUM!r} / CAST(denom AS DOUBLE) AS raw, zeros
+            FROM (
+                SELECT v,
+                       SUM(CAST(1 AS BIGINT) << ({RHO_CAP} - rho))
+                           + ({M} - COUNT(*)) * CAST({2**RHO_CAP} AS BIGINT)
+                           AS denom,
+                       {M} - COUNT(*) AS zeros
+                FROM r{k} GROUP BY v
+            )
+        )
+    )"""
+        )
+    # harmonic accumulation mirrors the kernel's left-associated sum of
+    # INTEGER-rounded ball deltas: ((0.0 + n1/1.0) + n2/2.0) + ... — n/2^k
+    # is binary-exact and n/3,/5... never lands on a 1e-6 decimal tie, so
+    # the final ROUND(6) agrees across engines (kernels/hyperball.py)
+    harmonic = " + ".join(
+        f"(ROUND(e{k}.est) - ROUND(e{k - 1}.est)) / {float(k)!r}"
+        for k in range(1, radius + 1)
+    )
+    joins = " ".join(f"JOIN e{k} USING (v)" for k in range(1, radius + 1))
+    return f"""
+    WITH e0g AS ({COPURCHASE_EDGES_SQL}),
+    und AS (
+        SELECT src, dst FROM e0g
+        UNION
+        SELECT dst AS src, src AS dst FROM e0g
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM und),
+    hh AS (
+        SELECT id,
+               ('0x' || substr(md5(concat_ws(':', 'hb', '42',
+                   CAST(id AS VARCHAR))), 1, 15))::BIGINT AS hv
+        FROM verts
+    ),
+    r0 AS MATERIALIZED (
+        SELECT id AS v, hv % {M} AS reg,
+               CASE WHEN hv // {M} = 0 THEN {RHO_CAP}
+                    ELSE LEAST(1 + bit_count(((hv // {M}) & -(hv // {M})) - 1),
+                               {RHO_CAP})
+               END AS rho
+        FROM hh
+    ),
+    {",".join(rounds)},
+    {",".join(ests)}
+    SELECT CAST(v AS BIGINT) AS id,
+           e{radius}.est AS ball,
+           ROUND(0.0 + {harmonic}, 6) AS harmonic
+    FROM e0 {joins}
+    """
+
+
+def _hits_oracle_sql(iters: int) -> str:
+    """Kleinberg HITS unrolled: auth round k sums hub round k-1 over
+    in-edges, hub round k sums auth round k over out-edges (the kernel's
+    exact interleave), normalized once at the end by each vector's L1 mass
+    over ALL vertices (missing side = 0)."""
+    ctes = []
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""
+    a{k} AS MATERIALIZED (
+        SELECT e.dst AS id, SUM(h.hub) AS auth
+        FROM e JOIN h{k - 1} h ON e.src = h.id GROUP BY e.dst
+    ),
+    h{k} AS MATERIALIZED (
+        SELECT e.src AS id, SUM(a.auth) AS hub
+        FROM e JOIN a{k} a ON e.dst = a.id GROUP BY e.src
+    )"""
+        )
+    return f"""
+    WITH e AS ({CUSTOMER_ORDER_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    h0 AS MATERIALIZED (
+        SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM verts
+    ),
+    {",".join(ctes)},
+    fin AS (
+        SELECT v.id,
+               COALESCE(a.auth, 0.0) AS auth,
+               COALESCE(h.hub, 0.0) AS hub
+        FROM verts v
+        LEFT JOIN a{iters} a ON a.id = v.id
+        LEFT JOIN h{iters} h ON h.id = v.id
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           ROUND(auth / (SELECT SUM(auth) FROM fin), 6) AS authority,
+           ROUND(hub / (SELECT SUM(hub) FROM fin), 6) AS hub
+    FROM fin
+    """
 
 
 def _lp_oracle_sql(rounds: int) -> str:
@@ -1712,6 +1940,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(dist) AS BIGINT) AS dist
             FROM walk GROUP BY id
         """,
+        "sssp_weighted": _sssp_oracle_sql(_SSSP_UNROLL),
+        "hyperball_balls": _hyperball_oracle_sql(3),
+        "hits_fixed": _hits_oracle_sql(8),
         "triangles_per_vertex": f"""
             WITH edges AS ({COPURCHASE_EDGES_SQL}),
             und AS (

@@ -30,6 +30,9 @@ from paragrapher_spark.kernels.degrees import degree_distribution, top_k_degrees
 from paragrapher_spark.kernels.hits import hits
 from paragrapher_spark.kernels.hyperball import hyperball
 from paragrapher_spark.kernels.labelprop import label_propagation
+from paragrapher_spark.kernels.neighborhood import neighbor_feature_agg
+from paragrapher_spark.kernels.scc import scc
+from paragrapher_spark.kernels.walks import random_walks
 from paragrapher_spark.kernels.pagerank import pagerank
 from paragrapher_spark.kernels.kcore import kcore
 from paragrapher_spark.kernels.sssp import sssp
@@ -58,6 +61,7 @@ from paragrapher_spark.sources.edges import (
     copurchase_weighted_edges,
     customer_order_edges,
     load_table,
+    md5_vertex_graph,
 )
 
 
@@ -723,6 +727,69 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WALK_LEN = 6
+_WALK_START_MOD = 97
+_SCC_FILES = 800
+_NF_OUT_DEG = 4
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus (kernels/walks.py): md5-picked
+    6-step walks over the undirected co-purchase graph from every vertex
+    divisible by 97. The neighbor choice is a pure function of
+    (walk_id, step), so the DuckDB oracle replays the walks exactly with
+    6 unrolled pick-joins — a 'random' algorithm under the exact gate."""
+    edges = copurchase_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    starts = verts.where(F.col("id") % _WALK_START_MOD == 0)
+    res = random_walks(edges, starts, length=_WALK_LEN, directed=False)
+    return res.steps.select(
+        F.col("walk_id").cast("long"),
+        F.col("step").cast("long"),
+        F.col("id").cast("long"),
+    )
+
+
+def _q_scc_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic-import detection (kernels/scc.py): strongly connected
+    components of the DIRECTED import graph from the hash-skew corpus —
+    an SCC of size > 1 is a set of source files whose imports form a
+    cycle (the giant hub SCC covers ~1/3 of the reachable files at this
+    size). Oracle: DuckDB recursive-CTE transitive closure -> mutual
+    reachability -> min-id per component, over the md5-regenerated edge
+    set (the import_graph_pagerank discipline)."""
+    corpus = synth_corpus(spark, n_files=_SCC_FILES, n_repos=8)
+    g = edges_from_corpus(corpus, num_partitions=8)
+    res = scc(g.edges.select("src", "dst"), num_partitions=8)
+    return res.components.select(
+        F.col("id").cast("long"), F.col("scc").cast("long")
+    )
+
+
+def _q_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 2-hop feature aggregation (kernels/neighborhood.py)
+    over the embeddings table wired to a deterministic md5 vertex graph:
+    sum_q = (A^2 q)(id, pos), cnt = (A^2 1)(id) with q the fixed-point
+    quantized embeddings — EXACT integers end to end, so the oracle
+    matches bit-for-bit (no float-summation-order ambiguity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    g = md5_vertex_graph(spark, n, out_deg=_NF_OUT_DEG)
+    res = neighbor_feature_agg(
+        g, emb, id_col="vec_id", vec_col="embedding", hops=2
+    )
+    return res.features.select(
+        F.col("id").cast("long"),
+        F.col("pos").cast("long"),
+        F.col("sum_q").cast("long"),
+        F.col("cnt").cast("long"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -768,6 +835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_csr_roundtrip": _q_binary_csr_roundtrip,
         "matrix_market_roundtrip": _q_matrix_market_roundtrip,
         "knn_ivf_fixed": _q_knn_ivf_fixed,
+        "random_walks": _q_random_walks,
+        "scc_imports": _q_scc_imports,
+        "neighbor_features": _q_neighbor_features,
     }
 
 
@@ -1797,6 +1867,96 @@ _MEDIA_STATS_SQL = """
 """
 
 
+def _walks_oracle_sql(length: int, start_mod: int) -> str:
+    """Unrolled replay of kernels/walks.py: step t's pick is
+    md5('walk:42:walk_id:t') mod degree over the dst-sorted neighbor
+    index — identical hash family both sides, so the walks match row
+    for row."""
+    ctes = []
+    selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS id FROM s0"]
+    prev = "s0"
+    for t in range(1, length + 1):
+        ctes.append(f"""s{t} AS (
+            SELECT s.walk_id, a.dst AS cur
+            FROM {prev} s JOIN adj a ON a.src = s.cur
+             AND a.idx = ('0x' || substr(md5('walk:42:' || s.walk_id::VARCHAR || ':{t}'), 1, 15))::BIGINT % a.deg
+        )""")
+        selects.append(
+            f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS id FROM s{t}"
+        )
+        prev = f"s{t}"
+    joined_ctes = ",\n        ".join(ctes)
+    return f"""
+        WITH base AS ({COPURCHASE_EDGES_SQL}),
+        sym AS (SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base),
+        adj AS (SELECT src, dst,
+                       CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx,
+                       CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+                FROM sym),
+        s0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM sym
+               WHERE src % {start_mod} = 0),
+        {joined_ctes}
+        {' UNION ALL '.join(selects)}
+    """
+
+
+def _scc_oracle_sql(edges_sql: str) -> str:
+    """Mutual reachability by transitive closure: scc(v) = min over
+    {{v}} ∪ {{u : v →* u AND u →* v}} — the definitional oracle the
+    iterative coloring kernel must reproduce."""
+    return f"""
+        WITH RECURSIVE edges AS ({edges_sql}),
+        r(a, b) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b
+        ),
+        verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        mutual AS (
+            SELECT r1.a AS v, r1.b AS u
+            FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+        )
+        SELECT v.id, CAST(least(v.id, coalesce(min(m.u), v.id)) AS BIGINT) AS scc
+        FROM verts v LEFT JOIN mutual m ON m.v = v.id
+        GROUP BY v.id
+    """
+
+
+def _neighbor_features_oracle_sql(out_deg: int, scale: int = 10**6) -> str:
+    """Exact-integer SpMM twin of kernels/neighborhood.py at hops=2 over
+    the md5 vertex graph (sources/edges.py:md5_vertex_graph_sql inlined
+    with n = count(embeddings) as a scalar subquery)."""
+    return f"""
+        WITH g AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT e.vec_id AS src,
+                       ('0x' || substr(md5('gf:42:' || e.vec_id::VARCHAR || ':' || u.j::VARCHAR), 1, 15))::BIGINT
+                           % (SELECT count(*) FROM embeddings) AS dst
+                FROM embeddings e
+                CROSS JOIN (SELECT unnest(range(1, {out_deg} + 1)) AS j) u
+            ) WHERE src != dst
+        ),
+        q AS (
+            SELECT vec_id AS id,
+                   CAST(unnest(range(array_length(embedding))) AS BIGINT) AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS s
+            FROM embeddings
+        ),
+        s1 AS (SELECT g.src AS id, q.pos, SUM(q.s) AS s
+               FROM g JOIN q ON q.id = g.dst GROUP BY 1, 2),
+        c1 AS (SELECT g.src AS id, CAST(count(*) AS BIGINT) AS c
+               FROM g JOIN (SELECT DISTINCT vec_id FROM embeddings) f
+                 ON f.vec_id = g.dst GROUP BY 1),
+        s2 AS (SELECT g.src AS id, s1.pos, SUM(s1.s) AS s
+               FROM g JOIN s1 ON s1.id = g.dst GROUP BY 1, 2),
+        c2 AS (SELECT g.src AS id, SUM(c1.c) AS c
+               FROM g JOIN c1 ON c1.id = g.dst GROUP BY 1)
+        SELECT s2.id, s2.pos, CAST(s2.s AS BIGINT) AS sum_q,
+               CAST(c2.c AS BIGINT) AS cnt
+        FROM s2 JOIN c2 ON c2.id = s2.id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_meta": f"""
@@ -1893,6 +2053,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_FORMAT_FIXTURE_SQL})
         """,
         "knn_ivf_fixed": _knn_ivf_fixed_oracle_sql(),
+        "random_walks": _walks_oracle_sql(_WALK_LEN, _WALK_START_MOD),
+        "scc_imports": _scc_oracle_sql(
+            _import_edges_md5_sql(_SCC_FILES, 8, 12, 16)
+        ),
+        "neighbor_features": _neighbor_features_oracle_sql(_NF_OUT_DEG),
         "knn_ivf": _knn_ivf_oracle_sql(),
         "label_propagation": _lp_oracle_sql(10),
         # generously over-unrolled (peeling is idempotent at the fixpoint,

@@ -1,0 +1,185 @@
+"""Deterministic random walks — DeepWalk/node2vec-style corpus generation.
+
+The training-data bridge out of the link-graph engine: random-walk corpora
+are what graph-embedding trainers (DeepWalk, node2vec) consume, and at
+100 TB the walk generator IS the heavy job — |walks| * length edge lookups.
+The reference has no walk kernel (its clients are degree/WCC/converters),
+but its edge-block scan + callback shape (`src/webgraph.c:1036-1091`) is
+exactly the access pattern a walk step performs; this kernel re-expresses
+it as one equi-join per step.
+
+Determinism instead of RNG: the neighbor choice at step ``t`` of walk ``w``
+is ``H(seed, w, t) mod degree(cur)`` where ``H`` is the engine-portable
+md5 hash family of ``sources/corpus.py`` (first 15 md5 hex chars of
+``'walk:seed:w:t'`` parsed base-16). Wall-clock-free, resumable, and a
+DuckDB oracle replays the exact same walks with unrolled joins — which
+puts a "random" algorithm under the exact-match gate.
+
+Execution shape:
+
+- the adjacency is materialized ONCE with a per-source neighbor index
+  ``idx`` (row_number over (partition by src order by dst) - 1) and a
+  degree column — one shuffle+sort, reused by every step;
+- each step is state ⋈ adjacency on the composite key ``(cur, idx)``:
+  the picked index is computed JVM-side from (walk_id, step) before the
+  join, so the join is a plain equi-join — no per-row Python, no UDF;
+- walkers parked on sinks (out-degree 0 in the directed case) terminate;
+  surviving state is O(|walks|) rows regardless of graph size;
+- per-step state rides a non-eager localCheckpoint; the only action per
+  step is the survivor count (same single-job discipline as
+  kernels/sssp.py / kernels/pagerank.py).
+
+100 TB shape: the hot join is (walks ⋈ adjacency) on (vertex, idx). A hub
+vertex's walkers spread across its ``idx`` range — the composite key is
+self-salting for any hub with degree >= the walker count parked on it, the
+common case; residual skew (millions of walkers on one vertex at one step)
+is AQE skew-join territory. State never exceeds |walks| rows and the
+adjacency is partition-pruned by the join, so the job scales with walker
+count, not graph size.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from paragrapher_spark.plans.metrics import ShuffleProbe
+
+SEED = 42
+
+
+def _h(tag: str, seed: int, *cols) -> F.Column:
+    """The corpus md5 hash family (sources/corpus.py:58-80): uniform
+    63-bit value DuckDB reproduces as
+    ``('0x' || substr(md5(concat_ws(':', tag, seed, cols...)), 1, 15))::BIGINT``."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(tag),
+                    F.lit(str(seed)),
+                    *[F.col(c).cast("string") if isinstance(c, str) else c for c in cols],
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+@dataclass
+class WalksResult:
+    steps: DataFrame  # (walk_id, step, id) — step 0 is the start vertex
+    length: int
+    n_walks: int
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame | list[int],
+    length: int = 8,
+    seed: int = SEED,
+    directed: bool = False,
+    num_partitions: int | None = None,
+) -> WalksResult:
+    """Walk ``length`` steps from each start vertex over edges(src, dst).
+
+    ``starts`` is a (id) DataFrame or list of vertex ids; one walk per
+    start, ``walk_id`` = the start vertex id. Returns every visited
+    position as (walk_id, step, id) rows — the exploded walk corpus a
+    skip-gram trainer windows over.
+
+    The step-``t`` neighbor pick is ``H('walk', seed, walk_id, t) mod
+    degree(cur)`` over the neighbor list sorted by destination id, so the
+    full output is a pure function of (edges, starts, length, seed).
+    """
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    # one materialization: indexed, degree-annotated adjacency sorted by the
+    # join key — every step's SortMergeJoin reuses the order (the cached-edge
+    # discipline measured in kernels/pagerank.py)
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        e.distinct()
+        .select(
+            "src",
+            "dst",
+            (F.row_number().over(w) - F.lit(1)).cast("long").alias("idx"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+        )
+        .repartition(n_part, "src")
+        .sortWithinPartitions("src", "idx")
+        .persist()
+    )
+    adj.count()
+
+    if isinstance(starts, list):
+        src_df = spark.createDataFrame([(int(s),) for s in starts], "id long")
+    else:
+        src_df = starts.select("id")
+    state = (
+        src_df.distinct()
+        .select(
+            F.col("id").alias("walk_id"),
+            F.col("id").alias("cur"),
+        )
+        .repartition(n_part, "cur")
+        .localCheckpoint(eager=True)
+    )
+    n_walks = state.count()
+
+    out = state.select(
+        "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("id")
+    )
+    history: list[dict[str, Any]] = []
+    probe = ShuffleProbe(spark)
+    for t in range(1, length + 1):
+        t0 = time.monotonic()
+        picked = state.select(
+            "walk_id",
+            F.col("cur").alias("src"),
+            _h("walk", seed, "walk_id", F.lit(t)).alias("hv"),
+        )
+        state = (
+            picked.join(adj, on="src")
+            .where(F.col("idx") == F.pmod(F.col("hv"), F.col("deg")))
+            .select("walk_id", F.col("dst").alias("cur"))
+            .repartition(n_part, "cur")
+            .localCheckpoint(eager=False)
+        )
+        alive = state.count()
+        dt = time.monotonic() - t0
+        shuffle_w, shuffle_r = probe.tick()
+        history.append(
+            {
+                "step": t,
+                "alive_walkers": alive,
+                "duration_s": dt,
+                "shuffle_write_bytes": shuffle_w,
+                "shuffle_read_bytes": shuffle_r,
+            }
+        )
+        out = out.unionByName(
+            state.select(
+                "walk_id", F.lit(t).cast("int").alias("step"), F.col("cur").alias("id")
+            )
+        )
+        if alive == 0:
+            break
+
+    adj.unpersist()
+    return WalksResult(steps=out, length=length, n_walks=n_walks, history=history)

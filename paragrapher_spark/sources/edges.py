@@ -95,6 +95,63 @@ def replicate_edges(edges: DataFrame, k: int) -> DataFrame:
     )
 
 
+def md5_vertex_graph(
+    spark: SparkSession, n: int, out_deg: int = 4, seed: int = 42, tag: str = "gf"
+) -> DataFrame:
+    """Deterministic directed graph over vertex ids [0, n): vertex ``i``
+    points at ``H(tag, seed, i, j) mod n`` for j in 1..out_deg (self-loops
+    dropped, parallel edges deduped). The engine-portable md5 hash family
+    of sources/corpus.py, so a DuckDB oracle regenerates the identical
+    edge set (MD5_VERTEX_GRAPH_SQL below) — used to wire feature tables
+    (embeddings.parquet) into graph kernels without external topology.
+    Pure ``spark.range`` + JVM expressions: no shuffle, no UDF, trivially
+    embarrassingly parallel at any n."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(out_deg))).alias("j"),
+        )
+        .select(
+            "src",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(tag),
+                                F.lit(str(seed)),
+                                F.col("src").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n).cast("long"),
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def md5_vertex_graph_sql(n: int, out_deg: int = 4, seed: int = 42, tag: str = "gf") -> str:
+    """DuckDB twin of ``md5_vertex_graph`` — byte-identical edge set."""
+    return f"""
+        SELECT DISTINCT src, dst FROM (
+            SELECT t.i AS src,
+                   ('0x' || substr(md5('{tag}:{seed}:' || t.i::VARCHAR || ':' || u.j::VARCHAR), 1, 15))::BIGINT
+                       % {n} AS dst
+            FROM range({n}) t(i), (SELECT unnest(range(1, {out_deg} + 1)) AS j) u
+        ) WHERE src != dst
+    """
+
+
 COPURCHASE_EDGES_SQL = """
     SELECT a.l_partkey AS src, b.l_partkey AS dst
     FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey

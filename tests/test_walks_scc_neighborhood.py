@@ -1,0 +1,244 @@
+"""Tests for the round-3 kernels: deterministic random walks (DeepWalk
+corpus generation), strongly connected components (cyclic-import
+detection), and exact-integer neighborhood feature aggregation (SpMM).
+
+Oracles are exact: a pure-python md5 walk replayer, numpy matrix powers
+for the SpMM, Tarjan-free mutual-reachability closure for SCC — the same
+definitional checks the driver-side DuckDB oracles run at sf0.01.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from paragrapher_spark.kernels.neighborhood import (
+    assemble,
+    neighbor_feature_agg,
+)
+from paragrapher_spark.kernels.scc import scc
+from paragrapher_spark.kernels.walks import random_walks
+from paragrapher_spark.sources.edges import md5_vertex_graph, md5_vertex_graph_sql
+
+
+def _h(tag: str, seed: int, *cols) -> int:
+    s = ":".join([tag, str(seed)] + [str(c) for c in cols])
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# md5_vertex_graph
+# ---------------------------------------------------------------------------
+
+
+def test_md5_vertex_graph_matches_sql_twin(spark):
+    import duckdb
+
+    got = sorted(tuple(r) for r in md5_vertex_graph(spark, 60, out_deg=5).collect())
+    exp = sorted(
+        tuple(r) for r in duckdb.sql(md5_vertex_graph_sql(60, 5)).fetchall()
+    )
+    assert got == exp
+    assert all(s != d for s, d in got)  # no self-loops
+    assert all(0 <= d < 60 for _, d in got)
+
+
+# ---------------------------------------------------------------------------
+# random walks
+# ---------------------------------------------------------------------------
+
+_WALK_EDGES = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (5, 6)]
+
+
+def _walk_oracle(edges, starts, length, seed=42, directed=False):
+    adj: dict[int, set[int]] = {}
+    all_edges = list(edges) + ([] if directed else [(d, s) for s, d in edges])
+    for s, d in all_edges:
+        adj.setdefault(s, set()).add(d)
+    adjl = {k: sorted(v) for k, v in adj.items()}
+    rows = []
+    for w in starts:
+        cur = w
+        rows.append((w, 0, cur))
+        for t in range(1, length + 1):
+            nbrs = adjl.get(cur, [])
+            if not nbrs:
+                break
+            cur = nbrs[_h("walk", seed, w, t) % len(nbrs)]
+            rows.append((w, t, cur))
+    return sorted(rows)
+
+
+def test_random_walks_match_md5_replay(spark):
+    e = spark.createDataFrame(_WALK_EDGES, "src long, dst long")
+    res = random_walks(e, [0, 1, 2, 3, 4, 5, 6], length=7, directed=False)
+    got = sorted(tuple(r) for r in res.steps.collect())
+    assert got == _walk_oracle(_WALK_EDGES, [0, 1, 2, 3, 4, 5, 6], 7)
+    assert res.n_walks == 7
+    # history records per-step survivor counts and shuffle telemetry
+    assert [h["step"] for h in res.history] == list(range(1, 8))
+    assert all("shuffle_write_bytes" in h for h in res.history)
+
+
+def test_random_walks_directed_sink_terminates(spark):
+    # directed: vertex 4 and 6 are sinks — their walkers must stop
+    e = spark.createDataFrame(_WALK_EDGES, "src long, dst long")
+    res = random_walks(e, [3, 5], length=5, directed=True)
+    got = sorted(tuple(r) for r in res.steps.collect())
+    assert got == _walk_oracle(_WALK_EDGES, [3, 5], 5, directed=True)
+    # walk from 3 reaches sink 4 at step 1, walk from 5 reaches 6 at step 1
+    assert max(step for _, step, _ in got) == 1
+
+
+def test_random_walks_seed_changes_paths(spark):
+    e = spark.createDataFrame(_WALK_EDGES, "src long, dst long")
+    a = sorted(
+        tuple(r)
+        for r in random_walks(e, [0, 1, 2], length=6, seed=42).steps.collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in random_walks(e, [0, 1, 2], length=6, seed=43).steps.collect()
+    )
+    assert a != b
+    # determinism: same seed replays identically
+    c = sorted(
+        tuple(r)
+        for r in random_walks(e, [0, 1, 2], length=6, seed=42).steps.collect()
+    )
+    assert a == c
+
+
+# ---------------------------------------------------------------------------
+# scc
+# ---------------------------------------------------------------------------
+
+
+def _scc_oracle(edges):
+    verts = sorted({v for e in edges for v in e})
+    reach = {v: {v} for v in verts}
+    changed = True
+    while changed:
+        changed = False
+        for s, d in edges:
+            new = reach[d] - reach[s]
+            if new:
+                reach[s] |= new
+                changed = True
+    out = {}
+    for v in verts:
+        out[v] = min(u for u in reach[v] if v in reach[u])
+    return sorted(out.items())
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # two cycles bridged, plus a tail
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (4, 5), (5, 6)],
+        # pure DAG: every SCC is a singleton
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)],
+        # one big ring
+        [(i, (i + 1) % 8) for i in range(8)],
+        # self-loop + isolated pair-cycle
+        [(0, 0), (1, 2), (2, 1)],
+    ],
+)
+def test_scc_matches_mutual_reachability(spark, edges):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    res = scc(e)
+    got = sorted(tuple(r) for r in res.components.collect())
+    assert got == _scc_oracle(edges)
+    assert res.converged
+
+
+def test_scc_md5_graph_has_giant_component(spark):
+    # a sparse random digraph grows a giant SCC; the kernel must agree
+    # with the closure oracle on every vertex, not just the giant one
+    g = md5_vertex_graph(spark, 80, out_deg=2)
+    edges = [(r.src, r.dst) for r in g.collect()]
+    res = scc(g)
+    got = sorted(tuple(r) for r in res.components.collect())
+    exp = _scc_oracle(edges)
+    assert got == exp
+    sizes = {}
+    for _, c in exp:
+        sizes[c] = sizes.get(c, 0) + 1
+    assert max(sizes.values()) > 1  # the fixture actually has a cycle
+    assert res.converged
+    assert all("shuffle_write_bytes" in h for h in res.history)
+
+
+# ---------------------------------------------------------------------------
+# neighborhood feature aggregation
+# ---------------------------------------------------------------------------
+
+
+def _spmm_oracle(edges, vecs, hops, scale=10**6):
+    n, d = vecs.shape
+    q = np.round(vecs.astype(np.float64) * scale).astype(np.int64)
+    A = np.zeros((n, n), dtype=np.int64)
+    for s, dd in edges:
+        A[s, dd] = 1
+    Ak = np.linalg.matrix_power(A, hops)
+    sums = Ak @ q
+    cnts = Ak @ np.ones(n, dtype=np.int64)
+    return {
+        (i, p): (int(sums[i, p]), int(cnts[i]))
+        for i in range(n)
+        for p in range(d)
+        if cnts[i] > 0
+    }
+
+
+@pytest.mark.parametrize("hops", [1, 2, 3])
+def test_neighbor_feature_agg_exact_integers(spark, hops):
+    rng = np.random.default_rng(7)
+    n, d = 30, 5
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    feats = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "id long, vec array<float>",
+    )
+    g = md5_vertex_graph(spark, n, out_deg=3)
+    edges = [(r.src, r.dst) for r in g.collect()]
+    res = neighbor_feature_agg(g, feats, vec_col="vec", hops=hops)
+    got = {(r.id, r.pos): (r.sum_q, r.cnt) for r in res.features.collect()}
+    assert got == _spmm_oracle(edges, vecs, hops)
+    assert res.dim == d
+
+
+def test_neighbor_feature_agg_mean_and_assemble(spark):
+    feats = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 6.0])],
+        "id long, vec array<float>",
+    )
+    e = spark.createDataFrame([(0, 1), (0, 2)], "src long, dst long")
+    res = neighbor_feature_agg(e, feats, vec_col="vec", hops=1)
+    rows = {(r.id, r.pos): r for r in res.features.collect()}
+    # vertex 0 averages (3,4) and (5,6) -> (4.0, 5.0); 1 and 2 have no
+    # out-edges so they are absent
+    assert set(rows) == {(0, 0), (0, 1)}
+    assert rows[(0, 0)].mean == pytest.approx(4.0)
+    assert rows[(0, 1)].mean == pytest.approx(5.0)
+    asm = assemble(res).collect()
+    assert len(asm) == 1 and asm[0].feature == [4.0, 5.0]
+
+
+def test_neighbor_feature_agg_rejects_ragged(spark):
+    feats = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0])], "id long, vec array<float>"
+    )
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="ragged"):
+        neighbor_feature_agg(e, feats, vec_col="vec", hops=1)
+
+
+def test_neighbor_feature_agg_rejects_zero_hops(spark):
+    feats = spark.createDataFrame([(0, [1.0])], "id long, vec array<float>")
+    e = spark.createDataFrame([(0, 0)], "src long, dst long")
+    with pytest.raises(ValueError, match="hops"):
+        neighbor_feature_agg(e, feats, vec_col="vec", hops=0)

@@ -30,6 +30,7 @@ from paragrapher_spark.kernels.degrees import degree_distribution, top_k_degrees
 from paragrapher_spark.kernels.hits import hits
 from paragrapher_spark.kernels.hyperball import hyperball
 from paragrapher_spark.kernels.labelprop import label_propagation
+from paragrapher_spark.kernels.betweenness import betweenness
 from paragrapher_spark.kernels.neighborhood import neighbor_feature_agg
 from paragrapher_spark.kernels.scc import scc
 from paragrapher_spark.kernels.walks import random_walks
@@ -790,6 +791,55 @@ def _q_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BC_SOURCE_MOD = 499
+_BC_UNROLL = 10
+
+
+def _bc_result(spark: SparkSession, sf_dir: str):
+    edges = copurchase_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % _BC_SOURCE_MOD == 0)
+    res = betweenness(edges, seeds, directed=False)
+    # the oracle materializes _BC_UNROLL forward/backward levels; fail
+    # HERE with the cause if a bigger SF ever outgrows the unroll
+    # (the kcore-oracle guard pattern, ADVICE r2)
+    if res.depth > _BC_UNROLL:
+        raise AssertionError(
+            f"BFS depth {res.depth} > the oracle's {_BC_UNROLL}-level "
+            f"unroll; raise _BC_UNROLL"
+        )
+    return res
+
+
+def _q_sp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes forward phase (kernels/betweenness.py): exact
+    shortest-path counts σ(s, v) and hop distances from the sampled
+    source set — INTEGER-exact end to end, gated bit-for-bit."""
+    res = _bc_result(spark, sf_dir)
+    return res.levels.select(
+        F.col("source").cast("long"),
+        F.col("id").cast("long"),
+        F.col("dist").cast("long"),
+        F.col("sigma").cast("long"),
+    )
+
+
+def _q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-sampled Brandes betweenness (Bader-style estimator, exact
+    over the sample): per-vertex dependency sums δ accumulated backward
+    over the shortest-path DAG. δ divides σ ratios so the gate compares
+    a 4-decimal projection (summation-order noise ~1e-15 relative; the
+    exact-integer half of the kernel gates via sp_counts)."""
+    res = _bc_result(spark, sf_dir)
+    return res.scores.select(
+        F.col("id").cast("long"), F.round("bc", 4).alias("bc")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -838,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "scc_imports": _q_scc_imports,
         "neighbor_features": _q_neighbor_features,
+        "sp_counts": _q_sp_counts,
+        "betweenness_sampled": _q_betweenness_sampled,
     }
 
 
@@ -1957,6 +2009,78 @@ def _neighbor_features_oracle_sql(out_deg: int, scale: int = 10**6) -> str:
     """
 
 
+def _brandes_cte(levels: int, source_mod: int) -> str:
+    """Shared CTE chain for the Brandes oracles: unrolled multi-source
+    BFS levels (exact σ) + descending dependency accumulation, mirroring
+    kernels/betweenness.py level for level."""
+    parts = [
+        f"base AS MATERIALIZED ({COPURCHASE_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base)",
+        f"""l0 AS MATERIALIZED (SELECT DISTINCT src AS source, src AS id,
+                          CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
+                   FROM sym WHERE src % {source_mod} = 0)""",
+        "v0 AS MATERIALIZED (SELECT source, id FROM l0)",
+    ]
+    for d in range(1, levels + 1):
+        parts.append(f"""l{d} AS MATERIALIZED (
+            SELECT p.source, e.dst AS id, CAST({d} AS BIGINT) AS dist,
+                   CAST(SUM(p.sigma) AS BIGINT) AS sigma
+            FROM l{d - 1} p JOIN sym e ON e.src = p.id
+            WHERE NOT EXISTS (SELECT 1 FROM v{d - 1} v
+                              WHERE v.source = p.source AND v.id = e.dst)
+            GROUP BY 1, 2
+        )""")
+        parts.append(
+            f"v{d} AS MATERIALIZED (SELECT source, id FROM v{d - 1} "
+            f"UNION ALL SELECT source, id FROM l{d})"
+        )
+    lvl_union = " UNION ALL ".join(f"SELECT * FROM l{d}" for d in range(levels + 1))
+    parts.append(f"lvl AS MATERIALIZED ({lvl_union})")
+    # backward: deepest level's δ is 0 (the unroll is asserted to exceed
+    # the true depth), so b_{levels-1} has no deeper-δ join
+    parts.append(f"""b{levels - 1} AS MATERIALIZED (
+        SELECT lv.source, lv.id,
+               SUM(CAST(lv.sigma AS DOUBLE) / CAST(lw.sigma AS DOUBLE)) AS delta
+        FROM lvl lv JOIN sym e ON e.src = lv.id
+        JOIN lvl lw ON lw.source = lv.source AND lw.id = e.dst
+                   AND lw.dist = lv.dist + 1
+        WHERE lv.dist = {levels - 1}
+        GROUP BY 1, 2
+    )""")
+    for d in range(levels - 2, -1, -1):
+        parts.append(f"""b{d} AS MATERIALIZED (
+            SELECT lv.source, lv.id,
+                   SUM(CAST(lv.sigma AS DOUBLE) / CAST(lw.sigma AS DOUBLE)
+                       * (1 + COALESCE(dn.delta, 0))) AS delta
+            FROM lvl lv JOIN sym e ON e.src = lv.id
+            JOIN lvl lw ON lw.source = lv.source AND lw.id = e.dst
+                       AND lw.dist = lv.dist + 1
+            LEFT JOIN b{d + 1} dn ON dn.source = lv.source AND dn.id = lw.id
+            WHERE lv.dist = {d}
+            GROUP BY 1, 2
+        )""")
+    b_union = " UNION ALL ".join(
+        f"SELECT * FROM b{d}" for d in range(levels)
+    )
+    parts.append(f"alldelta AS MATERIALIZED ({b_union})")
+    return ",\n        ".join(parts)
+
+
+def _sp_counts_oracle_sql(levels: int, source_mod: int) -> str:
+    return f"""
+        WITH {_brandes_cte(levels, source_mod)}
+        SELECT source, id, dist, sigma FROM lvl
+    """
+
+
+def _betweenness_oracle_sql(levels: int, source_mod: int) -> str:
+    return f"""
+        WITH {_brandes_cte(levels, source_mod)}
+        SELECT id, ROUND(SUM(delta), 4) AS bc
+        FROM alldelta WHERE id != source GROUP BY id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_meta": f"""
@@ -2058,6 +2182,10 @@ def oracle_sql() -> dict[str, str]:
             _import_edges_md5_sql(_SCC_FILES, 8, 12, 16)
         ),
         "neighbor_features": _neighbor_features_oracle_sql(_NF_OUT_DEG),
+        "sp_counts": _sp_counts_oracle_sql(_BC_UNROLL, _BC_SOURCE_MOD),
+        "betweenness_sampled": _betweenness_oracle_sql(
+            _BC_UNROLL, _BC_SOURCE_MOD
+        ),
         "knn_ivf": _knn_ivf_oracle_sql(),
         "label_propagation": _lp_oracle_sql(10),
         # generously over-unrolled (peeling is idempotent at the fixpoint,

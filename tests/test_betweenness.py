@@ -1,0 +1,109 @@
+"""Brandes betweenness kernel vs an exact pure-python Brandes oracle.
+
+σ (shortest-path counts) must match as exact integers; δ-derived scores
+to 1e-9 (the kernel computes the same per-level arithmetic, only the
+float summation order differs).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pytest
+
+from paragrapher_spark.kernels.betweenness import betweenness
+from paragrapher_spark.sources.edges import md5_vertex_graph
+
+
+def _brandes(edges, sources, directed=False):
+    adj: dict[int, list[int]] = {}
+    all_e = list(edges) + ([] if directed else [(d, s) for s, d in edges])
+    tmp: dict[int, set[int]] = {}
+    for s, d in set(all_e):
+        tmp.setdefault(s, set()).add(d)
+    adj = {k: sorted(v) for k, v in tmp.items()}
+    bc: dict[int, float] = {}
+    sig_all = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj.get(v, []):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0) + sigma[v]
+        delta = {v: 0.0 for v in dist}
+        for v in reversed(order):
+            for w in adj.get(v, []):
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if v != s:
+                bc[v] = bc.get(v, 0.0) + delta[v]
+        for v in dist:
+            sig_all[(s, v)] = (dist[v], sigma[v])
+    return bc, sig_all
+
+
+_DIAMOND = [(0, 1), (1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (0, 5), (2, 6)]
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_betweenness_matches_pure_brandes(spark, directed):
+    e = spark.createDataFrame(_DIAMOND, "src long, dst long")
+    res = betweenness(e, [0, 2, 5], directed=directed)
+    got_sig = {(r.source, r.id): (r.dist, r.sigma) for r in res.levels.collect()}
+    exp_bc, exp_sig = _brandes(_DIAMOND, [0, 2, 5], directed=directed)
+    assert got_sig == exp_sig  # σ and dist are EXACT integers
+    got_bc = {r.id: r.bc for r in res.scores.collect()}
+    for k in set(got_bc) | set(exp_bc):
+        assert got_bc.get(k, 0.0) == pytest.approx(exp_bc.get(k, 0.0), abs=1e-9)
+
+
+def test_betweenness_md5_graph_all_sources(spark):
+    # every vertex as a source on a random digraph = EXACT betweenness
+    g = md5_vertex_graph(spark, 40, out_deg=2)
+    edges = [(r.src, r.dst) for r in g.collect()]
+    verts = sorted({v for e_ in edges for v in e_})
+    res = betweenness(g, verts, directed=True)
+    exp_bc, exp_sig = _brandes(edges, verts, directed=True)
+    got_sig = {(r.source, r.id): (r.dist, r.sigma) for r in res.levels.collect()}
+    assert got_sig == exp_sig
+    got_bc = {r.id: r.bc for r in res.scores.collect()}
+    for k in set(got_bc) | set(exp_bc):
+        assert got_bc.get(k, 0.0) == pytest.approx(exp_bc.get(k, 0.0), abs=1e-9)
+
+
+def test_betweenness_path_graph_analytic(spark):
+    # path 0-1-2-3-4 from all sources: interior vertex v's dependency sum
+    # is (#s<v pairs crossing v) known in closed form; just pin the classic
+    # result bc(v) = 2 * (v)(4 - v) for the undirected path with all
+    # sources (each unordered pair counted twice, no division ambiguity)
+    e = spark.createDataFrame([(i, i + 1) for i in range(4)], "src long, dst long")
+    res = betweenness(e, [0, 1, 2, 3, 4], directed=False)
+    got = {r.id: r.bc for r in res.scores.collect()}
+    exp = {v: 2.0 * v * (4 - v) for v in range(5) if 0 < v < 4}
+    for v, x in exp.items():
+        assert got[v] == pytest.approx(x)
+    assert res.depth == 4
+    assert [h["level"] for h in res.history][:4] == [1, 2, 3, 4]
+
+
+def test_betweenness_disconnected_sources(spark):
+    # sources in separate components never contribute across components
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (11, 12)], "src long, dst long"
+    )
+    res = betweenness(e, [0, 10], directed=False)
+    got = {r.id: r.bc for r in res.scores.collect()}
+    assert got == {1: pytest.approx(1.0), 11: pytest.approx(1.0), 2: pytest.approx(0.0), 12: pytest.approx(0.0)} or all(
+        got.get(v, 0.0) <= 1.0 for v in got
+    )
+    exp_bc, _ = _brandes([(0, 1), (1, 2), (10, 11), (11, 12)], [0, 10])
+    for k in set(got) | set(exp_bc):
+        assert got.get(k, 0.0) == pytest.approx(exp_bc.get(k, 0.0), abs=1e-9)

@@ -29,10 +29,10 @@ from paragrapher_spark.kernels.components import component_sizes, connected_comp
 from paragrapher_spark.kernels.degrees import degree_distribution, top_k_degrees
 from paragrapher_spark.kernels.hits import hits
 from paragrapher_spark.kernels.hyperball import hyperball
-from paragrapher_spark.kernels.labelprop import label_propagation
+from paragrapher_spark.kernels.labelprop import label_propagation, modularity
 from paragrapher_spark.kernels.betweenness import betweenness
 from paragrapher_spark.kernels.neighborhood import neighbor_feature_agg
-from paragrapher_spark.kernels.scc import scc
+from paragrapher_spark.kernels.scc import condensation, scc
 from paragrapher_spark.kernels.walks import random_walks
 from paragrapher_spark.kernels.pagerank import pagerank
 from paragrapher_spark.kernels.kcore import kcore
@@ -795,6 +795,33 @@ _BC_SOURCE_MOD = 499
 _BC_UNROLL = 10
 
 
+def _q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the import graph (kernels/scc.py): one vertex
+    per strongly connected component, distinct edges where imports cross
+    components — the acyclic quotient that turns cyclic-import analysis
+    into topological-order questions. Oracle: closure-derived SCC labels
+    joined back onto the md5-regenerated edge set."""
+    corpus = synth_corpus(spark, n_files=_SCC_FILES, n_repos=8)
+    g = edges_from_corpus(corpus, num_partitions=8)
+    e = g.edges.select("src", "dst")
+    res = scc(e, num_partitions=8)
+    return condensation(e, res.components).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
+def _q_modularity_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 10-round label-propagation partition of
+    the co-purchase graph (kernels/labelprop.py:modularity) — the
+    standard community-quality score, in the exact-integer formulation
+    Q = (4·m·Σe_c − Σd_c²)/(4·m²) so every column gates exactly (q is a
+    single IEEE division of two exact longs, bit-identical across
+    engines)."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = label_propagation(edges, max_iter=10)
+    return modularity(edges, res.labels)
+
+
 def _bc_result(spark: SparkSession, sf_dir: str):
     edges = copurchase_edges(spark, sf_dir)
     verts = (
@@ -890,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_features": _q_neighbor_features,
         "sp_counts": _q_sp_counts,
         "betweenness_sampled": _q_betweenness_sampled,
+        "scc_condensation": _q_scc_condensation,
+        "modularity_lp": _q_modularity_lp,
     }
 
 
@@ -1136,6 +1165,36 @@ def _lp_oracle_sql(rounds: int) -> str:
         f" FROM lp{rounds}"
     )
     return "".join(parts)
+
+
+def _modularity_lp_oracle_sql(rounds: int) -> str:
+    """Newman modularity of the round-``rounds`` LP labeling, exact-integer
+    formulation mirroring kernels/labelprop.py:modularity — reuses the LP
+    unroll as a subquery and recomputes Q = (4·m·Σe_c − Σd_c²)/(4·m²)."""
+    return f"""
+        WITH labels AS MATERIALIZED ({_lp_oracle_sql(rounds)}),
+        edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+        und AS MATERIALIZED (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges
+        ),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+        ec AS (SELECT CAST(count(*) AS BIGINT) AS sum_ec
+               FROM edges e
+               JOIN labels l1 ON l1.id = e.src
+               JOIN labels l2 ON l2.id = e.dst
+               WHERE l1.label = l2.label),
+        deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+                FROM und GROUP BY src),
+        dc AS (SELECT l.label, CAST(SUM(d.d) AS BIGINT) AS dcs
+               FROM deg d JOIN labels l ON l.id = d.id GROUP BY l.label),
+        s2 AS (SELECT CAST(SUM(dcs * dcs) AS BIGINT) AS sum_dc2 FROM dc)
+        SELECT m, sum_ec, sum_dc2,
+               CAST(4 * m * sum_ec - sum_dc2 AS BIGINT) AS q_num,
+               CAST(CAST(4 * m * sum_ec - sum_dc2 AS BIGINT) AS DOUBLE)
+                   / CAST(4 * m * m AS DOUBLE) AS q
+        FROM mm, ec, s2
+    """
 
 
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
@@ -2186,6 +2245,20 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_sampled": _betweenness_oracle_sql(
             _BC_UNROLL, _BC_SOURCE_MOD
         ),
+        "scc_condensation": f"""
+            WITH comp AS MATERIALIZED (
+                {_scc_oracle_sql(_import_edges_md5_sql(_SCC_FILES, 8, 12, 16))}
+            ),
+            iedges AS MATERIALIZED (
+                {_import_edges_md5_sql(_SCC_FILES, 8, 12, 16)}
+            )
+            SELECT DISTINCT c1.scc AS src, c2.scc AS dst
+            FROM iedges e
+            JOIN comp c1 ON c1.id = e.src
+            JOIN comp c2 ON c2.id = e.dst
+            WHERE c1.scc != c2.scc
+        """,
+        "modularity_lp": _modularity_lp_oracle_sql(10),
         "knn_ivf": _knn_ivf_oracle_sql(),
         "label_propagation": _lp_oracle_sql(10),
         # generously over-unrolled (peeling is idempotent at the fixpoint,

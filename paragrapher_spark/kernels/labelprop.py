@@ -144,3 +144,61 @@ def label_propagation(
     return LabelPropResult(
         labels=labels, iterations=it, converged=converged, history=history
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a vertex labeling over UNDIRECTED canonical
+    edges(src, dst) (one row per unordered pair) — the standard quality
+    score for label-propagation/community output (Newman & Girvan 2004).
+
+    Exact-integer formulation so the score gates deterministically:
+    Q = Σ_c [e_c/m − (d_c/2m)²] = (4·m·Σe_c − Σd_c²) / (4·m²), returned
+    as one row (m, sum_ec, sum_dc2, q_num, q) where m/sum_ec/sum_dc2/
+    q_num are exact longs and q is the single IEEE division q_num/(4m²)
+    — one float op, bit-identical across engines (no summation-order
+    ambiguity). Overflow bound: Σd_c² ≤ (2m)², i.e. exact up to ~1.5e9
+    edges; beyond that move q_num to decimal(38).
+
+    100 TB shape: two broadcast-or-shuffle equi-joins (labels onto edge
+    endpoints) + map-side-combinable aggs; everything else is 1-row
+    cross joins.
+    """
+    e = edges.select("src", "dst")
+    lab = labels.select("id", F.col(labels.columns[1]).alias("label"))
+    m_df = e.agg(F.count(F.lit(1)).alias("m"))
+    ec_df = (
+        e.join(lab.select(F.col("id").alias("src"), F.col("label").alias("ls")), on="src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("label").alias("ld")), on="dst")
+        .where(F.col("ls") == F.col("ld"))
+        .agg(F.count(F.lit(1)).alias("sum_ec"))
+    )
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    dc2_df = (
+        deg.join(lab.select(F.col("id").alias("src"), "label"), on="src")
+        .groupBy("label")
+        .agg(F.sum("d").alias("dc"))
+        .agg(F.sum(F.col("dc") * F.col("dc")).alias("sum_dc2"))
+    )
+    return (
+        m_df.crossJoin(ec_df)
+        .crossJoin(dc2_df)
+        .select(
+            F.col("m").cast("long"),
+            F.col("sum_ec").cast("long"),
+            F.col("sum_dc2").cast("long"),
+            (
+                F.lit(4).cast("long") * F.col("m") * F.col("sum_ec")
+                - F.col("sum_dc2")
+            ).cast("long").alias("q_num"),
+            (
+                (
+                    F.lit(4).cast("long") * F.col("m") * F.col("sum_ec")
+                    - F.col("sum_dc2")
+                ).cast("double")
+                / (F.lit(4).cast("long") * F.col("m") * F.col("m")).cast("double")
+            ).alias("q"),
+        )
+    )

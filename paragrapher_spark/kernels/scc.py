@@ -228,3 +228,29 @@ def scc(
         converged=converged,
         history=history,
     )
+
+
+def condensation(edges: DataFrame, components: DataFrame) -> DataFrame:
+    """Quotient (condensation) DAG of a directed graph given its SCC
+    labeling: one vertex per component, a distinct edge c1→c2 wherever
+    any original edge crosses the two components. Acyclic by the SCC
+    definition — the canonical reduction that turns cyclic-import
+    analysis into topological-order questions (build scheduling,
+    layering). Two equi-joins + distinct; both joins broadcast when the
+    component table is small, shuffle otherwise.
+    """
+    c = components.select("id", "scc")
+    return (
+        edges.select("src", "dst")
+        .join(
+            c.select(F.col("id").alias("src"), F.col("scc").alias("csrc")),
+            on="src",
+        )
+        .join(
+            c.select(F.col("id").alias("dst"), F.col("scc").alias("cdst")),
+            on="dst",
+        )
+        .where(F.col("csrc") != F.col("cdst"))
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .distinct()
+    )

@@ -242,3 +242,50 @@ def test_neighbor_feature_agg_rejects_zero_hops(spark):
     e = spark.createDataFrame([(0, 0)], "src long, dst long")
     with pytest.raises(ValueError, match="hops"):
         neighbor_feature_agg(e, feats, vec_col="vec", hops=0)
+
+
+# ---------------------------------------------------------------------------
+# condensation + modularity
+# ---------------------------------------------------------------------------
+
+
+def test_condensation_is_acyclic_quotient(spark):
+    from paragrapher_spark.kernels.scc import condensation
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (4, 5), (5, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    res = scc(e)
+    cond = sorted(tuple(r) for r in condensation(e, res.components).collect())
+    # SCCs: {0,1,2}->0, {3,4}->3, {5}, {6}; crossing edges dedupe to:
+    assert cond == [(0, 3), (3, 5), (5, 6)]
+    # quotient of a digraph by its SCCs is a DAG: no mutual pair survives
+    s = set(cond)
+    assert not any((b, a) in s for a, b in s)
+
+
+def test_modularity_known_two_cliques(spark):
+    from paragrapher_spark.kernels.labelprop import modularity
+
+    # two triangles joined by one bridge; perfect 2-community labeling
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)], "id long, scc long"
+    )
+    row = modularity(e, labels).collect()[0]
+    # m=7, e_c = 3+3=6, d_c = 7 each => Q = 6/7 - 2*(7/14)^2 = 5/14
+    assert row.m == 7 and row.sum_ec == 6 and row.sum_dc2 == 98
+    assert row.q_num == 4 * 7 * 6 - 98 == 70
+    assert row.q == pytest.approx(70 / 196)
+    assert row.q == pytest.approx(5 / 14)
+
+
+def test_modularity_single_community_is_zero(spark):
+    from paragrapher_spark.kernels.labelprop import modularity
+
+    # everything in one community: Q = m/m - (2m/2m)^2 = 0 exactly
+    edges = [(0, 1), (1, 2), (0, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labels = spark.createDataFrame([(i, 0) for i in range(3)], "id long, lab long")
+    row = modularity(e, labels).collect()[0]
+    assert row.q_num == 0 and row.q == 0.0

@@ -47,6 +47,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.checkpoint import CheckpointManager
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 SEED = 42
@@ -89,6 +90,8 @@ def random_walks(
     seed: int = SEED,
     directed: bool = False,
     num_partitions: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 4,
 ) -> WalksResult:
     """Walk ``length`` steps from each start vertex over edges(src, dst).
 
@@ -113,50 +116,87 @@ def random_walks(
     # join key — every step's SortMergeJoin reuses the order (the cached-edge
     # discipline measured in kernels/pagerank.py)
     w = Window.partitionBy("src").orderBy("dst")
+    dedup = e.distinct()
     adj = (
-        e.distinct()
-        .select(
+        dedup.select(
             "src",
             "dst",
             (F.row_number().over(w) - F.lit(1)).cast("long").alias("idx"),
-            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
         )
-        .repartition(n_part, "src")
+        .repartition(n_part, "src", "idx")
         .sortWithinPartitions("src", "idx")
         .persist()
     )
     adj.count()
+    # separate |V|-sized degree table: the pick index is computed BEFORE
+    # the adjacency join so that join is a true (src, idx) composite-key
+    # equi-join — a hub's walkers hash across its idx range instead of
+    # fanning out over the full adjacency and filtering after
+    degs = (
+        adj.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(n_part, "src")
+        .persist()
+    )
+    degs.count()
 
     if isinstance(starts, list):
         src_df = spark.createDataFrame([(int(s),) for s in starts], "id long")
     else:
         src_df = starts.select("id")
-    state = (
-        src_df.distinct()
-        .select(
-            F.col("id").alias("walk_id"),
-            F.col("id").alias("cur"),
-        )
-        .repartition(n_part, "cur")
-        .localCheckpoint(eager=True)
-    )
-    n_walks = state.count()
 
-    out = state.select(
-        "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("id")
-    )
+    # resume: the snapshot IS the full emitted-steps table; the live
+    # walker state is reconstructable as the rows at the snapshot's step
+    # (walkers parked on sinks before that step ended and are naturally
+    # absent) — the bfs.py reconstruct-frontier-from-snapshot discipline
+    start_step = 0
+    out: DataFrame | None = None
+    if checkpoint is not None:
+        resumed = checkpoint.resume(spark)
+        if resumed is not None:
+            start_step, out = resumed
+            out = out.repartition(n_part, "walk_id").localCheckpoint(eager=True)
+    if out is None:
+        state = (
+            src_df.distinct()
+            .select(
+                F.col("id").alias("walk_id"),
+                F.col("id").alias("cur"),
+            )
+            .repartition(n_part, "cur")
+            .localCheckpoint(eager=True)
+        )
+        out = state.select(
+            "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("id")
+        )
+        n_walks = state.count()
+    else:
+        state = (
+            out.where(F.col("step") == start_step)
+            .select("walk_id", F.col("id").alias("cur"))
+            .repartition(n_part, "cur")
+            .localCheckpoint(eager=True)
+        )
+        n_walks = out.where(F.col("step") == 0).count()
+
     history: list[dict[str, Any]] = []
     probe = ShuffleProbe(spark)
-    for t in range(1, length + 1):
+    t = start_step
+    for t in range(start_step + 1, length + 1):
         t0 = time.monotonic()
-        picked = state.select(
-            "walk_id",
-            F.col("cur").alias("src"),
-            _h("walk", seed, "walk_id", F.lit(t)).alias("hv"),
+        picked = (
+            state.select(
+                "walk_id",
+                F.col("cur").alias("src"),
+                _h("walk", seed, "walk_id", F.lit(t)).alias("hv"),
+            )
+            .join(degs, on="src")
+            .select(
+                "walk_id", "src", F.pmod(F.col("hv"), F.col("deg")).alias("idx")
+            )
         )
         state = (
-            picked.join(adj, on="src")
-            .where(F.col("idx") == F.pmod(F.col("hv"), F.col("deg")))
+            picked.join(adj, on=["src", "idx"])
             .select("walk_id", F.col("dst").alias("cur"))
             .repartition(n_part, "cur")
             .localCheckpoint(eager=False)
@@ -178,8 +218,13 @@ def random_walks(
                 "walk_id", F.lit(t).cast("int").alias("step"), F.col("cur").alias("id")
             )
         )
+        if checkpoint is not None and alive > 0 and t % checkpoint_every == 0:
+            checkpoint.save(t, out, history[-1])
         if alive == 0:
             break
 
     adj.unpersist()
+    degs.unpersist()
+    if checkpoint is not None:
+        checkpoint.save(min(t, length), out, {"final": True}, kind="final")
     return WalksResult(steps=out, length=length, n_walks=n_walks, history=history)

@@ -289,3 +289,29 @@ def test_modularity_single_community_is_zero(spark):
     labels = spark.createDataFrame([(i, 0) for i in range(3)], "id long, lab long")
     row = modularity(e, labels).collect()[0]
     assert row.q_num == 0 and row.q == 0.0
+
+
+def test_random_walks_resume_identical(spark, tmp_path):
+    from paragrapher_spark.plans.checkpoint import CheckpointManager
+
+    e = spark.createDataFrame(_WALK_EDGES, "src long, dst long")
+    starts = [0, 1, 2, 3, 4]
+    full = random_walks(e, starts, length=8, directed=False)
+    want = sorted(tuple(r) for r in full.steps.collect())
+
+    # interrupted run: stop after 4 steps (checkpoint_every=2 -> snapshot
+    # at step 4 holds every emitted row)
+    cm = CheckpointManager(str(tmp_path), "walks")
+    partial = random_walks(
+        e, starts, length=4, directed=False, checkpoint=cm, checkpoint_every=2
+    )
+    assert partial.steps.count() == 5 * 5  # steps 0..4, no sinks here
+
+    # resumed run continues from step 4 and reproduces the full corpus
+    cm2 = CheckpointManager(str(tmp_path), "walks")
+    resumed = random_walks(
+        e, starts, length=8, directed=False, checkpoint=cm2, checkpoint_every=2
+    )
+    assert resumed.history[0]["step"] == 5
+    got = sorted(tuple(r) for r in resumed.steps.collect())
+    assert got == want

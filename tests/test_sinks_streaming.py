@@ -391,3 +391,57 @@ def test_matrix_market_symmetric_rejects_both_directions(spark, tmp_path):
     g = graph_from_edges(e)
     with _pytest.raises(ValueError, match="canonical undirected"):
         write_matrix_market(g, str(tmp_path / "dup.mtx"), symmetric=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming edge ingestion -> incremental degrees
+# ---------------------------------------------------------------------------
+
+
+def test_stream_degrees_matches_batch_and_resumes(spark, tmp_path):
+    from paragrapher_spark.sources.edges import md5_vertex_graph
+    from paragrapher_spark.streaming.graph_stream import (
+        incremental_degrees,
+        stream_degrees,
+    )
+
+    src_dir = str(tmp_path / "blocks")
+    ck_dir = str(tmp_path / "ck")
+    g = md5_vertex_graph(spark, 60, out_deg=3).withColumn(
+        "part", F.pmod(F.col("src"), F.lit(3))
+    )
+    # three edge blocks land before the first drain
+    for p in (0, 1):
+        g.where(F.col("part") == p).select("src", "dst").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    q = stream_degrees(spark, src_dir, ck_dir, query_name="degtest")
+    q.awaitTermination()
+    got = {
+        r.id: (r.out_degree, r.in_degree)
+        for r in spark.sql("SELECT * FROM degtest").collect()
+    }
+    batch_01 = g.where(F.col("part") != 2).select("src", "dst")
+    want = {
+        r.id: (r.out_degree, r.in_degree)
+        for r in incremental_degrees(batch_01).collect()
+    }
+    assert got == want  # stream == batch on the drained blocks
+
+    # a later block arrives; re-running with the SAME checkpoint folds in
+    # only the new file (resumable block loading) and matches full batch
+    g.where(F.col("part") == 2).select("src", "dst").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    q2 = stream_degrees(spark, src_dir, ck_dir, query_name="degtest")
+    q2.awaitTermination()
+    got2 = {
+        r.id: (r.out_degree, r.in_degree)
+        for r in spark.sql("SELECT * FROM degtest").collect()
+    }
+    want2 = {
+        r.id: (r.out_degree, r.in_degree)
+        for r in incremental_degrees(g.select("src", "dst")).collect()
+    }
+    assert got2 == want2

@@ -1,8 +1,52 @@
+from paragrapher_spark.kernels.betweenness import betweenness
+from paragrapher_spark.kernels.bfs import bfs
+from paragrapher_spark.kernels.components import (
+    component_sizes,
+    connected_components,
+)
 from paragrapher_spark.kernels.degrees import (
     degree_distribution,
     in_degrees,
     out_degrees,
+    top_k_degrees,
 )
+from paragrapher_spark.kernels.hits import hits
+from paragrapher_spark.kernels.hyperball import hyperball
+from paragrapher_spark.kernels.kcore import kcore
+from paragrapher_spark.kernels.labelprop import label_propagation, modularity
+from paragrapher_spark.kernels.neighborhood import assemble, neighbor_feature_agg
 from paragrapher_spark.kernels.pagerank import pagerank
+from paragrapher_spark.kernels.scc import condensation, scc
+from paragrapher_spark.kernels.sssp import sssp
+from paragrapher_spark.kernels.triangles import (
+    clustering_coefficient,
+    triangle_count,
+    triangles_per_vertex,
+)
+from paragrapher_spark.kernels.walks import random_walks
 
-__all__ = ["degree_distribution", "in_degrees", "out_degrees", "pagerank"]
+__all__ = [
+    "betweenness",
+    "bfs",
+    "component_sizes",
+    "connected_components",
+    "degree_distribution",
+    "in_degrees",
+    "out_degrees",
+    "top_k_degrees",
+    "hits",
+    "hyperball",
+    "kcore",
+    "label_propagation",
+    "modularity",
+    "assemble",
+    "neighbor_feature_agg",
+    "pagerank",
+    "condensation",
+    "scc",
+    "sssp",
+    "clustering_coefficient",
+    "triangle_count",
+    "triangles_per_vertex",
+    "random_walks",
+]

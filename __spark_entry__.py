@@ -755,6 +755,29 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_random_walks_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional walks (kernels/walks.py, weight_col set) over
+    the arc-labelled co-purchase graph — the reference's WG404 weighted
+    capability driving the DeepWalk corpus generator: step picks land in
+    cumulative-weight intervals, md5-deterministic, replayed exactly by
+    the oracle's unrolled interval-joins."""
+    edges = copurchase_weighted_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    starts = verts.where(F.col("id") % _WALK_START_MOD == 0)
+    res = random_walks(
+        edges, starts, length=_WALK_LEN, directed=False, weight_col="weight"
+    )
+    return res.steps.select(
+        F.col("walk_id").cast("long"),
+        F.col("step").cast("long"),
+        F.col("id").cast("long"),
+    )
+
+
 def _q_scc_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cyclic-import detection (kernels/scc.py): strongly connected
     components of the DIRECTED import graph from the hash-skew corpus —
@@ -913,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_market_roundtrip": _q_matrix_market_roundtrip,
         "knn_ivf_fixed": _q_knn_ivf_fixed,
         "random_walks": _q_random_walks,
+        "random_walks_weighted": _q_random_walks_weighted,
         "scc_imports": _q_scc_imports,
         "neighbor_features": _q_neighbor_features,
         "sp_counts": _q_sp_counts,
@@ -1978,34 +2002,72 @@ _MEDIA_STATS_SQL = """
 """
 
 
-def _walks_oracle_sql(length: int, start_mod: int) -> str:
+def _walks_oracle_sql(length: int, start_mod: int, weighted: bool = False) -> str:
     """Unrolled replay of kernels/walks.py: step t's pick is
-    md5('walk:42:walk_id:t') mod degree over the dst-sorted neighbor
-    index — identical hash family both sides, so the walks match row
-    for row."""
+    md5('walk:42:walk_id:t') mod degree (unweighted: index pick) or mod
+    total weight (weighted: pick lands in the neighbor's cumulative-
+    weight interval) over the dst-sorted neighbor list — identical hash
+    family both sides, so the walks match row for row."""
+    hv = "('0x' || substr(md5('walk:42:' || s.walk_id::VARCHAR || ':{t}'), 1, 15))::BIGINT"
     ctes = []
     selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS id FROM s0"]
     prev = "s0"
     for t in range(1, length + 1):
-        ctes.append(f"""s{t} AS (
+        h = hv.format(t=t)
+        if weighted:
+            ctes.append(f"""s{t} AS MATERIALIZED (
+            SELECT s.walk_id, a.dst AS cur
+            FROM {prev} s
+            JOIN tot tt ON tt.src = s.cur
+            JOIN adj a ON a.src = s.cur
+             AND ({h} % tt.totw) >= a.cumw - a.w
+             AND ({h} % tt.totw) < a.cumw
+        )""")
+        else:
+            ctes.append(f"""s{t} AS MATERIALIZED (
             SELECT s.walk_id, a.dst AS cur
             FROM {prev} s JOIN adj a ON a.src = s.cur
-             AND a.idx = ('0x' || substr(md5('walk:42:' || s.walk_id::VARCHAR || ':{t}'), 1, 15))::BIGINT % a.deg
+             AND a.idx = {h} % a.deg
         )""")
         selects.append(
             f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS id FROM s{t}"
         )
         prev = f"s{t}"
     joined_ctes = ",\n        ".join(ctes)
+    if weighted:
+        return f"""
+        WITH base AS MATERIALIZED ({COPURCHASE_WEIGHTED_EDGES_SQL}),
+        sym AS MATERIALIZED (
+            SELECT src, dst, weight FROM base
+            UNION ALL SELECT dst AS src, src AS dst, weight FROM base),
+        best AS MATERIALIZED (
+            SELECT src, dst, CAST(MAX(weight) AS BIGINT) AS w
+            FROM sym GROUP BY 1, 2),
+        adj AS MATERIALIZED (
+            SELECT src, dst, w,
+                   CAST(SUM(w) OVER (PARTITION BY src ORDER BY dst
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+            FROM best),
+        tot AS MATERIALIZED (
+            SELECT src, CAST(SUM(w) AS BIGINT) AS totw FROM best GROUP BY src),
+        s0 AS MATERIALIZED (
+            SELECT DISTINCT src AS walk_id, src AS cur FROM best
+            WHERE src % {start_mod} = 0),
+        {joined_ctes}
+        {' UNION ALL '.join(selects)}
+    """
     return f"""
-        WITH base AS ({COPURCHASE_EDGES_SQL}),
-        sym AS (SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base),
-        adj AS (SELECT src, dst,
-                       CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx,
-                       CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
-                FROM sym),
-        s0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM sym
-               WHERE src % {start_mod} = 0),
+        WITH base AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base),
+        adj AS MATERIALIZED (
+            SELECT src, dst,
+                   CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx,
+                   CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+            FROM sym),
+        s0 AS MATERIALIZED (
+            SELECT DISTINCT src AS walk_id, src AS cur FROM sym
+            WHERE src % {start_mod} = 0),
         {joined_ctes}
         {' UNION ALL '.join(selects)}
     """
@@ -2237,6 +2299,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_ivf_fixed": _knn_ivf_fixed_oracle_sql(),
         "random_walks": _walks_oracle_sql(_WALK_LEN, _WALK_START_MOD),
+        "random_walks_weighted": _walks_oracle_sql(
+            _WALK_LEN, _WALK_START_MOD, weighted=True
+        ),
         "scc_imports": _scc_oracle_sql(
             _import_edges_md5_sql(_SCC_FILES, 8, 12, 16)
         ),

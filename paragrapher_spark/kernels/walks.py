@@ -89,6 +89,7 @@ def random_walks(
     length: int = 8,
     seed: int = SEED,
     directed: bool = False,
+    weight_col: str | None = None,
     num_partitions: int | None = None,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 4,
@@ -100,41 +101,67 @@ def random_walks(
     position as (walk_id, step, id) rows — the exploded walk corpus a
     skip-gram trainer windows over.
 
-    The step-``t`` neighbor pick is ``H('walk', seed, walk_id, t) mod
-    degree(cur)`` over the neighbor list sorted by destination id, so the
-    full output is a pure function of (edges, starts, length, seed).
+    Unweighted: the step-``t`` pick is ``H('walk', seed, walk_id, t) mod
+    degree(cur)`` over the neighbor list sorted by destination id — a
+    composite (vertex, idx) equi-join. With ``weight_col`` (INTEGER edge
+    weights — the reference's WG404 arc labels): pick ∝ weight via
+    ``r = H mod Σw`` landing in the neighbor's cumulative-weight interval
+    ``[cumw − w, cumw)``. The interval predicate makes that join
+    vertex-equi + range filter, so a hub's walkers DO scan its adjacency
+    before filtering — the honest trade of exact weighted sampling
+    without per-vertex alias tables; keep the unweighted path for
+    hub-heavy corpora. Either way the output is a pure function of
+    (edges, starts, length, seed).
     """
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = edges.select("src", "dst")
+    if weight_col is None:
+        e = edges.select("src", "dst", F.lit(1).cast("long").alias("w"))
+    else:
+        e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
     if not directed:
         e = e.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
         )
     # one materialization: indexed, degree-annotated adjacency sorted by the
     # join key — every step's SortMergeJoin reuses the order (the cached-edge
-    # discipline measured in kernels/pagerank.py)
-    w = Window.partitionBy("src").orderBy("dst")
-    dedup = e.distinct()
+    # discipline measured in kernels/pagerank.py). Parallel (src, dst) rows
+    # collapse to one neighbor carrying the max weight (deterministic both
+    # engines; min/max/sum would all do, max matches "strongest arc").
+    win = Window.partitionBy("src").orderBy("dst")
+    dedup = e.groupBy("src", "dst").agg(F.max("w").alias("w"))
+    if weight_col is not None:
+        # zero/negative weights yield empty or overlapping pick intervals —
+        # fail loudly (the repo's malformed-input standard)
+        n_bad = dedup.where(F.col("w") <= 0).count()
+        if n_bad:
+            raise ValueError(
+                f"weighted walks need positive integer weights; "
+                f"{n_bad} edges have {weight_col} <= 0"
+            )
     adj = (
         dedup.select(
             "src",
             "dst",
-            (F.row_number().over(w) - F.lit(1)).cast("long").alias("idx"),
+            "w",
+            (F.row_number().over(win) - F.lit(1)).cast("long").alias("idx"),
+            F.sum("w").over(
+                win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cumw"),
         )
         .repartition(n_part, "src", "idx")
         .sortWithinPartitions("src", "idx")
         .persist()
     )
     adj.count()
-    # separate |V|-sized degree table: the pick index is computed BEFORE
+    # separate |V|-sized degree table: the pick value is computed BEFORE
     # the adjacency join so that join is a true (src, idx) composite-key
-    # equi-join — a hub's walkers hash across its idx range instead of
-    # fanning out over the full adjacency and filtering after
+    # equi-join in the unweighted case — a hub's walkers hash across its
+    # idx range instead of fanning out over the full adjacency
     degs = (
         adj.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.count(F.lit(1)).alias("deg"), F.sum("w").alias("totw"))
         .repartition(n_part, "src")
         .persist()
     )
@@ -184,20 +211,26 @@ def random_walks(
     t = start_step
     for t in range(start_step + 1, length + 1):
         t0 = time.monotonic()
-        picked = (
-            state.select(
-                "walk_id",
-                F.col("cur").alias("src"),
-                _h("walk", seed, "walk_id", F.lit(t)).alias("hv"),
-            )
-            .join(degs, on="src")
-            .select(
+        hashed = state.select(
+            "walk_id",
+            F.col("cur").alias("src"),
+            _h("walk", seed, "walk_id", F.lit(t)).alias("hv"),
+        ).join(degs, on="src")
+        if weight_col is None:
+            picked = hashed.select(
                 "walk_id", "src", F.pmod(F.col("hv"), F.col("deg")).alias("idx")
             )
-        )
+            nxt = picked.join(adj, on=["src", "idx"])
+        else:
+            picked = hashed.select(
+                "walk_id", "src", F.pmod(F.col("hv"), F.col("totw")).alias("r")
+            )
+            nxt = picked.join(adj, on="src").where(
+                (F.col("r") >= F.col("cumw") - F.col("w"))
+                & (F.col("r") < F.col("cumw"))
+            )
         state = (
-            picked.join(adj, on=["src", "idx"])
-            .select("walk_id", F.col("dst").alias("cur"))
+            nxt.select("walk_id", F.col("dst").alias("cur"))
             .repartition(n_part, "cur")
             .localCheckpoint(eager=False)
         )

@@ -315,3 +315,67 @@ def test_random_walks_resume_identical(spark, tmp_path):
     assert resumed.history[0]["step"] == 5
     got = sorted(tuple(r) for r in resumed.steps.collect())
     assert got == want
+
+
+_WWALK_EDGES = [(0, 1, 3), (0, 2, 1), (1, 2, 5), (2, 3, 2), (3, 4, 1), (5, 6, 7)]
+
+
+def _weighted_walk_oracle(edges, starts, length, seed=42, directed=False):
+    all_e = list(edges) + ([] if directed else [(d, s, w) for s, d, w in edges])
+    best: dict[tuple[int, int], int] = {}
+    for s, d, w in all_e:
+        best[(s, d)] = max(best.get((s, d), 0), w)
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for (s, d), w in best.items():
+        adj.setdefault(s, []).append((d, w))
+    adj = {k: sorted(v) for k, v in adj.items()}
+    rows = []
+    for wk in starts:
+        cur = wk
+        rows.append((wk, 0, cur))
+        for t in range(1, length + 1):
+            nbrs = adj.get(cur, [])
+            if not nbrs:
+                break
+            r = _h("walk", seed, wk, t) % sum(w for _, w in nbrs)
+            c = 0
+            for d, w in nbrs:
+                c += w
+                if r < c:
+                    cur = d
+                    break
+            rows.append((wk, t, cur))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_weighted_random_walks_match_interval_replay(spark, directed):
+    e = spark.createDataFrame(_WWALK_EDGES, "src long, dst long, weight long")
+    res = random_walks(
+        e, [0, 1, 2, 3, 4, 5, 6], length=6, directed=directed, weight_col="weight"
+    )
+    got = sorted(tuple(r) for r in res.steps.collect())
+    assert got == _weighted_walk_oracle(
+        _WWALK_EDGES, [0, 1, 2, 3, 4, 5, 6], 6, directed=directed
+    )
+
+
+def test_weighted_walks_reject_nonpositive_weights(spark):
+    e = spark.createDataFrame([(0, 1, 0)], "src long, dst long, weight long")
+    with pytest.raises(ValueError, match="positive integer weights"):
+        random_walks(e, [0], length=2, weight_col="weight")
+
+
+def test_weighted_walks_bias_follows_weight(spark):
+    # vertex 0 has neighbors 1 (weight 99) and 2 (weight 1): over many
+    # independent walk_ids the heavy edge must win the large majority
+    e = spark.createDataFrame(
+        [(0, 1, 99), (0, 2, 1)], "src long, dst long, weight long"
+    )
+    starts = list(range(0, 1))  # walk_id 0 only walks FROM 0; use many seeds
+    picks = []
+    for seed in range(40):
+        res = random_walks(e, [0], length=1, directed=True, seed=seed, weight_col="weight")
+        step1 = [r.id for r in res.steps.collect() if r.step == 1]
+        picks.extend(step1)
+    assert picks.count(1) >= 35  # ~99% expected; 40 trials, generous floor

@@ -30,7 +30,11 @@ from paragrapher_spark.kernels.degrees import degree_distribution, top_k_degrees
 from paragrapher_spark.kernels.hits import hits
 from paragrapher_spark.kernels.hyperball import hyperball
 from paragrapher_spark.kernels.labelprop import label_propagation, modularity
-from paragrapher_spark.kernels.betweenness import betweenness
+from paragrapher_spark.kernels.betweenness import (
+    betweenness,
+    harmonic_centrality,
+    shortest_path_levels,
+)
 from paragrapher_spark.kernels.neighborhood import neighbor_feature_agg
 from paragrapher_spark.kernels.scc import condensation, scc
 from paragrapher_spark.kernels.walks import random_walks
@@ -865,6 +869,33 @@ def _bc_result(spark: SparkSession, sf_dir: str):
     return res
 
 
+def _q_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact harmonic centrality over the sampled source set
+    (kernels/betweenness.py:harmonic_centrality): h(v) = Σ_s 1/dist(s,v)
+    scaled by lcm(1..unroll) = 2520 so every term — and the gated sum —
+    is an exact integer. Closes the centrality family next to HyperBall's
+    approximate harmonic (this one is exact for the sample)."""
+    edges = copurchase_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % _BC_SOURCE_MOD == 0)
+    levels, depth, _ = shortest_path_levels(edges, seeds, directed=False)
+    if depth > _BC_UNROLL:
+        raise AssertionError(
+            f"BFS depth {depth} > the oracle's {_BC_UNROLL}-level unroll; "
+            f"raise _BC_UNROLL"
+        )
+    out = harmonic_centrality(levels, depth=_BC_UNROLL)
+    return out.select(
+        F.col("id").cast("long"),
+        F.col("h_num").cast("long"),
+        F.col("h_den").cast("long"),
+    )
+
+
 def _q_sp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brandes forward phase (kernels/betweenness.py): exact
     shortest-path counts σ(s, v) and hop distances from the sampled
@@ -941,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_features": _q_neighbor_features,
         "sp_counts": _q_sp_counts,
         "betweenness_sampled": _q_betweenness_sampled,
+        "harmonic_sampled": _q_harmonic_sampled,
         "scc_condensation": _q_scc_condensation,
         "modularity_lp": _q_modularity_lp,
     }
@@ -2130,7 +2162,7 @@ def _neighbor_features_oracle_sql(out_deg: int, scale: int = 10**6) -> str:
     """
 
 
-def _brandes_cte(levels: int, source_mod: int) -> str:
+def _brandes_cte(levels: int, source_mod: int, forward_only: bool = False) -> str:
     """Shared CTE chain for the Brandes oracles: unrolled multi-source
     BFS levels (exact σ) + descending dependency accumulation, mirroring
     kernels/betweenness.py level for level."""
@@ -2157,6 +2189,8 @@ def _brandes_cte(levels: int, source_mod: int) -> str:
         )
     lvl_union = " UNION ALL ".join(f"SELECT * FROM l{d}" for d in range(levels + 1))
     parts.append(f"lvl AS MATERIALIZED ({lvl_union})")
+    if forward_only:
+        return ",\n        ".join(parts)
     # backward: deepest level's δ is 0 (the unroll is asserted to exceed
     # the true depth), so b_{levels-1} has no deeper-δ join
     parts.append(f"""b{levels - 1} AS MATERIALIZED (
@@ -2307,6 +2341,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "neighbor_features": _neighbor_features_oracle_sql(_NF_OUT_DEG),
         "sp_counts": _sp_counts_oracle_sql(_BC_UNROLL, _BC_SOURCE_MOD),
+        "harmonic_sampled": f"""
+            WITH {_brandes_cte(_BC_UNROLL, _BC_SOURCE_MOD, forward_only=True)}
+            SELECT id,
+                   CAST(SUM(CAST(2520 // dist AS BIGINT)) AS BIGINT) AS h_num,
+                   CAST(2520 AS BIGINT) AS h_den
+            FROM lvl WHERE dist > 0 GROUP BY id
+        """,
         "betweenness_sampled": _betweenness_oracle_sql(
             _BC_UNROLL, _BC_SOURCE_MOD
         ),

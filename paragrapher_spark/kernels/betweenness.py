@@ -56,23 +56,7 @@ class BetweennessResult:
     history: list[dict[str, Any]] = field(default_factory=list)
 
 
-def betweenness(
-    edges: DataFrame,
-    sources: DataFrame | list[int],
-    directed: bool = False,
-    max_depth: int = 50,
-    num_partitions: int | None = None,
-) -> BetweennessResult:
-    """Brandes betweenness from ``sources`` over edges(src, dst).
-
-    Returns per-vertex dependency sums over the sampled sources (exact
-    Brandes for that source set; an unbiased |V|/|S|-scaled estimator of
-    full betweenness). ``levels`` additionally exposes the exact σ table
-    for integer-exact verification.
-    """
-    spark = edges.sparkSession
-    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-
+def _symmetrized(edges: DataFrame, directed: bool, n_part: int) -> DataFrame:
     e = edges.select("src", "dst")
     if not directed:
         e = e.unionByName(
@@ -85,7 +69,18 @@ def betweenness(
         .persist()
     )
     e.count()
+    return e
 
+
+def _forward_levels(
+    e: DataFrame,
+    sources: DataFrame | list[int],
+    n_part: int,
+    max_depth: int,
+) -> tuple[DataFrame, int, list[dict[str, Any]]]:
+    """Multi-source BFS with exact σ path counts over the pre-persisted
+    symmetrized edge table. Returns (levels persisted, depth, history)."""
+    spark = e.sparkSession
     if isinstance(sources, list):
         src_df = spark.createDataFrame([(int(s),) for s in sources], "id long")
     else:
@@ -143,6 +138,66 @@ def betweenness(
 
     levels = visited.repartition(n_part, "source", "id").persist()
     levels.count()
+    return levels, depth, history
+
+
+def shortest_path_levels(
+    edges: DataFrame,
+    sources: DataFrame | list[int],
+    directed: bool = False,
+    max_depth: int = 50,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, list[dict[str, Any]]]:
+    """Public forward phase alone: (source, id, dist, sigma) exact levels
+    from the sampled sources, plus the reached depth and per-level
+    history — the shared substrate of betweenness, sampled closeness, and
+    harmonic centrality."""
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = _symmetrized(edges, directed, n_part)
+    levels, depth, history = _forward_levels(e, sources, n_part, max_depth)
+    e.unpersist()
+    return levels, depth, history
+
+
+def harmonic_centrality(levels: DataFrame, depth: int) -> DataFrame:
+    """Harmonic centrality over the sampled sources, EXACT:
+    h(v) = Σ_{s ≠ v} 1/dist(s, v) is a sum of unit fractions with
+    denominators ≤ depth, so scaling by L = lcm(1..depth) turns every
+    term into an exact integer — (id, h_num, h_den) with
+    h(v) = h_num / h_den, no float summation anywhere."""
+    import math
+
+    L = math.lcm(*range(1, max(depth, 1) + 1))
+    return (
+        levels.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.sum(F.expr(f"{L} div dist")).cast("long").alias("h_num"),
+        )
+        .select("id", "h_num", F.lit(L).cast("long").alias("h_den"))
+    )
+
+
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame | list[int],
+    directed: bool = False,
+    max_depth: int = 50,
+    num_partitions: int | None = None,
+) -> BetweennessResult:
+    """Brandes betweenness from ``sources`` over edges(src, dst).
+
+    Returns per-vertex dependency sums over the sampled sources (exact
+    Brandes for that source set; an unbiased |V|/|S|-scaled estimator of
+    full betweenness). ``levels`` additionally exposes the exact σ table
+    for integer-exact verification.
+    """
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = _symmetrized(edges, directed, n_part)
+    levels, depth, history = _forward_levels(e, sources, n_part, max_depth)
 
     # backward dependency accumulation, level by level (descending);
     # columns are renamed BEFORE the self-joins on `levels` so attribute

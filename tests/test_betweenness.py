@@ -107,3 +107,29 @@ def test_betweenness_disconnected_sources(spark):
     exp_bc, _ = _brandes([(0, 1), (1, 2), (10, 11), (11, 12)], [0, 10])
     for k in set(got) | set(exp_bc):
         assert got.get(k, 0.0) == pytest.approx(exp_bc.get(k, 0.0), abs=1e-9)
+
+
+def test_harmonic_centrality_exact_fractions(spark):
+    from fractions import Fraction
+
+    from paragrapher_spark.kernels.betweenness import (
+        harmonic_centrality,
+        shortest_path_levels,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]  # path graph
+    e = spark.createDataFrame(edges, "src long, dst long")
+    levels, depth, hist = shortest_path_levels(e, [0, 4], directed=False)
+    assert depth == 4
+    out = harmonic_centrality(levels, depth)
+    got = {r.id: Fraction(r.h_num, r.h_den) for r in out.collect()}
+    # h(v) over sources {0,4}: exact unit-fraction sums, v != s excluded
+    _, sig = _brandes(edges, [0, 4])
+    exp: dict[int, Fraction] = {}
+    for (s, v), (dist, _) in sig.items():
+        if dist > 0:
+            exp[v] = exp.get(v, Fraction(0)) + Fraction(1, dist)
+    assert got == exp
+    # integer-exactness: lcm scaling leaves no remainder for any dist
+    for r in out.collect():
+        assert r.h_den % 1 == 0 and r.h_num > 0

@@ -35,6 +35,7 @@ from paragrapher_spark.kernels.betweenness import (
     harmonic_centrality,
     shortest_path_levels,
 )
+from paragrapher_spark.kernels.linkpred import assortativity, link_prediction
 from paragrapher_spark.kernels.neighborhood import neighbor_feature_agg
 from paragrapher_spark.kernels.scc import condensation, scc
 from paragrapher_spark.kernels.walks import random_walks
@@ -849,6 +850,31 @@ def _q_modularity_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(edges, res.labels)
 
 
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted links on the co-purchase graph by (common
+    neighbors, resource allocation) — kernels/linkpred.py. Every score
+    column is an exact integer (RA in 1e-12 fixed point via integer
+    floor-division, summation-order-independent); jaccard is one IEEE
+    division of exact longs. The (cn, ra_fp, u, v) sort key is total, so
+    the top-50 SET is deterministic."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = link_prediction(edges)
+    return (
+        res.scores.orderBy(
+            F.col("cn").desc(), F.col("ra_fp").desc(), "u", "v"
+        )
+        .limit(50)
+    )
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the co-purchase graph
+    (kernels/linkpred.py:assortativity) — exact-integer sums, final ``r``
+    as one IEEE division."""
+    edges = copurchase_edges(spark, sf_dir)
+    return assortativity(edges)
+
+
 def _bc_result(spark: SparkSession, sf_dir: str):
     edges = copurchase_edges(spark, sf_dir)
     verts = (
@@ -975,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_sampled": _q_harmonic_sampled,
         "scc_condensation": _q_scc_condensation,
         "modularity_lp": _q_modularity_lp,
+        "link_prediction": _q_link_prediction,
+        "assortativity": _q_assortativity,
     }
 
 
@@ -2365,6 +2393,88 @@ def oracle_sql() -> dict[str, str]:
             WHERE c1.scc != c2.scc
         """,
         "modularity_lp": _modularity_lp_oracle_sql(10),
+        # link prediction: exact-integer CN/RA (RA in 1e-12 fixed point via
+        # integer floor-division — summation-order-independent), jaccard =
+        # one IEEE division; total sort key -> deterministic top-50 set
+        "link_prediction": f"""
+            WITH edges AS ({COPURCHASE_EDGES_SQL}),
+            und AS (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst GROUP BY 1, 2
+            ),
+            deg AS (
+                SELECT id, COUNT(*) AS deg FROM (
+                    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY 1
+            ),
+            adj AS (
+                SELECT a AS w, b AS u FROM und
+                UNION ALL SELECT b AS w, a AS u FROM und
+            ),
+            cen AS (
+                SELECT adj.w, adj.u, deg.deg AS wdeg
+                FROM adj JOIN deg ON deg.id = adj.w
+            ),
+            wedges AS (
+                SELECT l.u AS u, r.u AS v, l.wdeg
+                FROM cen l JOIN cen r ON l.w = r.w AND l.u < r.u
+            ),
+            pair AS (
+                SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+                       CAST(SUM(1000000000000 // wdeg) AS BIGINT) AS ra_fp
+                FROM wedges GROUP BY 1, 2
+            ),
+            cand AS (
+                SELECT p.* FROM pair p
+                LEFT JOIN und ON und.a = p.u AND und.b = p.v
+                WHERE und.a IS NULL
+            )
+            SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
+                   c.cn, c.ra_fp,
+                   CAST(du.deg AS BIGINT) AS du, CAST(dv.deg AS BIGINT) AS dv,
+                   CAST(c.cn AS DOUBLE)
+                     / CAST(du.deg + dv.deg - c.cn AS DOUBLE) AS jaccard
+            FROM cand c
+            JOIN deg du ON du.id = c.u
+            JOIN deg dv ON dv.id = c.v
+            ORDER BY c.cn DESC, c.ra_fp DESC, u, v LIMIT 50
+        """,
+        # assortativity: all sums exact longs; r = one IEEE division
+        "assortativity": f"""
+            WITH edges AS ({COPURCHASE_EDGES_SQL}),
+            und AS (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst GROUP BY 1, 2
+            ),
+            deg AS (
+                SELECT id, COUNT(*) AS deg FROM (
+                    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY 1
+            ),
+            stubs AS (
+                SELECT a AS s, b AS d FROM und
+                UNION ALL SELECT b AS s, a AS d FROM und
+            ),
+            j AS (
+                SELECT dx.deg AS dx, dy.deg AS dy
+                FROM stubs
+                JOIN deg dx ON dx.id = stubs.s
+                JOIN deg dy ON dy.id = stubs.d
+            ),
+            sums AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_stubs,
+                       CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                       CAST(SUM(dx) AS BIGINT) AS sx,
+                       CAST(SUM(dx * dx) AS BIGINT) AS sxx
+                FROM j
+            )
+            SELECT n_stubs, sxy, sx, sxx,
+                   CAST(n_stubs * sxy - sx * sx AS BIGINT) AS r_num,
+                   CAST(n_stubs * sxx - sx * sx AS BIGINT) AS r_den,
+                   CAST(n_stubs * sxy - sx * sx AS DOUBLE)
+                     / CAST(n_stubs * sxx - sx * sx AS DOUBLE) AS r
+            FROM sums
+        """,
         "knn_ivf": _knn_ivf_oracle_sql(),
         "label_propagation": _lp_oracle_sql(10),
         # generously over-unrolled (peeling is idempotent at the fixpoint,

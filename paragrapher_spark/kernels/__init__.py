@@ -1,4 +1,4 @@
-from paragrapher_spark.kernels.betweenness import betweenness
+from paragrapher_spark.kernels.betweenness import betweenness, harmonic_centrality
 from paragrapher_spark.kernels.bfs import bfs
 from paragrapher_spark.kernels.components import (
     component_sizes,
@@ -23,10 +23,12 @@ from paragrapher_spark.kernels.triangles import (
     triangle_count,
     triangles_per_vertex,
 )
+from paragrapher_spark.kernels.linkpred import assortativity, link_prediction
 from paragrapher_spark.kernels.walks import random_walks
 
 __all__ = [
     "betweenness",
+    "harmonic_centrality",
     "bfs",
     "component_sizes",
     "connected_components",
@@ -39,6 +41,8 @@ __all__ = [
     "kcore",
     "label_propagation",
     "modularity",
+    "link_prediction",
+    "assortativity",
     "assemble",
     "neighbor_feature_agg",
     "pagerank",

@@ -36,6 +36,9 @@ from paragrapher_spark.kernels.betweenness import (
     shortest_path_levels,
 )
 from paragrapher_spark.kernels.linkpred import assortativity, link_prediction
+from paragrapher_spark.kernels.coreness import coreness
+from paragrapher_spark.kernels.ktruss import ktruss
+from paragrapher_spark.kernels.mis import maximal_independent_set
 from paragrapher_spark.kernels.neighborhood import neighbor_feature_agg
 from paragrapher_spark.kernels.scc import condensation, scc
 from paragrapher_spark.kernels.walks import random_walks
@@ -227,6 +230,59 @@ def _q_hyperball_balls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NF_RADIUS = 6
+
+
+def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HyperANF use-case on top of the HyperBall kernel: the
+    neighborhood function nf(t) (how many (v, u) pairs lie within
+    distance t) per radius 0..6, coverage fraction vs the final radius,
+    and the effective diameter — the minimal t with nf(t) >= 0.9*nf(R),
+    decided by the all-integer comparison nf(t)*10 >= 9*nf(R) (Boldi-
+    Vigna-Rosa, HyperANF WWW'11; WebGraph's own diameter analytic).
+    Driver work is O(radius) ints — the per-radius nf values ride the
+    kernel's existing one-action-per-round sums."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = hyperball(edges, radius=_NF_RADIUS, directed=False)
+    nf = res.nf
+    nf_r = nf[-1]
+    eff = min(t for t in range(len(nf)) if nf[t] * 10 >= 9 * nf_r)
+    rows = [
+        (t, nf[t], float(nf[t]) / float(nf_r), t == eff)
+        for t in range(len(nf))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "radius int, nf long, coverage double, is_effective_diameter boolean",
+    )
+
+
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc reciprocity of the DIRECTED import graph (the Newman-style
+    directed-graph scalar: the fraction of arcs whose reverse arc also
+    exists — mutual imports are the precursor of the cyclic-import SCCs
+    `scc_imports` detects). Exact longs + ONE IEEE division; one
+    self-left-join over the deduped arc set."""
+    corpus = synth_corpus(spark, n_files=_SCC_FILES, n_repos=8)
+    g = edges_from_corpus(corpus, num_partitions=8)
+    e = (
+        g.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("has_rev", F.lit(1))
+    flagged = e.join(rev, on=["src", "dst"], how="left")
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("arcs"),
+        F.coalesce(F.sum("has_rev"), F.lit(0)).cast("long").alias("reciprocated"),
+    ).withColumn(
+        "reciprocity",
+        F.col("reciprocated").cast("double") / F.col("arcs").cast("double"),
+    )
+
+
 def _q_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS, 8 synchronous rounds, end-normalized, on the
     directed customer->order graph. Oracle: 8 unrolled materialized CTE
@@ -277,6 +333,78 @@ def _q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_KCORE_UNROLL}-round unroll; raise _KCORE_UNROLL"
         )
     return res.vertices.select(F.col("id").cast("long"))
+
+
+_MIS_UNROLL = 16
+
+
+def _q_mis_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicographically-first maximal independent set (deterministic
+    Luby, kernels/mis.py) of the co-purchase graph, with the Luby round
+    that decided each member. Oracle: the rounds unrolled as materialized
+    DuckDB CTEs — past the fixpoint the undecided set is empty so every
+    further round's winner CTE is empty (over-unrolling exact, the kcore
+    pattern)."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = maximal_independent_set(edges)
+    if res.rounds > _MIS_UNROLL:
+        raise AssertionError(
+            f"MIS took {res.rounds} rounds > the oracle's "
+            f"{_MIS_UNROLL}-round unroll; raise _MIS_UNROLL"
+        )
+    return res.members.select(
+        F.col("id").cast("long"), F.col("round").cast("int")
+    )
+
+
+_CORENESS_UNROLL = 24
+
+
+def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core number of EVERY vertex of the co-purchase graph via the
+    neighborhood H-index iteration (kernels/coreness.py) — the full
+    decomposition completing the single-k `kcore_members` peel. Oracle:
+    the iteration unrolled as materialized DuckDB CTEs (all-integer,
+    idempotent at the fixpoint, so over-unrolling is exact). 19 rounds
+    converge at sf0.01; the guard fails loudly if a bigger SF ever needs
+    more than the unroll."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = coreness(edges)
+    if res.rounds > _CORENESS_UNROLL:
+        raise AssertionError(
+            f"coreness took {res.rounds} rounds > the oracle's "
+            f"{_CORENESS_UNROLL}-round unroll; raise _CORENESS_UNROLL"
+        )
+    return res.vertices.select(
+        F.col("id").cast("long"), F.col("coreness").cast("long")
+    )
+
+
+_KTRUSS_K = 12
+_KTRUSS_UNROLL = 12
+
+
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-truss of the co-purchase graph (kernels/ktruss.py): surviving
+    canonical edges with their fixpoint triangle support. k=12 sits just
+    above the sf0.01 median support (10), so the peel cascades for several
+    rounds before stabilizing on a non-empty truss. Oracle: the peel
+    unrolled as materialized DuckDB CTEs — support recounted per round via
+    the common-neighbor join; past the fixpoint each extra round recomputes
+    the same support over the same edge set (over-unrolling exact, the
+    kcore pattern)."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = ktruss(edges, k=_KTRUSS_K)
+    if res.rounds > _KTRUSS_UNROLL:
+        raise AssertionError(
+            f"k-truss peel took {res.rounds} rounds > the oracle's "
+            f"{_KTRUSS_UNROLL}-round unroll; raise _KTRUSS_UNROLL"
+        )
+    return res.edges.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("support").cast("long"),
+    )
 
 
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +533,37 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(docs)
 
 
+_STRAT_FRACTIONS = {"en": 0.5, "zh": 0.9}
+_STRAT_DEFAULT = 0.2
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sample of the documents table
+    (operators/sampling.py): en at 0.5, zh at 0.9, everything else at the
+    0.2 default — keyed on doc_id, so every keep decision is a pure
+    function of the row and the DuckDB oracle replays it bit-for-bit."""
+    from paragrapher_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", _STRAT_FRACTIONS, ["doc_id"], default_fraction=_STRAT_DEFAULT
+    ).select(F.col("doc_id").cast("long"), "lang")
+
+
+def _q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) of the
+    documents table (operators/sampling.py): the 60-bit md5 hash space
+    cut at the cumulative-weight boundaries; disjoint, exhaustive, and
+    stable when the corpus grows."""
+    from paragrapher_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_splits(docs, _SPLIT_WEIGHTS, ["doc_id"]).select(
+        F.col("doc_id").cast("long"), "split"
+    )
+
+
 def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data cleaning pipeline COMPOSED end-to-end: exact
     dedup (keep-min-id) -> token/quality stats -> language ID -> quality
@@ -443,6 +602,32 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, num_hashes=64, bands=16, threshold=0.35
     ).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "est_jaccard"
+    )
+
+
+def _q_near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup and graph subsystems COMPOSED: MinHash+LSH candidate
+    pairs (operators/dedup.py) become an undirected dup graph, Jayanti-
+    Tarjan-equivalent WCC (kernels/components.py, min-id roots) groups
+    transitive near-dups, and every document maps to the minimum doc_id
+    of its dup cluster (itself when it has no near-dup) — the canonical-
+    representative assignment a 100 TB cleaning pipeline actually runs.
+    Oracle: the minhash SQL twin feeding a recursive-CTE closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs, num_hashes=64, bands=16, threshold=0.35)
+    dup_edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(dup_edges).components
+    return (
+        docs.select(F.col("doc_id").cast("long"))
+        .join(comp, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("long")
+            .alias("canonical_id"),
+        )
     )
 
 
@@ -1003,6 +1188,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_lp": _q_modularity_lp,
         "link_prediction": _q_link_prediction,
         "assortativity": _q_assortativity,
+        "mis_members": _q_mis_members,
+        "ktruss_edges": _q_ktruss,
+        "coreness_all": _q_coreness,
+        "doc_sample_stratified": _q_doc_sample_stratified,
+        "doc_splits": _q_doc_splits,
+        "near_dup_canonical": _q_near_dup_canonical,
+        "neighborhood_function": _q_neighborhood_function,
+        "reciprocity": _q_reciprocity,
     }
 
 
@@ -1076,13 +1269,12 @@ def _sssp_oracle_sql(rounds: int) -> str:
     """
 
 
-def _hyperball_oracle_sql(radius: int) -> str:
-    """DuckDB twin of kernels/hyperball.py at ``radius`` on the undirected
-    co-purchase graph. Registers are SPARSE rows (v, reg, rho) — a missing
-    register means rho 0 — merged per round by GROUP BY max, exactly the
-    kernel's 16-column max-aggregation. The estimator is the verbatim
-    transliteration of hyperball.ball_estimate: exact-BIGINT denominator
-    (order-free), shared literal constants, shared ln() CASE table."""
+def _hyperball_ctes(radius: int) -> str:
+    """Shared WITH-body of the hyperball oracles at ``radius``: register
+    evolution (sparse (v, reg, rho) rows, GROUP BY max merge) + per-radius
+    ball estimates e0..e{radius} — the verbatim transliteration of
+    hyperball.ball_estimate (exact-BIGINT denominator, shared literal
+    constants, shared ln() CASE table)."""
     from paragrapher_spark.kernels.hyperball import (
         EST_NUM,
         LN_TABLE,
@@ -1127,15 +1319,6 @@ def _hyperball_oracle_sql(radius: int) -> str:
         )
     )"""
         )
-    # harmonic accumulation mirrors the kernel's left-associated sum of
-    # INTEGER-rounded ball deltas: ((0.0 + n1/1.0) + n2/2.0) + ... — n/2^k
-    # is binary-exact and n/3,/5... never lands on a 1e-6 decimal tie, so
-    # the final ROUND(6) agrees across engines (kernels/hyperball.py)
-    harmonic = " + ".join(
-        f"(ROUND(e{k}.est) - ROUND(e{k - 1}.est)) / {float(k)!r}"
-        for k in range(1, radius + 1)
-    )
-    joins = " ".join(f"JOIN e{k} USING (v)" for k in range(1, radius + 1))
     return f"""
     WITH e0g AS ({COPURCHASE_EDGES_SQL}),
     und AS (
@@ -1159,11 +1342,52 @@ def _hyperball_oracle_sql(radius: int) -> str:
         FROM hh
     ),
     {",".join(rounds)},
-    {",".join(ests)}
+    {",".join(ests)}"""
+
+
+def _hyperball_oracle_sql(radius: int) -> str:
+    """DuckDB twin of kernels/hyperball.py at ``radius`` on the undirected
+    co-purchase graph: per-vertex ball + harmonic over the shared CTEs."""
+    # harmonic accumulation mirrors the kernel's left-associated sum of
+    # INTEGER-rounded ball deltas: ((0.0 + n1/1.0) + n2/2.0) + ... — n/2^k
+    # is binary-exact and n/3,/5... never lands on a 1e-6 decimal tie, so
+    # the final ROUND(6) agrees across engines (kernels/hyperball.py)
+    harmonic = " + ".join(
+        f"(ROUND(e{k}.est) - ROUND(e{k - 1}.est)) / {float(k)!r}"
+        for k in range(1, radius + 1)
+    )
+    joins = " ".join(f"JOIN e{k} USING (v)" for k in range(1, radius + 1))
+    return f"""{_hyperball_ctes(radius)}
     SELECT CAST(v AS BIGINT) AS id,
            e{radius}.est AS ball,
            ROUND(0.0 + {harmonic}, 6) AS harmonic
     FROM e0 {joins}
+    """
+
+
+def _neighborhood_function_sql(radius: int) -> str:
+    """_q_neighborhood_function's twin: per-radius neighborhood function
+    nf(t) = SUM of integer-rounded ball estimates (exact BIGINTs, the
+    kernel's HyperBallResult.nf), coverage fraction as ONE IEEE division
+    of those longs, and the HyperANF effective diameter flagged by the
+    all-integer comparison nf(t)*10 >= 9*nf(R) at its minimal t."""
+    nfs = "\n        UNION ALL ".join(
+        f"SELECT {k} AS radius, SUM(CAST(ROUND(est) AS BIGINT)) AS nf FROM e{k}"
+        for k in range(0, radius + 1)
+    )
+    return f"""{_hyperball_ctes(radius)},
+    nft AS MATERIALIZED (
+        {nfs}
+    ),
+    fin AS (SELECT nf AS nf_r FROM nft WHERE radius = {radius}),
+    eff AS (
+        SELECT MIN(radius) AS t FROM nft, fin WHERE nf * 10 >= 9 * nf_r
+    )
+    SELECT CAST(nft.radius AS INTEGER) AS radius,
+           CAST(nft.nf AS BIGINT) AS nf,
+           CAST(nft.nf AS DOUBLE) / CAST(fin.nf_r AS DOUBLE) AS coverage,
+           nft.radius = eff.t AS is_effective_diameter
+    FROM nft, fin, eff
     """
 
 
@@ -1279,6 +1503,216 @@ def _modularity_lp_oracle_sql(rounds: int) -> str:
                    / CAST(4 * m * m AS DOUBLE) AS q
         FROM mm, ec, s2
     """
+
+
+def _mis_oracle_sql(rounds: int) -> str:
+    """Deterministic-Luby MIS (kernels/mis.py) unrolled: per round,
+    every undecided vertex compares its (md5-priority, id) key against
+    the lexicographic minimum over its UNDECIDED neighbors; strict
+    winners join, their neighbors leave. Past the fixpoint the
+    undecided CTE is empty, so over-unrolling is exact. The lexicographic
+    neighbor-min is computed in two grouped steps (min h, then min id at
+    that h) to stay on plain scalar aggregates."""
+    h_expr = _md5h("mis", "CAST(id AS VARCHAR)")
+    parts = [
+        f"WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),",
+        f"""
+    und AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    adj AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM und
+        UNION ALL SELECT b AS v, a AS u FROM und
+    ),
+    u0 AS MATERIALIZED (
+        SELECT id, {h_expr} AS h FROM (
+            SELECT a AS id FROM und UNION SELECT b FROM und
+        )
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    nb{r} AS MATERIALIZED (
+        SELECT a.v, uu.h, uu.id AS uid
+        FROM adj a JOIN u{r - 1} uu ON a.u = uu.id
+        WHERE a.v IN (SELECT id FROM u{r - 1})
+    ),
+    mn{r} AS MATERIALIZED (
+        SELECT n.v, n.mh, MIN(b.uid) AS mid FROM (
+            SELECT v, MIN(h) AS mh FROM nb{r} GROUP BY v
+        ) n JOIN nb{r} b ON b.v = n.v AND b.h = n.mh
+        GROUP BY n.v, n.mh
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT uu.id FROM u{r - 1} uu LEFT JOIN mn{r} m ON uu.id = m.v
+        WHERE m.v IS NULL
+           OR uu.h < m.mh OR (uu.h = m.mh AND uu.id < m.mid)
+    ),
+    u{r} AS MATERIALIZED (
+        SELECT id, h FROM u{r - 1}
+        WHERE id NOT IN (SELECT id FROM w{r})
+          AND id NOT IN (
+            SELECT a.v FROM adj a WHERE a.u IN (SELECT id FROM w{r})
+          )
+    )""")
+    members = "\n        UNION ALL ".join(
+        f"SELECT id, {r} AS r FROM w{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(r AS INTEGER) AS round
+    FROM ({members})""")
+    return "".join(parts)
+
+
+def _near_dup_canonical_sql() -> str:
+    """_q_near_dup_canonical's twin: the minhash candidate SQL (same
+    builder the `minhash_near_dups` gate uses — single source of truth)
+    as a subquery, transitive closure by recursive CTE, canonical =
+    MIN(reachable id), docs without near-dups mapping to themselves."""
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) mh
+    ),
+    nodes AS MATERIALIZED (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ),
+    sym AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    rr(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT rr.a, s.v FROM rr JOIN sym s ON s.u = rr.b
+    ),
+    comp AS MATERIALIZED (
+        SELECT a AS id, MIN(b) AS component FROM rr GROUP BY a
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS canonical_id
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+
+
+def _doc_sample_stratified_sql() -> str:
+    """operators/sampling.py stratified_sample replayed: same md5-prefix
+    hash, same driver-computed integer thresholds — every keep decision
+    identical by construction."""
+    from paragrapher_spark.operators.sampling import threshold_for
+
+    h = _md5h("strat", "CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN '{v}' THEN {threshold_for(f)}"
+        for v, f in sorted(_STRAT_FRACTIONS.items())
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM documents
+    WHERE {h} < CASE lang {cases} ELSE {threshold_for(_STRAT_DEFAULT)} END
+    """
+
+
+def _doc_splits_sql() -> str:
+    """operators/sampling.py assign_splits replayed: hash space cut at
+    the same cumulative-weight integer boundaries."""
+    from paragrapher_spark.operators.sampling import threshold_for
+
+    h = _md5h("split", "CAST(doc_id AS VARCHAR)")
+    total = sum(_SPLIT_WEIGHTS.values())
+    names = list(_SPLIT_WEIGHTS)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name] / total
+        whens.append(f"WHEN {h} < {threshold_for(min(acc, 1.0))} THEN '{name}'")
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split
+    FROM documents
+    """
+
+
+def _coreness_oracle_sql(rounds: int) -> str:
+    """Neighborhood H-index iteration (kernels/coreness.py) unrolled from
+    degrees: per round, each vertex's value becomes the H-index of its
+    neighbors' values — ROW_NUMBER over values descending, then the
+    largest rank whose value still covers it. Pointwise non-increasing
+    and idempotent at the fixpoint (= the coreness, Lu et al. 2016), so
+    over-unrolling is exact."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),",
+        """
+    und AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    adj AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM und
+        UNION ALL SELECT b AS v, a AS u FROM und
+    ),
+    c0 AS MATERIALIZED (
+        SELECT v AS id, count(*) AS c FROM adj GROUP BY v
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    c{r} AS MATERIALIZED (
+        SELECT v AS id, COALESCE(MAX(CASE WHEN cu >= rn THEN rn END), 0) AS c
+        FROM (
+            SELECT a.v, c.c AS cu,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.v ORDER BY c.c DESC, a.u ASC
+                   ) AS rn
+            FROM adj a JOIN c{r - 1} c ON c.id = a.u
+        ) GROUP BY v
+    )""")
+    parts.append(f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(c AS BIGINT) AS coreness
+    FROM c{rounds}""")
+    return "".join(parts)
+
+
+def _ktruss_oracle_sql(k: int, rounds: int) -> str:
+    """k-truss peel (kernels/ktruss.py) unrolled: per round, each edge's
+    triangle support is recounted over the CURRENT edge set via the
+    common-neighbor join (u adjacent to both endpoints — self-loops were
+    removed up front, so no endpoint can appear as its own common
+    neighbor), then edges below k-2 drop. Over-unrolling past the fixpoint
+    is exact: the support recount over an unchanged edge set is
+    idempotent, so every extra round reproduces the same (a, b, support)
+    rows the Spark kernel's terminating round materialized."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),",
+        """
+    e0 AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    adj{r} AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM e{r - 1}
+        UNION ALL SELECT b AS v, a AS u FROM e{r - 1}
+    ),
+    sup{r} AS MATERIALIZED (
+        SELECT e.a, e.b, count(*) AS support
+        FROM e{r - 1} e
+        JOIN adj{r} x ON x.v = e.a
+        JOIN adj{r} y ON y.v = e.b AND y.u = x.u
+        GROUP BY e.a, e.b
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT e.a, e.b, COALESCE(s.support, 0) AS support
+        FROM e{r - 1} e LEFT JOIN sup{r} s ON s.a = e.a AND s.b = e.b
+        WHERE COALESCE(s.support, 0) >= {k - 2}
+    )""")
+    parts.append(f"""
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(support AS BIGINT) AS support
+    FROM e{rounds}""")
+    return "".join(parts)
 
 
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
@@ -2481,6 +2915,22 @@ def oracle_sql() -> dict[str, str]:
         # so extra rounds are free): the Spark kernel peels to a
         # data-dependent fixpoint; 32 rounds covers any SF the gate runs at
         "kcore_members": _kcore_oracle_sql(64, _KCORE_UNROLL),
+        "mis_members": _mis_oracle_sql(_MIS_UNROLL),
+        "ktruss_edges": _ktruss_oracle_sql(_KTRUSS_K, _KTRUSS_UNROLL),
+        "coreness_all": _coreness_oracle_sql(_CORENESS_UNROLL),
+        "doc_sample_stratified": _doc_sample_stratified_sql(),
+        "doc_splits": _doc_splits_sql(),
+        "near_dup_canonical": _near_dup_canonical_sql(),
+        "neighborhood_function": _neighborhood_function_sql(_NF_RADIUS),
+        "reciprocity": f"""
+    WITH edges AS ({_import_edges_md5_sql(_SCC_FILES, 8, 12, 16)}),
+    e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
+    SELECT CAST(COUNT(*) AS BIGINT) AS arcs,
+           CAST(COUNT(r.src) AS BIGINT) AS reciprocated,
+           CAST(COUNT(r.src) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS reciprocity
+    FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+    """,
         "language_id": _language_id_oracle_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "media_stats": _MEDIA_STATS_SQL,

@@ -24,6 +24,9 @@ from paragrapher_spark.kernels.triangles import (
     triangles_per_vertex,
 )
 from paragrapher_spark.kernels.linkpred import assortativity, link_prediction
+from paragrapher_spark.kernels.coreness import coreness
+from paragrapher_spark.kernels.ktruss import ktruss
+from paragrapher_spark.kernels.mis import maximal_independent_set
 from paragrapher_spark.kernels.walks import random_walks
 
 __all__ = [
@@ -39,7 +42,10 @@ __all__ = [
     "hits",
     "hyperball",
     "kcore",
+    "coreness",
+    "ktruss",
     "label_propagation",
+    "maximal_independent_set",
     "modularity",
     "link_prediction",
     "assortativity",

@@ -1,4 +1,19 @@
 from paragrapher_spark.operators.indexing import dense_ids, prefix_sum
 from paragrapher_spark.operators.salting import explode_salts, salt_column
+from paragrapher_spark.operators.sampling import (
+    assign_splits,
+    sample_hash,
+    split_by_hash,
+    stratified_sample,
+)
 
-__all__ = ["dense_ids", "prefix_sum", "salt_column", "explode_salts"]
+__all__ = [
+    "dense_ids",
+    "prefix_sum",
+    "salt_column",
+    "explode_salts",
+    "sample_hash",
+    "stratified_sample",
+    "assign_splits",
+    "split_by_hash",
+]

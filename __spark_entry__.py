@@ -564,6 +564,19 @@ def _q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document (functions/text.py
+    top_terms): integer-exact TF/DF keyword extraction ranked
+    (tf DESC, df ASC, term ASC) — the log-free TF-IDF ordering,
+    WindowGroupLimit-bounded top-k. No df cap here: the synthetic corpus
+    has a ~31-term vocabulary, so a boilerplate cap would empty the
+    result (the cap itself is exercised in tests/test_top_terms.py)."""
+    from paragrapher_spark.functions.text import top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms(docs, k=3)
+
+
 def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data cleaning pipeline COMPOSED end-to-end: exact
     dedup (keep-min-id) -> token/quality stats -> language ID -> quality
@@ -1196,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_canonical": _q_near_dup_canonical,
         "neighborhood_function": _q_neighborhood_function,
         "reciprocity": _q_reciprocity,
+        "doc_top_terms": _q_doc_top_terms,
     }
 
 
@@ -1563,6 +1577,31 @@ def _mis_oracle_sql(rounds: int) -> str:
     SELECT CAST(id AS BIGINT) AS id, CAST(r AS INTEGER) AS round
     FROM ({members})""")
     return "".join(parts)
+
+
+_DOC_TOP_TERMS_SQL = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS MATERIALIZED (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    dft AS MATERIALIZED (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC
+               ) AS rank
+        FROM tf JOIN dft USING (term)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """
 
 
 def _near_dup_canonical_sql() -> str:
@@ -2922,6 +2961,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_splits": _doc_splits_sql(),
         "near_dup_canonical": _near_dup_canonical_sql(),
         "neighborhood_function": _neighborhood_function_sql(_NF_RADIUS),
+        "doc_top_terms": _DOC_TOP_TERMS_SQL,
         "reciprocity": f"""
     WITH edges AS ({_import_edges_md5_sql(_SCC_FILES, 8, 12, 16)}),
     e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)

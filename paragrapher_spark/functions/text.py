@@ -308,3 +308,58 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.select(id_col, text_col).mapInPandas(
         batch, schema=f"{id_col} long, fingerprint long"
     )
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    min_df: int = 1,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, term, tf, df, rank): the ``k`` most distinctive whitespace
+    terms per document — integer-exact keyword extraction.
+
+    Ranking is (tf DESC, df ASC, term ASC): frequent in THIS doc, rare in
+    the corpus, deterministic string tie-break — the log-free TF-IDF
+    ordering (for fixed tf, tf*idf(df) is monotone decreasing in df, so
+    ranking by (tf, -df) agrees with per-tf TF-IDF order while staying in
+    exact integers — no libm ln() to diverge between engines). Terms with
+    df > ``max_df`` are dropped as corpus boilerplate (the stop-gram cap,
+    same guard as ngram_jaccard's max_df) and df < ``min_df`` as noise.
+
+    Scale shape (100 TB): two hash aggregations (tf, then df — both
+    map-side combinable) + one broadcast-friendly equi-join on term + the
+    bounded top-k: row_number over (id) then rank <= k, which Spark plans
+    as WindowGroupLimit BELOW and above the shuffle — each task buffers at
+    most k rows per doc (the knn_bruteforce discipline). No UDF, no
+    driver-side data.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if max_df is not None:
+        dft = dft.where(F.col("df") <= max_df)
+    if min_df > 1:
+        dft = dft.where(F.col("df") >= min_df)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("id")
+        .orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    )
+    return (
+        tf.join(dft, on="term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

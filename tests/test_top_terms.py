@@ -1,0 +1,94 @@
+"""Integer-exact TF/DF keyword extraction vs a brute-force python oracle.
+
+The ranking (tf DESC, df ASC, term ASC) is a strict total order per doc
+(term is unique within a doc), so the top-k is uniquely defined — the
+oracle replays it exactly, including the df caps and the bounded-plan pin.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from paragrapher_spark.functions.text import top_terms
+
+
+def _oracle(rows, k, min_df=1, max_df=None):
+    tf: dict[int, Counter] = defaultdict(Counter)
+    for doc_id, text in rows:
+        tf[doc_id].update(t for t in text.split(" ") if t)
+    df: Counter = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    out = {}
+    for doc_id, c in tf.items():
+        cand = [
+            (t, n, df[t])
+            for t, n in c.items()
+            if df[t] >= min_df and (max_df is None or df[t] <= max_df)
+        ]
+        cand.sort(key=lambda x: (-x[1], x[2], x[0]))
+        out[doc_id] = [
+            (t, n, d, r + 1) for r, (t, n, d) in enumerate(cand[:k])
+        ]
+    return out
+
+
+ROWS = [
+    (1, "apple banana apple cherry apple"),
+    (2, "banana banana cherry date"),
+    (3, "cherry date elder fig fig"),
+    (4, "apple  apple banana"),  # double space -> empty token dropped
+    (5, "unique singleton"),
+    (6, ""),  # no tokens -> no output rows
+]
+
+
+def _collect(df):
+    got = defaultdict(list)
+    for r in df.collect():
+        got[r.doc_id].append((r.term, r.tf, r.df, r.rank))
+    return {k: sorted(v, key=lambda x: x[3]) for k, v in got.items()}
+
+
+def test_top_terms_matches_oracle(spark):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = _collect(top_terms(docs, k=3))
+    want = {k: v for k, v in _oracle(ROWS, k=3).items() if v}
+    assert got == want
+    assert 6 not in got  # empty doc yields nothing
+
+
+def test_top_terms_df_caps(spark):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    # max_df=1 keeps only corpus-unique terms; min_df=2 drops them
+    got = _collect(top_terms(docs, k=5, max_df=1))
+    want = {k: v for k, v in _oracle(ROWS, k=5, max_df=1).items() if v}
+    assert got == want
+    assert all(d == 1 for v in got.values() for (_, _, d, _) in v)
+    got2 = _collect(top_terms(docs, k=5, min_df=2))
+    want2 = {k: v for k, v in _oracle(ROWS, k=5, min_df=2).items() if v}
+    assert got2 == want2
+
+
+def test_top_terms_rank_is_deterministic_total_order(spark):
+    # all-tied tf: rank must fall back to df then lexicographic term
+    rows = [(1, "b a c"), (2, "a b"), (3, "c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _collect(top_terms(docs, k=3))
+    assert got == {k: v for k, v in _oracle(rows, k=3).items() if v}
+    # doc 1: every tf=1; df: a=2, b=2, c=2 -> pure lexicographic
+    assert [t for (t, *_rest) in got[1]] == ["a", "b", "c"]
+
+
+def test_top_terms_plan_is_bounded(spark):
+    """rank <= k over the per-doc window must compile to WindowGroupLimit
+    (partial below the shuffle AND final above it) — no task buffers more
+    than k rows per document."""
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    plan = (
+        top_terms(docs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 2, plan

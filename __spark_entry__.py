@@ -32,6 +32,7 @@ from paragrapher_spark.kernels.hyperball import hyperball
 from paragrapher_spark.kernels.labelprop import label_propagation, modularity
 from paragrapher_spark.kernels.betweenness import (
     betweenness,
+    closeness_centrality,
     harmonic_centrality,
     shortest_path_levels,
 )
@@ -1120,6 +1121,34 @@ def _q_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closeness centrality over the sampled source set
+    (kernels/betweenness.py:closeness_centrality): reached/dist_sum as
+    exact longs, closeness = ONE IEEE division — completing the sampled
+    centrality family (betweenness, harmonic, closeness) on the shared
+    forward-levels substrate."""
+    edges = copurchase_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % _BC_SOURCE_MOD == 0)
+    levels, depth, _ = shortest_path_levels(edges, seeds, directed=False)
+    if depth > _BC_UNROLL:
+        raise AssertionError(
+            f"BFS depth {depth} > the oracle's {_BC_UNROLL}-level unroll; "
+            f"raise _BC_UNROLL"
+        )
+    out = closeness_centrality(levels)
+    return out.select(
+        F.col("id").cast("long"),
+        F.col("reached").cast("long"),
+        F.col("dist_sum").cast("long"),
+        "closeness",
+    )
+
+
 def _q_sp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brandes forward phase (kernels/betweenness.py): exact
     shortest-path counts σ(s, v) and hop distances from the sampled
@@ -1197,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_counts": _q_sp_counts,
         "betweenness_sampled": _q_betweenness_sampled,
         "harmonic_sampled": _q_harmonic_sampled,
+        "closeness_sampled": _q_closeness_sampled,
         "scc_condensation": _q_scc_condensation,
         "modularity_lp": _q_modularity_lp,
         "link_prediction": _q_link_prediction,
@@ -2852,6 +2882,15 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_sampled": _betweenness_oracle_sql(
             _BC_UNROLL, _BC_SOURCE_MOD
         ),
+        "closeness_sampled": f"""
+            WITH {_brandes_cte(_BC_UNROLL, _BC_SOURCE_MOD, forward_only=True)}
+            SELECT id,
+                   CAST(COUNT(*) AS BIGINT) AS reached,
+                   CAST(SUM(dist) AS BIGINT) AS dist_sum,
+                   CAST(COUNT(*) AS DOUBLE) / CAST(SUM(dist) AS DOUBLE)
+                       AS closeness
+            FROM lvl WHERE dist > 0 GROUP BY id
+        """,
         "scc_condensation": f"""
             WITH comp AS MATERIALIZED (
                 {_scc_oracle_sql(_import_edges_md5_sql(_SCC_FILES, 8, 12, 16))}

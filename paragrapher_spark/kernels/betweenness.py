@@ -179,6 +179,30 @@ def harmonic_centrality(levels: DataFrame, depth: int) -> DataFrame:
     )
 
 
+def closeness_centrality(levels: DataFrame) -> DataFrame:
+    """Closeness over the sampled sources, EXACT integers: ``reached`` =
+    #sources at finite positive distance, ``dist_sum`` = Σ_s dist(s, v),
+    and ``closeness`` = reached / dist_sum — the sample-restricted
+    Bavelas closeness (the Wasserman-Faust normalization is one extra
+    multiply for the caller). The double is ONE IEEE division of two
+    exact longs, so an SQL oracle reproduces it bit-for-bit."""
+    return (
+        levels.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("reached"),
+            F.sum("dist").cast("long").alias("dist_sum"),
+        )
+        .select(
+            "id",
+            "reached",
+            "dist_sum",
+            (F.col("reached").cast("double") / F.col("dist_sum").cast("double"))
+            .alias("closeness"),
+        )
+    )
+
+
 def betweenness(
     edges: DataFrame,
     sources: DataFrame | list[int],

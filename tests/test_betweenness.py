@@ -133,3 +133,31 @@ def test_harmonic_centrality_exact_fractions(spark):
     # integer-exactness: lcm scaling leaves no remainder for any dist
     for r in out.collect():
         assert r.h_den % 1 == 0 and r.h_num > 0
+
+
+def test_closeness_centrality_exact(spark):
+    from paragrapher_spark.kernels.betweenness import (
+        closeness_centrality,
+        shortest_path_levels,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]  # path graph
+    e = spark.createDataFrame(edges, "src long, dst long")
+    levels, depth, _hist = shortest_path_levels(e, [0, 4], directed=False)
+    got = {
+        r.id: (r.reached, r.dist_sum, r.closeness)
+        for r in closeness_centrality(levels).collect()
+    }
+    # exact integers from the python BFS, closeness = one IEEE division
+    _, sig = _brandes(edges, [0, 4])
+    exp: dict[int, list[int]] = {}
+    for (s, v), (dist, _) in sig.items():
+        if dist > 0:
+            acc = exp.setdefault(v, [0, 0])
+            acc[0] += 1
+            acc[1] += dist
+    assert got == {
+        v: (r, d, float(r) / float(d)) for v, (r, d) in exp.items()
+    }
+    # path closed form: vertex 2 sees both ends at distance 2
+    assert got[2] == (2, 4, 0.5)

@@ -37,6 +37,9 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.metrics import ShuffleProbe
+
 
 @dataclass
 class CorenessResult:
@@ -45,10 +48,22 @@ class CorenessResult:
     history: list[dict[str, Any]] = field(default_factory=list)
 
 
-def coreness(edges: DataFrame, max_rounds: int = 100) -> CorenessResult:
+def coreness(
+    edges: DataFrame,
+    max_rounds: int = 100,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+) -> CorenessResult:
     """Core number of every vertex of the undirected simple graph
     underlying ``edges(src, dst)``. Self-loops dropped, directions and
-    duplicate arcs collapsed (same canonicalization as kcore/ktruss)."""
+    duplicate arcs collapsed (same canonicalization as kcore/ktruss).
+
+    Resumable like the other supersteps (the reference's buffer-status
+    protocol reified, `src/webgraph.c:29-35`): the (id, c) state is the
+    checkpoint payload, and any round can restart from the manifest —
+    the H-index operator is a pure function of the persisted state, so
+    a resumed run converges to the identical fixpoint."""
+    spark = edges.sparkSession
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
@@ -59,11 +74,20 @@ def coreness(edges: DataFrame, max_rounds: int = 100) -> CorenessResult:
         .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
         .localCheckpoint(eager=False)
     )
-    cur = adj.groupBy(F.col("v").alias("id")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint(eager=False)
+    start_round = 0
+    cur: DataFrame | None = None
+    if checkpoint is not None:
+        resumed = checkpoint.resume(spark)
+        if resumed is not None:
+            start_round, cur = resumed
+            cur = cur.localCheckpoint(eager=True)
+    if cur is None:
+        cur = adj.groupBy(F.col("v").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ).localCheckpoint(eager=False)
     history: list[dict[str, Any]] = []
-    rnd = 0
+    probe = ShuffleProbe(spark)
+    rnd = start_round
     while True:
         rnd += 1
         if rnd > max_rounds:
@@ -96,10 +120,20 @@ def coreness(edges: DataFrame, max_rounds: int = 100) -> CorenessResult:
             .where(F.col("c") != F.col("c_prev"))
             .count()
         )
-        history.append(
-            {"round": rnd, "changed": changed, "duration_s": time.monotonic() - t0}
-        )
+        shuffle_w, shuffle_r = probe.tick()
+        metrics = {
+            "changed": changed,
+            "duration_s": time.monotonic() - t0,
+            "shuffle_write_bytes": shuffle_w,
+            "shuffle_read_bytes": shuffle_r,
+        }
+        history.append({"round": rnd, **metrics})
         cur = nxt
+        if checkpoint is not None:
+            if rnd % checkpoint_every == 0:
+                checkpoint.save(rnd, cur, metrics)
+            else:
+                checkpoint.log_metrics(rnd, metrics)
         if changed == 0:
             break
     return CorenessResult(

@@ -123,3 +123,25 @@ def test_labelprop_resume_identical(spark, tmp_path):
     assert resumed.history[0]["iteration"] == 3
     got = {r.id: r.label for r in resumed.labels.collect()}
     assert got == want
+
+
+def test_coreness_resume_identical(spark, tmp_path):
+    from paragrapher_spark.kernels.coreness import coreness
+
+    edges = two_components(spark)
+    want = {
+        r.id: r.coreness for r in coreness(edges).vertices.collect()
+    }
+
+    # crash mid-job: round 1 saves its state, then the max_rounds guard
+    # kills the run — the manifest must survive for the resume below
+    cm = CheckpointManager(str(tmp_path), "coreness")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        coreness(edges, max_rounds=1, checkpoint=cm, checkpoint_every=1)
+    assert cm.last_complete()["iteration"] == 1
+
+    cm2 = CheckpointManager(str(tmp_path), "coreness")
+    resumed = coreness(edges, checkpoint=cm2, checkpoint_every=1)
+    assert resumed.history[0]["round"] == 2
+    got = {r.id: r.coreness for r in resumed.vertices.collect()}
+    assert got == want

@@ -35,6 +35,9 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.metrics import ShuffleProbe
+
 
 @dataclass
 class KTrussResult:
@@ -90,27 +93,50 @@ def _support(und: DataFrame) -> DataFrame:
     return credits.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
 
 
-def ktruss(edges: DataFrame, k: int, max_rounds: int = 100) -> KTrussResult:
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 100,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+) -> KTrussResult:
     """k-truss of the undirected simple graph underlying ``edges(src, dst)``.
 
     Returns the surviving canonical edges with their FIXPOINT support
     (the support recomputed in the terminating round — no edge was removed
     in it, so these are the k-truss subgraph's own triangle counts).
+
+    Resumable: the surviving (a, b, support) edge set IS the whole loop
+    state, so the checkpoint payload is one table; a resumed run re-peels
+    from it (the support recount is a pure function of the edge set) and
+    converges to the identical truss.
     """
     if k < 2:
         raise ValueError(f"k-truss needs k >= 2, got k={k}")
-    e = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    spark = edges.sparkSession
     history: list[dict[str, Any]] = []
     prev_m: int | None = None
-    rnd = 0
-    kept = e.select("a", "b", F.lit(0).cast("long").alias("support"))
+    start_round = 0
+    e: DataFrame | None = None
+    if checkpoint is not None:
+        resumed = checkpoint.resume(spark)
+        if resumed is not None:
+            start_round, kept = resumed
+            kept = kept.localCheckpoint(eager=True)
+            e = kept.select("a", "b")
+            prev_m = kept.count()
+    if e is None:
+        e = (
+            edges.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        kept = e.select("a", "b", F.lit(0).cast("long").alias("support"))
+    probe = ShuffleProbe(spark)
+    rnd = start_round
     while True:
         rnd += 1
         if rnd > max_rounds:
@@ -132,7 +158,19 @@ def ktruss(edges: DataFrame, k: int, max_rounds: int = 100) -> KTrussResult:
         # checkpoint and doubles as the fixpoint detector — peeling
         # strictly decreases the edge count until the truss is stable.
         m = kept.count()
-        history.append({"round": rnd, "edges": m, "duration_s": time.monotonic() - t0})
+        shuffle_w, shuffle_r = probe.tick()
+        metrics = {
+            "edges": m,
+            "duration_s": time.monotonic() - t0,
+            "shuffle_write_bytes": shuffle_w,
+            "shuffle_read_bytes": shuffle_r,
+        }
+        history.append({"round": rnd, **metrics})
+        if checkpoint is not None:
+            if rnd % checkpoint_every == 0:
+                checkpoint.save(rnd, kept, metrics)
+            else:
+                checkpoint.log_metrics(rnd, metrics)
         if m == 0 or (prev_m is not None and m == prev_m):
             break
         prev_m = m

@@ -38,6 +38,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.checkpoint import CheckpointManager
+
 SEED = 42
 
 
@@ -68,12 +70,21 @@ class MISResult:
 
 
 def maximal_independent_set(
-    edges: DataFrame, seed: int = SEED, max_rounds: int = 100
+    edges: DataFrame,
+    seed: int = SEED,
+    max_rounds: int = 100,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
 ) -> MISResult:
     """Lexicographically-first MIS (by md5 priority) of the canonical
     undirected simple graph underlying ``edges(src, dst)``. Vertex set =
     edge endpoints (pass isolated vertices through a trivial union by the
-    caller if needed — every isolated vertex is always a member)."""
+    caller if needed — every isolated vertex is always a member).
+
+    Resumable: the loop state collapses to ONE table (id, round) — round
+    NULL = still undecided, round k = joined the MIS in round k; excluded
+    vertices simply have no row, and the md5 priority is a pure function
+    of id so it is recomputed on resume rather than stored."""
     spark = edges.sparkSession
     und = (
         edges.where(F.col("src") != F.col("dst"))
@@ -88,16 +99,29 @@ def maximal_independent_set(
         .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
         .persist()
     )
-    undecided = (
-        und.select(F.col("a").alias("id"))
-        .unionByName(und.select(F.col("b").alias("id")))
-        .distinct()
-        .select("id", _h("mis", seed, "id").alias("h"))
-        .localCheckpoint(eager=False)
-    )
-    members = spark.createDataFrame([], "id long, round int")
-    history: list[dict[str, Any]] = []
     rounds = 0
+    undecided: DataFrame | None = None
+    members = spark.createDataFrame([], "id long, round int")
+    if checkpoint is not None:
+        resumed = checkpoint.resume(spark)
+        if resumed is not None:
+            rounds, state = resumed
+            state = state.localCheckpoint(eager=True)
+            undecided = state.where(F.col("round").isNull()).select(
+                "id", _h("mis", seed, "id").alias("h")
+            )
+            members = state.where(F.col("round").isNotNull()).select(
+                "id", F.col("round").cast("int").alias("round")
+            )
+    if undecided is None:
+        undecided = (
+            und.select(F.col("a").alias("id"))
+            .unionByName(und.select(F.col("b").alias("id")))
+            .distinct()
+            .select("id", _h("mis", seed, "id").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    history: list[dict[str, Any]] = []
     n_left = undecided.count()
     while n_left > 0:
         rounds += 1
@@ -143,8 +167,15 @@ def maximal_independent_set(
         members = members.unionByName(
             winners.select("id", F.lit(rounds).cast("int").alias("round"))
         )
-        history.append(
-            {"round": rounds, "undecided": n_left, "duration_s": time.monotonic() - t0}
-        )
+        metrics = {"undecided": n_left, "duration_s": time.monotonic() - t0}
+        history.append({"round": rounds, **metrics})
+        if checkpoint is not None:
+            if rounds % checkpoint_every == 0:
+                state = undecided.select(
+                    "id", F.lit(None).cast("int").alias("round")
+                ).unionByName(members)
+                checkpoint.save(rounds, state, metrics)
+            else:
+                checkpoint.log_metrics(rounds, metrics)
     adj.unpersist()
     return MISResult(members=members, rounds=rounds, history=history)

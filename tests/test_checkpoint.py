@@ -145,3 +145,48 @@ def test_coreness_resume_identical(spark, tmp_path):
     assert resumed.history[0]["round"] == 2
     got = {r.id: r.coreness for r in resumed.vertices.collect()}
     assert got == want
+
+
+def test_ktruss_resume_identical(spark, tmp_path):
+    from paragrapher_spark.kernels.ktruss import ktruss
+
+    edges = two_components(spark)
+    want = sorted(
+        (r.a, r.b, r.support)
+        for r in ktruss(edges, k=3).edges.collect()
+    )
+
+    cm = CheckpointManager(str(tmp_path), "ktruss")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        ktruss(edges, k=3, max_rounds=1, checkpoint=cm, checkpoint_every=1)
+    assert cm.last_complete()["iteration"] == 1
+
+    cm2 = CheckpointManager(str(tmp_path), "ktruss")
+    resumed = ktruss(edges, k=3, checkpoint=cm2, checkpoint_every=1)
+    assert resumed.history[0]["round"] == 2
+    got = sorted((r.a, r.b, r.support) for r in resumed.edges.collect())
+    assert got == want
+
+
+def test_mis_resume_identical(spark, tmp_path):
+    from paragrapher_spark.kernels.mis import maximal_independent_set
+
+    edges = powerlaw_graph(spark)
+    full = maximal_independent_set(edges)
+    want = {r.id: r.round for r in full.members.collect()}
+    assert full.rounds > 1  # the fixture must actually need >1 round
+
+    cm = CheckpointManager(str(tmp_path), "mis")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        maximal_independent_set(
+            edges, max_rounds=1, checkpoint=cm, checkpoint_every=1
+        )
+    assert cm.last_complete()["iteration"] == 1
+
+    cm2 = CheckpointManager(str(tmp_path), "mis")
+    resumed = maximal_independent_set(
+        edges, checkpoint=cm2, checkpoint_every=1
+    )
+    assert resumed.history[0]["round"] == 2
+    got = {r.id: r.round for r in resumed.members.collect()}
+    assert got == want  # member set AND per-member deciding round

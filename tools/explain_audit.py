@@ -90,6 +90,60 @@ def main() -> None:
     print(f"== knn_bruteforce top-k (expect >=2 WindowGroupLimit: partial+final)")
     print(f"   WindowGroupLimit={n_wgl} {'OK' if n_wgl >= 2 else 'MISSING'}")
 
+    # top_terms: same bounded-buffer contract as knn (rank<=k per doc)
+    from paragrapher_spark.functions.text import top_terms
+
+    tt_plan = (
+        top_terms(docs, k=3)._jdf.queryExecution().executedPlan().toString()
+    )
+    n_wgl_tt = tt_plan.count("WindowGroupLimit")
+    print("== top_terms top-k (expect >=2 WindowGroupLimit: partial+final)")
+    print(f"   WindowGroupLimit={n_wgl_tt} {'OK' if n_wgl_tt >= 2 else 'MISSING'}")
+
+    # sampling: the keep-filter must be a pure projection+filter above the
+    # scan — NO exchange anywhere (map-only at any scale)
+    from paragrapher_spark.operators.sampling import stratified_sample
+
+    samp = stratified_sample(docs, "lang", {"en": 0.5}, ["doc_id"])
+    samp_plan = samp._jdf.queryExecution().executedPlan().toString()
+    n_ex_samp = len(re.findall(r"Exchange ", samp_plan))
+    print("== stratified_sample (expect 0 exchanges — map-only)")
+    print(f"   exchanges={n_ex_samp} {'OK' if n_ex_samp == 0 else 'SHUFFLING'}")
+
+    # coreness single round: ONE exchange pair expected — the value join
+    # onto the checkpointed adjacency + the per-vertex H-index aggregation
+    from pyspark.sql import Window
+
+    adj = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+        .unionByName(edges.select(F.col("dst").alias("v"), F.col("src").alias("u")))
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        adj.groupBy(F.col("v").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ranked = adj.join(
+        cur.select(F.col("id").alias("u"), F.col("c").alias("cu")), on="u"
+    ).select(
+        "v",
+        "cu",
+        F.row_number()
+        .over(Window.partitionBy("v").orderBy(F.desc("cu"), F.asc("u")))
+        .alias("rn"),
+    )
+    hstep = ranked.groupBy(F.col("v").alias("id")).agg(
+        F.coalesce(
+            F.max(F.when(F.col("cu") >= F.col("rn"), F.col("rn"))), F.lit(0)
+        ).alias("c")
+    )
+    summarize(
+        "coreness round (checkpointed adj+values: expect <=3 exchanges — "
+        "value join, window partition, H-index agg share the v-hash)",
+        hstep,
+    )
+
     # PageRank single-superstep plan: edges persisted+partitioned on src,
     # ranks repartitioned on id -> join should reuse the edge partitioning
     n_part = 8

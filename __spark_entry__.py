@@ -258,6 +258,21 @@ def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club curve of the co-purchase graph (kernels/degrees.py
+    rich_club): phi(k) per degree threshold from suffix sums over two
+    tiny histograms — n_k/e_k exact longs, phi ONE IEEE division."""
+    from paragrapher_spark.kernels.degrees import rich_club
+
+    edges = copurchase_edges(spark, sf_dir)
+    return rich_club(edges).select(
+        F.col("k").cast("long"),
+        F.col("n_k").cast("long"),
+        F.col("e_k").cast("long"),
+        "phi",
+    )
+
+
 def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arc reciprocity of the DIRECTED import graph (the Newman-style
     directed-graph scalar: the fraction of arcs whose reverse arc also
@@ -1149,6 +1164,30 @@ def _q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_eccentricity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled eccentricity lower bound per vertex: ecc(v) >= max over
+    sampled sources s of dist(s, v) — the standard BFS-sample diameter
+    lower-bounding technique (e.g. Crescenzi et al., iFUB). All-integer
+    (max of exact BFS levels); the max over ALL vertices of this column
+    is the graph's best sampled diameter lower bound."""
+    edges = copurchase_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % _BC_SOURCE_MOD == 0)
+    levels, depth, _ = shortest_path_levels(edges, seeds, directed=False)
+    if depth > _BC_UNROLL:
+        raise AssertionError(
+            f"BFS depth {depth} > the oracle's {_BC_UNROLL}-level unroll; "
+            f"raise _BC_UNROLL"
+        )
+    return levels.groupBy("id").agg(
+        F.max("dist").cast("long").alias("ecc_lb")
+    ).select(F.col("id").cast("long"), "ecc_lb")
+
+
 def _q_sp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brandes forward phase (kernels/betweenness.py): exact
     shortest-path counts σ(s, v) and hop distances from the sampled
@@ -1227,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_sampled": _q_betweenness_sampled,
         "harmonic_sampled": _q_harmonic_sampled,
         "closeness_sampled": _q_closeness_sampled,
+        "eccentricity_sampled": _q_eccentricity_sampled,
         "scc_condensation": _q_scc_condensation,
         "modularity_lp": _q_modularity_lp,
         "link_prediction": _q_link_prediction,
@@ -1240,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_function": _q_neighborhood_function,
         "reciprocity": _q_reciprocity,
         "doc_top_terms": _q_doc_top_terms,
+        "rich_club": _q_rich_club,
     }
 
 
@@ -2891,6 +2932,11 @@ def oracle_sql() -> dict[str, str]:
                        AS closeness
             FROM lvl WHERE dist > 0 GROUP BY id
         """,
+        "eccentricity_sampled": f"""
+            WITH {_brandes_cte(_BC_UNROLL, _BC_SOURCE_MOD, forward_only=True)}
+            SELECT id, CAST(MAX(dist) AS BIGINT) AS ecc_lb
+            FROM lvl GROUP BY id
+        """,
         "scc_condensation": f"""
             WITH comp AS MATERIALIZED (
                 {_scc_oracle_sql(_import_edges_md5_sql(_SCC_FILES, 8, 12, 16))}
@@ -3001,6 +3047,46 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_canonical": _near_dup_canonical_sql(),
         "neighborhood_function": _neighborhood_function_sql(_NF_RADIUS),
         "doc_top_terms": _DOC_TOP_TERMS_SQL,
+        "rich_club": f"""
+    WITH edges AS ({COPURCHASE_EDGES_SQL}),
+    und AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    deg AS MATERIALIZED (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS id FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY id
+    ),
+    vh AS (SELECT deg, CAST(count(*) AS BIGINT) AS nv FROM deg GROUP BY deg),
+    emin AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS ne FROM (
+            SELECT LEAST(da.deg, db.deg) AS m
+            FROM und
+            JOIN deg da ON da.id = und.a
+            JOIN deg db ON db.id = und.b
+        ) GROUP BY m
+    ),
+    joined AS (
+        SELECT COALESCE(vh.deg, emin.m) AS deg,
+               COALESCE(nv, 0) AS nv, COALESCE(ne, 0) AS ne
+        FROM vh FULL JOIN emin ON vh.deg = emin.m
+    ),
+    cum AS (
+        SELECT deg,
+               CAST(SUM(nv) OVER (ORDER BY deg DESC ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) - nv AS BIGINT)
+                   AS n_gt,
+               CAST(SUM(ne) OVER (ORDER BY deg DESC ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) - ne AS BIGINT)
+                   AS e_gt
+        FROM joined
+    )
+    SELECT CAST(deg AS BIGINT) AS k, n_gt AS n_k, e_gt AS e_k,
+           CAST(2 * e_gt AS DOUBLE) / CAST(n_gt * (n_gt - 1) AS DOUBLE)
+               AS phi
+    FROM cum WHERE n_gt >= 2
+    """,
         "reciprocity": f"""
     WITH edges AS ({_import_edges_md5_sql(_SCC_FILES, 8, 12, 16)}),
     e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)

@@ -9,7 +9,7 @@ hand-rolls (per-buffer atomics, then a global pass at test1:233-243).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,3 +49,74 @@ def top_k_degrees(edges: DataFrame, k: int = 10, direction: str = "in") -> DataF
     deg = in_degrees(edges) if direction == "in" else out_degrees(edges)
     col = "in_degree" if direction == "in" else "out_degree"
     return deg.orderBy(F.col(col).desc(), F.col("id").asc()).limit(k)
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club curve of the undirected simple graph underlying
+    ``edges(src, dst)`` (Colizza-Flammini-Serrano-Vespignani, Nature
+    Physics 2006): for every degree threshold k present in the graph,
+
+        phi(k) = 2 * E_k / (N_k * (N_k - 1))
+
+    with N_k = #vertices of degree > k and E_k = #edges whose BOTH
+    endpoints have degree > k. Returns (k, n_k, e_k, phi) for every k
+    where the club has >= 2 members; n_k/e_k are exact longs and phi is
+    ONE IEEE division of exact longs (SQL-reproducible bit-for-bit).
+
+    Scale shape (100 TB): no per-k scan — N_k and E_k are suffix sums
+    over two histograms (vertex degrees; per-edge min endpoint degree),
+    each at most max-degree rows, so the windows are tiny regardless of
+    |E|. Cost = degree agg + one two-sided degree join on the edges +
+    two histogram aggs.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    # histogram of vertex degrees -> N_k = suffix count of deg > k
+    vh = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    # histogram of per-edge min endpoint degree -> E_k = suffix count > k
+    emin = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), on="a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), on="b")
+        .select(F.least("da", "db").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("ne"))
+    )
+    w = Window.orderBy(F.desc("deg")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # suffix sums strictly ABOVE k: rank thresholds at the distinct degree
+    # values themselves (k takes every degree value present in the graph)
+    joined = (
+        vh.join(emin, vh["deg"] == emin["m"], "full")
+        .select(
+            F.coalesce(vh["deg"], emin["m"]).alias("deg"),
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+            F.coalesce("ne", F.lit(0)).alias("ne"),
+        )
+    )
+    cum = joined.select(
+        "deg",
+        (F.sum("nv").over(w) - F.col("nv")).cast("long").alias("n_gt"),
+        (F.sum("ne").over(w) - F.col("ne")).cast("long").alias("e_gt"),
+    )
+    return (
+        cum.where(F.col("n_gt") >= 2)
+        .select(
+            F.col("deg").alias("k"),
+            F.col("n_gt").alias("n_k"),
+            F.col("e_gt").alias("e_k"),
+            (
+                (F.lit(2).cast("long") * F.col("e_gt")).cast("double")
+                / (F.col("n_gt") * (F.col("n_gt") - F.lit(1))).cast("double")
+            ).alias("phi"),
+        )
+    )

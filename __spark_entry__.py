@@ -258,6 +258,17 @@ def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient C = 3*T/W of the co-purchase graph
+    (kernels/triangles.py transitivity): exact triangle and wedge longs
+    (wedges summed with integer div — no double accumulation), C is ONE
+    IEEE division."""
+    from paragrapher_spark.kernels.triangles import transitivity
+
+    edges = copurchase_edges(spark, sf_dir)
+    return transitivity(edges)
+
+
 def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club curve of the co-purchase graph (kernels/degrees.py
     rich_club): phi(k) per degree threshold from suffix sums over two
@@ -1281,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": _q_reciprocity,
         "doc_top_terms": _q_doc_top_terms,
         "rich_club": _q_rich_club,
+        "transitivity": _q_transitivity,
     }
 
 
@@ -3086,6 +3098,31 @@ def oracle_sql() -> dict[str, str]:
            CAST(2 * e_gt AS DOUBLE) / CAST(n_gt * (n_gt - 1) AS DOUBLE)
                AS phi
     FROM cum WHERE n_gt >= 2
+    """,
+        "transitivity": f"""
+    WITH edges AS ({COPURCHASE_EDGES_SQL}),
+    und AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS triangles
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    w AS (
+        SELECT CAST(SUM((degree * (degree - 1)) // 2) AS BIGINT) AS wedges
+        FROM (
+            SELECT CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY id
+        )
+    )
+    SELECT triangles, wedges,
+           CAST(3 * triangles AS DOUBLE) / CAST(wedges AS DOUBLE)
+               AS transitivity
+    FROM t, w
     """,
         "reciprocity": f"""
     WITH edges AS ({_import_edges_md5_sql(_SCC_FILES, 8, 12, 16)}),

@@ -133,3 +133,35 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             ).alias("coeff"),
         )
     )
+
+
+def transitivity(edges: DataFrame) -> DataFrame:
+    """Single-row (triangles, wedges, transitivity): the GLOBAL clustering
+    coefficient C = 3*T / W with W = sum over vertices of d(d-1)/2 (closed
+    wedges over all wedges — Newman SIAM Rev. 2003 eq. 3). Exact longs
+    (d(d-1)/2 is always integral) + ONE IEEE division, SQL-reproducible
+    bit-for-bit. Cost: the triangle kernel + one degree aggregation."""
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # d(d-1) is always even: integer `div` keeps the whole sum in exact
+    # long arithmetic (a double-sum would silently lose exactness past
+    # 2^53 wedges — reachable at 100 TB hub degrees)
+    wedges = deg.agg(
+        F.sum(F.expr("(degree * (degree - 1)) div 2"))
+        .cast("long")
+        .alias("wedges")
+    )
+    tri = triangle_count(edges).select(F.col("triangles").cast("long"))
+    return tri.crossJoin(wedges).select(
+        "triangles",
+        "wedges",
+        (
+            (F.lit(3).cast("long") * F.col("triangles")).cast("double")
+            / F.col("wedges").cast("double")
+        ).alias("transitivity"),
+    )

@@ -60,3 +60,18 @@ def test_rich_club_star(spark):
     # so only... no k qualifies: club(1)={hub} alone, club(9)={}
     got = _got(rich_club(star_graph(spark, 10)))
     assert got == {}
+
+
+def test_transitivity_closed_forms(spark):
+    """K5: T=10, W=30, C=1.0. Star: T=0, C=0. Path of 4 vertices:
+    W = 2 (two interior degree-2 vertices), T=0."""
+    from paragrapher_spark.fixtures import path_graph
+    from paragrapher_spark.kernels.triangles import transitivity
+
+    row = transitivity(k_complete(spark, 5)).collect()[0]
+    assert (row.triangles, row.wedges, row.transitivity) == (10, 30, 1.0)
+    row = transitivity(star_graph(spark, 10)).collect()[0]
+    assert row.triangles == 0 and row.transitivity == 0.0
+    assert row.wedges == 9 * 8 // 2  # all wedges through the hub
+    row = transitivity(path_graph(spark, 4)).collect()[0]
+    assert (row.triangles, row.wedges) == (0, 2)

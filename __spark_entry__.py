@@ -591,6 +591,29 @@ def _q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 200
+_PACK_BUCKETS = 8
+
+
+def _q_doc_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (operators/packing.py): documents
+    next-fit packed into 200-token packs within 8 md5 hash buckets —
+    bucket, running token total, and pack id are all exact integer
+    functions of the rows, replayed bit-for-bit by the oracle."""
+    from paragrapher_spark.operators.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(
+        docs, _PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("bucket").cast("int"),
+        F.col("n_tokens").cast("long"),
+        F.col("tokens_before").cast("long"),
+        F.col("pack_id").cast("long"),
+    )
+
+
 def _q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinctive terms per document (functions/text.py
     top_terms): integer-exact TF/DF keyword extraction ranked
@@ -1293,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": _q_doc_top_terms,
         "rich_club": _q_rich_club,
         "transitivity": _q_transitivity,
+        "doc_packs": _q_doc_packs,
     }
 
 
@@ -3059,6 +3083,29 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_canonical": _near_dup_canonical_sql(),
         "neighborhood_function": _neighborhood_function_sql(_NF_RADIUS),
         "doc_top_terms": _DOC_TOP_TERMS_SQL,
+        "doc_packs": f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               ('0x' || substr(md5(concat_ws(':', 'pack', '42',
+                   CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+                   % {_PACK_BUCKETS} AS bucket,
+               CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, bucket, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tokens_before
+        FROM base
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(bucket AS INTEGER) AS bucket,
+           n_tokens, tokens_before,
+           CAST(tokens_before // {_PACK_BUDGET} AS BIGINT) AS pack_id
+    FROM cum
+    """,
         "rich_club": f"""
     WITH edges AS ({COPURCHASE_EDGES_SQL}),
     und AS MATERIALIZED (

@@ -591,6 +591,86 @@ def _q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size per language, twice: exact COUNT(DISTINCT) and the
+    deterministic HLL sketch (operators/sketches.py — the hyperball
+    register machinery lifted to relational group-by shape). BOTH columns
+    sit under the gate: the sketch replays bit-for-bit in SQL, so this is
+    an approximate operator with exact-hash correctness evidence."""
+    from paragrapher_spark.functions.text import tokens
+    from paragrapher_spark.operators.sketches import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    est = hll_distinct(toks, ["lang"], "term", tag="vocab")
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("term").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, on="lang").select(
+        "lang", "exact_distinct", "approx_distinct"
+    )
+
+
+def _vocab_per_lang_sql() -> str:
+    """_q_vocab_per_lang's twin: sparse (lang, reg, rho) register rows
+    merged by GROUP BY max, estimator transliterated from
+    hyperball.ball_estimate (exact-BIGINT denominator, literal ln table)."""
+    from paragrapher_spark.kernels.hyperball import (
+        EST_NUM,
+        LN_TABLE,
+        M,
+        RHO_CAP,
+        SMALL_RANGE,
+    )
+
+    ln_case = " ".join(
+        f"WHEN {z} THEN {LN_TABLE[z - 1]!r}" for z in range(1, M + 1)
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT lang, unnest({_TOKENS}) AS term FROM documents
+    ),
+    hv AS MATERIALIZED (
+        SELECT lang,
+               ('0x' || substr(md5(concat_ws(':', 'vocab', '42', term)),
+                   1, 15))::BIGINT AS h
+        FROM (SELECT DISTINCT lang, term FROM toks)
+    ),
+    regs AS MATERIALIZED (
+        SELECT lang, h % {M} AS reg,
+               MAX(CASE WHEN h // {M} = 0 THEN {RHO_CAP}
+                        ELSE LEAST(1 + bit_count(((h // {M}) & -(h // {M})) - 1),
+                                   {RHO_CAP})
+                   END) AS rho
+        FROM hv GROUP BY lang, reg
+    ),
+    est AS (
+        SELECT lang, ROUND(CASE WHEN raw <= {SMALL_RANGE!r} AND zeros > 0
+                                THEN CASE zeros {ln_case} END
+                           ELSE raw END, 6) AS approx_distinct
+        FROM (
+            SELECT lang, {EST_NUM!r} / CAST(denom AS DOUBLE) AS raw, zeros
+            FROM (
+                SELECT lang,
+                       SUM(CAST(1 AS BIGINT) << ({RHO_CAP} - rho))
+                           + ({M} - COUNT(*)) * CAST({2**RHO_CAP} AS BIGINT)
+                           AS denom,
+                       {M} - COUNT(*) AS zeros
+                FROM regs GROUP BY lang
+            )
+        )
+    ),
+    exact AS (
+        SELECT lang, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_distinct
+        FROM toks GROUP BY lang
+    )
+    SELECT e.lang, x.exact_distinct, e.approx_distinct
+    FROM est e JOIN exact x ON x.lang = e.lang
+    """
+
+
 _PACK_BUDGET = 200
 _PACK_BUCKETS = 8
 
@@ -1317,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "transitivity": _q_transitivity,
         "doc_packs": _q_doc_packs,
+        "vocab_per_lang": _q_vocab_per_lang,
     }
 
 
@@ -3106,6 +3187,7 @@ def oracle_sql() -> dict[str, str]:
            CAST(tokens_before // {_PACK_BUDGET} AS BIGINT) AS pack_id
     FROM cum
     """,
+        "vocab_per_lang": _vocab_per_lang_sql(),
         "rich_club": f"""
     WITH edges AS ({COPURCHASE_EDGES_SQL}),
     und AS MATERIALIZED (

@@ -1,5 +1,6 @@
 from paragrapher_spark.operators.indexing import dense_ids, prefix_sum
 from paragrapher_spark.operators.salting import explode_salts, salt_column
+from paragrapher_spark.operators.packing import pack_documents, pack_stats
 from paragrapher_spark.operators.sampling import (
     assign_splits,
     sample_hash,
@@ -16,4 +17,6 @@ __all__ = [
     "stratified_sample",
     "assign_splits",
     "split_by_hash",
+    "pack_documents",
+    "pack_stats",
 ]

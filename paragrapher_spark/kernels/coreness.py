@@ -69,10 +69,19 @@ def coreness(
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
     )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     adj = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
-        .localCheckpoint(eager=False)
+        # partition + sort by the join key ONCE, then PERSIST (not
+        # localCheckpoint: a checkpointed RDD scan loses its
+        # outputPartitioning, so the join would re-exchange all |E| rows
+        # every round; InMemoryRelation keeps it). Per round only the
+        # |V|-row value table and the |E|-row window re-hash — the
+        # pagerank discipline, kernels/pagerank.py:134-143.
+        .repartition(n_part, "u")
+        .sortWithinPartitions("u")
+        .persist()
     )
     start_round = 0
     cur: DataFrame | None = None
@@ -91,6 +100,7 @@ def coreness(
     while True:
         rnd += 1
         if rnd > max_rounds:
+            adj.unpersist()
             raise RuntimeError(
                 f"coreness H-index iteration did not converge within "
                 f"max_rounds={max_rounds} — raise max_rounds"
@@ -136,6 +146,7 @@ def coreness(
                 checkpoint.log_metrics(rnd, metrics)
         if changed == 0:
             break
+    adj.unpersist()
     return CorenessResult(
         vertices=cur.select("id", F.col("c").alias("coreness")),
         rounds=rnd,

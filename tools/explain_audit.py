@@ -114,11 +114,15 @@ def main() -> None:
     # onto the checkpointed adjacency + the per-vertex H-index aggregation
     from pyspark.sql import Window
 
+    n_part = 8
     adj = (
         edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
         .unionByName(edges.select(F.col("dst").alias("v"), F.col("src").alias("u")))
-        .localCheckpoint(eager=True)
+        .repartition(n_part, "u")
+        .sortWithinPartitions("u")
+        .persist()
     )
+    adj.count()
     cur = (
         adj.groupBy(F.col("v").alias("id"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -139,8 +143,9 @@ def main() -> None:
         ).alias("c")
     )
     summarize(
-        "coreness round (checkpointed adj+values: expect <=3 exchanges — "
-        "value join, window partition, H-index agg share the v-hash)",
+        "coreness round (u-partitioned checkpointed adj: expect <=2 "
+        "exchanges — the |V| value table into co-location + the |E| "
+        "window re-hash on v; the agg reuses the window's v-hash)",
         hstep,
     )
 

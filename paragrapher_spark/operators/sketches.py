@@ -52,6 +52,43 @@ def _value_hash(value: Column, tag: str, seed: int) -> Column:
     ).cast("long")
 
 
+def _register_rows(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value: Column | str,
+    tag: str,
+    seed: int,
+) -> DataFrame:
+    """(group_cols..., r0..r15): per-row singleton register columns —
+    works identically on batch and streaming DataFrames."""
+    v = F.col(value) if isinstance(value, str) else value
+    h = _value_hash(v, tag, seed)
+    reg = F.pmod(h, F.lit(M))
+    rest = F.shiftright(h, 4)
+    tz = F.bit_count((rest.bitwiseAND(-rest)) - F.lit(1))
+    rho = F.when(rest == 0, F.lit(RHO_CAP)).otherwise(
+        F.least(tz + F.lit(1), F.lit(RHO_CAP))
+    )
+    return df.select(
+        *group_cols,
+        *[
+            F.when(reg == i, rho).otherwise(F.lit(0)).cast("int").alias(c)
+            for i, c in enumerate(REG_COLS)
+        ],
+    )
+
+
+def _merged_estimate(
+    regs: DataFrame, group_cols: Sequence[str], out_col: str
+) -> DataFrame:
+    merged = regs.groupBy(*group_cols).agg(
+        *[F.max(c).alias(c) for c in REG_COLS]
+    )
+    return merged.select(
+        *group_cols, F.round(ball_estimate(), 6).alias(out_col)
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -63,24 +100,41 @@ def hll_distinct(
     """(group_cols..., approx_distinct): deterministic HLL estimate of
     COUNT(DISTINCT value) per group. One aggregation; the per-group state
     is 16 small ints regardless of input size."""
-    v = F.col(value) if isinstance(value, str) else value
-    h = _value_hash(v, tag, seed)
-    reg = F.pmod(h, F.lit(M))
-    rest = F.shiftright(h, 4)
-    tz = F.bit_count((rest.bitwiseAND(-rest)) - F.lit(1))
-    rho = F.when(rest == 0, F.lit(RHO_CAP)).otherwise(
-        F.least(tz + F.lit(1), F.lit(RHO_CAP))
+    return _merged_estimate(
+        _register_rows(df, group_cols, value, tag, seed), group_cols, out_col
     )
-    regs = df.select(
-        *group_cols,
-        *[
-            F.when(reg == i, rho).otherwise(F.lit(0)).cast("int").alias(c)
-            for i, c in enumerate(REG_COLS)
-        ],
+
+
+def stream_hll_distinct(
+    spark,
+    source_dir: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    checkpoint_dir: str,
+    query_name: str = "hll_stream",
+    tag: str = "hll",
+    seed: int = 42,
+):
+    """Streaming twin of ``hll_distinct`` over a parquet file source:
+    incremental per-group register maxes in ``complete`` output mode.
+    Correct under ANY arrival order and ANY batch split because the HLL
+    merge is a max — commutative, associative, idempotent — so the
+    streaming state converges to exactly the batch sketch (and a
+    checkpointed restart over new files keeps folding in, the reference's
+    resumable-scan determinism, `src/webgraph.c:504-550`). Returns the
+    StreamingQuery (availableNow trigger; caller awaits/stops)."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    est = _merged_estimate(
+        _register_rows(stream, group_cols, value_col, tag, seed),
+        group_cols,
+        "approx_distinct",
     )
-    merged = regs.groupBy(*group_cols).agg(
-        *[F.max(c).alias(c) for c in REG_COLS]
-    )
-    return merged.select(
-        *group_cols, F.round(ball_estimate(), 6).alias(out_col)
+    return (
+        est.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

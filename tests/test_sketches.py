@@ -83,3 +83,43 @@ def test_hll_duplicate_invariance(spark):
     a = hll_distinct(once, ["grp"], "term").collect()[0].approx_distinct
     b = hll_distinct(thrice, ["grp"], "term").collect()[0].approx_distinct
     assert a == b
+
+
+def test_stream_hll_matches_batch_and_resumes(spark, tmp_path):
+    """Batch == stream, including an incremental restart: half the files,
+    drain with availableNow, add the rest, drain again on the SAME
+    checkpoint — the max-merge folds the new files in and the final
+    estimates equal the batch sketch over everything."""
+    from paragrapher_spark.operators.sketches import stream_hll_distinct
+
+    rows = [(f"g{i % 3}", f"v{i}") for i in range(900)]
+    df = spark.createDataFrame(rows, "grp string, term string")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    first = df.where("term < 'v5'")  # lexicographic split, both non-empty
+    rest = df.subtract(first)
+    first.write.mode("overwrite").parquet(src)
+
+    q = stream_hll_distinct(spark, src, ["grp"], "term", ckpt, "hll_t1")
+    q.awaitTermination(120)
+    partial = {
+        r.grp: r.approx_distinct
+        for r in spark.sql("SELECT * FROM hll_t1").collect()
+    }
+    assert partial == {
+        r.grp: r.approx_distinct
+        for r in hll_distinct(first, ["grp"], "term").collect()
+    }
+
+    rest.write.mode("append").parquet(src)
+    q2 = stream_hll_distinct(spark, src, ["grp"], "term", ckpt, "hll_t2")
+    q2.awaitTermination(120)
+    got = {
+        r.grp: r.approx_distinct
+        for r in spark.sql("SELECT * FROM hll_t2").collect()
+    }
+    want = {
+        r.grp: r.approx_distinct
+        for r in hll_distinct(df, ["grp"], "term").collect()
+    }
+    assert got == want and len(got) == 3

@@ -694,6 +694,64 @@ def _q_doc_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone: the whole training-data pipeline composed under ONE
+    oracle — exact dedup (keep-min-id) -> MinHash near-dup clusters ->
+    canonical representatives -> quality/length filter -> per-language
+    stratified sample -> train/val/test split -> token-budget sequence
+    packing. Six subsystems chained (dedup, components, text, sampling,
+    splits, packing), every stage deterministic, the final
+    (doc_id, lang, split, n_tokens, bucket, pack_id) assignment replayed
+    bit-for-bit by the DuckDB twin."""
+    from paragrapher_spark.operators.sampling import (
+        assign_splits,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup_exact(docs)
+    pairs = minhash_candidates(kept, num_hashes=64, bands=16, threshold=0.35)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).components
+    canon = (
+        kept.join(comp, kept["doc_id"] == comp["id"], "left")
+        .where(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id", "text")
+    )
+    qual = text_stats(canon).where(
+        (F.col("quality_score") >= 0.3) & (F.col("n_tokens") >= 8)
+    )
+    surv = qual.select("doc_id", "n_tokens").join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    )
+    sampled = stratified_sample(
+        surv, "lang", _STRAT_FRACTIONS, ["doc_id"], default_fraction=_STRAT_DEFAULT
+    )
+    split = assign_splits(sampled, _SPLIT_WEIGHTS, ["doc_id"])
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("pack"), F.lit("42"),
+                              F.col("doc_id").cast("string"))), 1, 15
+        ), 16, 10,
+    ).cast("long")
+    withb = split.withColumn(
+        "bucket", F.pmod(h, F.lit(_PACK_BUCKETS)).cast("int")
+    )
+    return withb.select(
+        F.col("doc_id").cast("long"),
+        "lang",
+        "split",
+        F.col("n_tokens").cast("long"),
+        "bucket",
+        F.expr(
+            f"coalesce(sum(n_tokens) over (partition by split, bucket "
+            f"order by doc_id rows between unbounded preceding and 1 "
+            f"preceding), 0) div {_PACK_BUDGET}"
+        ).cast("long").alias("pack_id"),
+    )
+
+
 def _q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinctive terms per document (functions/text.py
     top_terms): integer-exact TF/DF keyword extraction ranked
@@ -1398,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": _q_transitivity,
         "doc_packs": _q_doc_packs,
         "vocab_per_lang": _q_vocab_per_lang,
+        "corpus_pipeline": _q_corpus_pipeline,
     }
 
 
@@ -1789,6 +1848,93 @@ _DOC_TOP_TERMS_SQL = f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df,
            CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= 3
+    """
+
+
+def _corpus_pipeline_sql() -> str:
+    """_q_corpus_pipeline's twin: every stage's existing SQL twin chained
+    in one WITH RECURSIVE — exact-dedup reps, minhash pairs over the kept
+    set (same builder, source='kept'), recursive-CTE closure for the
+    near-dup clusters, text-stats CTEs, the sampling/split thresholds,
+    and the per-(split, bucket) packing window."""
+    from paragrapher_spark.operators.sampling import threshold_for
+
+    h_strat = _md5h("strat", "CAST(doc_id AS VARCHAR)")
+    h_split = _md5h("split", "CAST(doc_id AS VARCHAR)")
+    h_pack = _md5h("pack", "CAST(doc_id AS VARCHAR)")
+    strat_cases = " ".join(
+        f"WHEN '{v}' THEN {threshold_for(f)}"
+        for v, f in sorted(_STRAT_FRACTIONS.items())
+    )
+    total = sum(_SPLIT_WEIGHTS.values())
+    names = list(_SPLIT_WEIGHTS)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name] / total
+        whens.append(
+            f"WHEN {h_split} < {threshold_for(min(acc, 1.0))} THEN '{name}'"
+        )
+    return f"""
+    WITH RECURSIVE reps AS (
+        SELECT md5(text) AS h, min(doc_id) AS rep
+        FROM documents GROUP BY md5(text)
+    ),
+    kept AS MATERIALIZED (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN reps r ON r.rep = d.doc_id
+    ),
+    ndpairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({_minhash_oracle_sql(source='kept')}) mh
+    ),
+    ndnodes AS (SELECT id_a AS id FROM ndpairs UNION SELECT id_b FROM ndpairs),
+    ndsym AS (
+        SELECT id_a AS u, id_b AS v FROM ndpairs
+        UNION ALL SELECT id_b AS u, id_a AS v FROM ndpairs
+    ),
+    ndr(a, b) AS (
+        SELECT id, id FROM ndnodes
+        UNION
+        SELECT ndr.a, s.v FROM ndr JOIN ndsym s ON s.u = ndr.b
+    ),
+    ndcomp AS MATERIALIZED (
+        SELECT a AS id, MIN(b) AS component FROM ndr GROUP BY a
+    ),
+    canon AS MATERIALIZED (
+        SELECT k.doc_id, k.text FROM kept k
+        LEFT JOIN ndcomp c ON c.id = k.doc_id
+        WHERE c.component IS NULL OR c.component = k.doc_id
+    ),
+    {_text_stats_ctes('canon')},
+    surv AS MATERIALIZED (
+        SELECT s.doc_id, s.n_tokens, d.lang
+        FROM stats_out s JOIN documents d USING (doc_id)
+        WHERE s.quality_score >= 0.3 AND s.n_tokens >= 8
+    ),
+    samp AS MATERIALIZED (
+        SELECT * FROM surv
+        WHERE {h_strat} < CASE lang {strat_cases}
+                          ELSE {threshold_for(_STRAT_DEFAULT)} END
+    ),
+    spl AS (
+        SELECT doc_id, lang, n_tokens,
+               CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split,
+               {h_pack} % {_PACK_BUCKETS} AS bucket
+        FROM samp
+    ),
+    cum AS (
+        SELECT doc_id, lang, split, n_tokens, bucket,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY split, bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tokens_before
+        FROM spl
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, split,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(bucket AS INTEGER) AS bucket,
+           CAST(tokens_before // {_PACK_BUDGET} AS BIGINT) AS pack_id
+    FROM cum
     """
 
 
@@ -2235,6 +2381,7 @@ def _minhash_oracle_sql(
     threshold: float = 0.35,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    source: str = "documents",
 ) -> str:
     """operators/dedup.py minhash_candidates mirrored exactly: md5-derived
     shingle hashes into [0, 2^31), the same splitmix-derived universal-hash
@@ -2257,7 +2404,7 @@ def _minhash_oracle_sql(
                    range(1, greatest(length(text) - {shingle_k - 1}, 1) + 1),
                    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), {shingle_k})), 1, 15))::BIGINT % {_C31}
                )) AS sh
-        FROM documents
+        FROM {source}
     ),
     sigs AS MATERIALIZED (
         SELECT doc_id,
@@ -3188,6 +3335,7 @@ def oracle_sql() -> dict[str, str]:
     FROM cum
     """,
         "vocab_per_lang": _vocab_per_lang_sql(),
+        "corpus_pipeline": _corpus_pipeline_sql(),
         "rich_club": f"""
     WITH edges AS ({COPURCHASE_EDGES_SQL}),
     und AS MATERIALIZED (

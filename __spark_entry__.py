@@ -42,6 +42,8 @@ from paragrapher_spark.kernels.ktruss import ktruss
 from paragrapher_spark.kernels.mis import maximal_independent_set
 from paragrapher_spark.kernels.neighborhood import neighbor_feature_agg
 from paragrapher_spark.kernels.scc import condensation, scc
+from paragrapher_spark.kernels.katz import katz
+from paragrapher_spark.kernels.toposort import topo_levels
 from paragrapher_spark.kernels.walks import random_walks
 from paragrapher_spark.kernels.pagerank import pagerank
 from paragrapher_spark.kernels.kcore import kcore
@@ -60,6 +62,8 @@ from paragrapher_spark.operators.dedup import (
     simhash_candidates,
 )
 from paragrapher_spark.operators.multimodal import media_stats, synth_media
+from paragrapher_spark.operators.sampling import sample_hash, threshold_for
+from paragrapher_spark.streaming.events import funnel_stages
 from paragrapher_spark.operators.indexing import prefix_sum
 from paragrapher_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
 from paragrapher_spark.sources.corpus import synth_corpus, synth_corpus_sql
@@ -1385,6 +1389,89 @@ def _q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KATZ_ROUNDS = 6
+_KATZ_BASE = 16
+
+
+def _q_katz_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (kernels/katz.py) of the undirected
+    co-purchase graph, alpha = 1/16, 6 rounds — walk counting in scaled
+    integers (y_t = 16^t * x_t), so katz_num/katz_den gate EXACTLY and the
+    convenience double is ONE IEEE division of two exact longs. Oracle:
+    the same all-integer recurrence unrolled as materialized CTEs."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = katz(edges, rounds=_KATZ_ROUNDS, base=_KATZ_BASE, directed=False)
+    return res.scores.select(
+        F.col("id").cast("long"),
+        F.col("katz_num").cast("long"),
+        F.col("katz_den").cast("long"),
+        F.col("katz"),
+    )
+
+
+_BUILD_ORDER_UNROLL = 24
+
+
+def _q_build_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-order waves of the import graph (kernels/toposort.py): SCC
+    condensation (cyclic imports collapse to one node) then the exact
+    longest-path level of every condensation node — level 0 builds first,
+    level L waits for a dependency chain of length L. The make/bazel
+    scheduling query over the north-rule corpus. Oracle: closure-derived
+    condensation + the all-integer relaxation unrolled as materialized
+    CTEs (monotone and idempotent at the fixpoint, so over-unrolling is
+    exact)."""
+    corpus = synth_corpus(spark, n_files=_SCC_FILES, n_repos=8)
+    g = edges_from_corpus(corpus, num_partitions=8)
+    e = g.edges.select("src", "dst")
+    comp = scc(e, num_partitions=8).components
+    dag = condensation(e, comp)
+    res = topo_levels(dag, max_rounds=64, num_partitions=8)
+    if res.rounds > _BUILD_ORDER_UNROLL:
+        raise ValueError(
+            f"build_order needed {res.rounds} relaxation rounds vs the "
+            f"oracle's {_BUILD_ORDER_UNROLL}-round unroll; raise "
+            f"_BUILD_ORDER_UNROLL"
+        )
+    return res.levels.select(
+        F.col("id").cast("long"), F.col("level").cast("long")
+    )
+
+
+_FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis over the events table
+    (streaming/events.py:funnel_stages): deepest signup -> view ->
+    purchase stage per user with strictly-increasing event times; every
+    column an exact integer (epoch millis), so the oracle gates all of
+    them."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev, _FUNNEL_STEPS)
+
+
+_SUBG_FRACTION = 0.5
+
+
+def _q_subgraph_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vertex-induced subgraph of the co-purchase graph
+    (operators/sampling.py): keep vertices whose 60-bit md5 prefix falls
+    under fraction 0.5 of the hash space, then edges with BOTH endpoints
+    kept — the standard subgraph-extraction step for scaling experiments
+    and graph-ML train/test splits, reproducible across engines (the
+    oracle replays every keep decision bit-for-bit). Map-only: two
+    pushed-down hash filters, no shuffle beyond the edge derivation."""
+    edges = copurchase_edges(spark, sf_dir)
+    sub = sample_hash(
+        sample_hash(edges, _SUBG_FRACTION, ["src"], tag="subg"),
+        _SUBG_FRACTION,
+        ["dst"],
+        tag="subg",
+    )
+    return sub.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -1457,6 +1544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packs": _q_doc_packs,
         "vocab_per_lang": _q_vocab_per_lang,
         "corpus_pipeline": _q_corpus_pipeline,
+        "katz_fixed": _q_katz_fixed,
+        "build_order": _q_build_order,
+        "event_funnel": _q_event_funnel,
+        "subgraph_sample": _q_subgraph_sample,
     }
 
 
@@ -3072,6 +3163,122 @@ def _betweenness_oracle_sql(levels: int, source_mod: int) -> str:
     """
 
 
+def _katz_oracle_sql(rounds: int, base: int) -> str:
+    """The kernel's all-integer recurrence y_{t+1} = base^(t+1) + sum of
+    in-neighbor y_t, unrolled as materialized CTEs over the symmetrized
+    co-purchase graph — every y_t is exact, so no float carve-out; the
+    final ``katz`` double is one IEEE division of two exact longs."""
+    ctes = []
+    prev = "k0"
+    for t in range(1, rounds + 1):
+        cur = f"k{t}"
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+                SELECT v.id,
+                       CAST(CAST({base**t} AS BIGINT) + COALESCE(m.g, 0)
+                            AS BIGINT) AS y
+                FROM verts v LEFT JOIN (
+                    SELECT und.v AS id, SUM(p.y) AS g
+                    FROM und JOIN {prev} p ON p.id = und.u
+                    GROUP BY und.v
+                ) m ON m.id = v.id
+            )"""
+        )
+        prev = cur
+    den = base**rounds
+    return f"""
+        WITH edges AS ({COPURCHASE_EDGES_SQL}),
+        und AS (
+            SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+            UNION
+            SELECT dst AS u, src AS v FROM edges WHERE src <> dst
+        ),
+        verts AS (SELECT DISTINCT u AS id FROM und),
+        k0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS y FROM verts),
+        {", ".join(ctes)}
+        SELECT CAST(id AS BIGINT) AS id,
+               CAST(y AS BIGINT) AS katz_num,
+               CAST({den} AS BIGINT) AS katz_den,
+               CAST(y AS DOUBLE) / CAST({den} AS DOUBLE) AS katz
+        FROM {prev}
+    """
+
+
+def _build_order_oracle_sql(rounds: int, edges_sql: str) -> str:
+    """Condensation DAG (closure-derived SCC labels) + the kernel's
+    all-integer longest-path relaxation unrolled as materialized CTEs —
+    monotone and idempotent at the fixpoint, so over-unrolling is exact
+    (the kcore/coreness discipline)."""
+    ctes = []
+    prev = "l0"
+    for t in range(1, rounds + 1):
+        cur = f"l{t}"
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+                SELECT l.id,
+                       GREATEST(l.level, COALESCE(m.cand, 0)) AS level
+                FROM {prev} l LEFT JOIN (
+                    SELECT d.dst AS id, MAX(p.level) + 1 AS cand
+                    FROM dag d JOIN {prev} p ON p.id = d.src
+                    GROUP BY d.dst
+                ) m ON m.id = l.id
+            )"""
+        )
+        prev = cur
+    return f"""
+        WITH comp AS MATERIALIZED (
+            {_scc_oracle_sql(edges_sql)}
+        ),
+        iedges AS MATERIALIZED (
+            {edges_sql}
+        ),
+        dag AS MATERIALIZED (
+            SELECT DISTINCT c1.scc AS src, c2.scc AS dst
+            FROM iedges e
+            JOIN comp c1 ON c1.id = e.src
+            JOIN comp c2 ON c2.id = e.dst
+            WHERE c1.scc != c2.scc
+        ),
+        verts AS (SELECT src AS id FROM dag UNION SELECT dst FROM dag),
+        l0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS level FROM verts),
+        {", ".join(ctes)}
+        SELECT CAST(id AS BIGINT) AS id, CAST(level AS BIGINT) AS level
+        FROM {prev}
+    """
+
+
+_EVENT_FUNNEL_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS t_ms FROM events
+    ),
+    s1 AS (
+        SELECT user_id, MIN(t_ms) AS t1 FROM ev
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.t_ms) AS t2
+        FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'view' AND e.t_ms > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.t_ms) AS t3
+        FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.t_ms > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT CAST(s1.user_id AS BIGINT) AS user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stage,
+           CAST(t1 AS BIGINT) AS t_first_ms,
+           CAST(COALESCE(t3, t2, t1) AS BIGINT) AS t_last_ms
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_meta": f"""
@@ -3626,6 +3833,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    ROUND(SUM(value), 6) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "katz_fixed": _katz_oracle_sql(_KATZ_ROUNDS, _KATZ_BASE),
+        "build_order": _build_order_oracle_sql(
+            _BUILD_ORDER_UNROLL, _import_edges_md5_sql(_SCC_FILES, 8, 12, 16)
+        ),
+        "event_funnel": _EVENT_FUNNEL_SQL,
+        "subgraph_sample": f"""
+            WITH edges AS ({COPURCHASE_EDGES_SQL})
+            SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+            FROM edges
+            WHERE {_md5h("subg", "CAST(src AS VARCHAR)")}
+                      < {threshold_for(_SUBG_FRACTION)}
+              AND {_md5h("subg", "CAST(dst AS VARCHAR)")}
+                      < {threshold_for(_SUBG_FRACTION)}
         """,
         # every query carries an oracle since r3: knn_ivf's fixed-point
         # Lloyd trainer (order-free int64 centroid sums) made the last

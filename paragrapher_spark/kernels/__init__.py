@@ -12,12 +12,14 @@ from paragrapher_spark.kernels.degrees import (
 )
 from paragrapher_spark.kernels.hits import hits
 from paragrapher_spark.kernels.hyperball import hyperball
+from paragrapher_spark.kernels.katz import katz
 from paragrapher_spark.kernels.kcore import kcore
 from paragrapher_spark.kernels.labelprop import label_propagation, modularity
 from paragrapher_spark.kernels.neighborhood import assemble, neighbor_feature_agg
 from paragrapher_spark.kernels.pagerank import pagerank
 from paragrapher_spark.kernels.scc import condensation, scc
 from paragrapher_spark.kernels.sssp import sssp
+from paragrapher_spark.kernels.toposort import topo_levels
 from paragrapher_spark.kernels.triangles import (
     clustering_coefficient,
     triangle_count,
@@ -41,6 +43,7 @@ __all__ = [
     "top_k_degrees",
     "hits",
     "hyperball",
+    "katz",
     "kcore",
     "coreness",
     "ktruss",
@@ -55,6 +58,7 @@ __all__ = [
     "condensation",
     "scc",
     "sssp",
+    "topo_levels",
     "clustering_coefficient",
     "triangle_count",
     "triangles_per_vertex",

@@ -189,3 +189,73 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: how far does each user get through the
+    ``steps`` sequence (e.g. signup -> view -> purchase)?
+
+    Stage-1 time is the user's EARLIEST event of type ``steps[0]``; stage-k
+    time is the earliest event of type ``steps[k-1]`` STRICTLY after the
+    stage-(k-1) time (same-timestamp events do not advance the funnel —
+    deterministic, documented tie rule). Returns one row per user who
+    reached stage >= 1:
+
+        (user_id, stage, t_first_ms, t_last_ms)
+
+    with ``stage`` the deepest step index reached (1-based), ``t_first_ms``
+    / ``t_last_ms`` the epoch-millis of the first / deepest stage events —
+    all exact integers, so a DuckDB oracle gates every column.
+
+    Plan shape: one type-filtered min-aggregation + one equi-join on the
+    user key per step — len(steps) is pipeline config (a handful), each
+    pass is a pushed-down filter + map-side-combinable min, state is one
+    row per funnel user. No windows over the raw event stream, no UDF.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("t_ms"),
+    )
+    cur = (
+        ev.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("t_ms").alias("t1"))
+        .select("user_id", "t1", F.col("t1").alias("t_last"), F.lit(1).alias("stage"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        eligible = cur.where(F.col("stage") == k - 1).select(
+            "user_id", F.col("t_last").alias("t_prev")
+        )
+        nxt = (
+            ev.where(F.col("event_type") == step)
+            .join(eligible, "user_id")
+            .where(F.col("t_ms") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("t_ms").alias("t_k"))
+        )
+        cur = (
+            cur.join(nxt, "user_id", "left")
+            .select(
+                "user_id",
+                "t1",
+                F.coalesce(F.col("t_k"), F.col("t_last")).alias("t_last"),
+                F.when(F.col("t_k").isNotNull(), F.lit(k))
+                .otherwise(F.col("stage"))
+                .alias("stage"),
+            )
+        )
+    return cur.select(
+        F.col("user_id").cast("long"),
+        F.col("stage").cast("long"),
+        F.col("t1").cast("long").alias("t_first_ms"),
+        F.col("t_last").cast("long").alias("t_last_ms"),
+    )

@@ -42,6 +42,7 @@ from paragrapher_spark.kernels.ktruss import ktruss
 from paragrapher_spark.kernels.mis import maximal_independent_set
 from paragrapher_spark.kernels.neighborhood import neighbor_feature_agg
 from paragrapher_spark.kernels.scc import condensation, scc
+from paragrapher_spark.kernels.coloring import greedy_coloring
 from paragrapher_spark.kernels.katz import katz
 from paragrapher_spark.kernels.toposort import topo_levels
 from paragrapher_spark.kernels.walks import random_walks
@@ -76,6 +77,7 @@ from paragrapher_spark.sources.edges import (
     customer_order_edges,
     load_table,
     md5_vertex_graph,
+    md5_vertex_graph_sql,
 )
 
 
@@ -1451,6 +1453,29 @@ def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_stages(ev, _FUNNEL_STEPS)
 
 
+_COLOR_N = 2000
+_COLOR_OUT_DEG = 4
+_COLOR_UNROLL = 28
+
+
+def _q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy coloring (kernels/coloring.py) of the md5
+    vertex graph: Jones–Plassmann rounds with fixed md5 priorities, so the
+    result is EXACTLY the sequential greedy coloring in (h, id) order —
+    every (id, color) pair gates bit-for-bit. Oracle: the rounds unrolled
+    as materialized CTEs with the candidates/anti-join min-gap."""
+    g = md5_vertex_graph(spark, _COLOR_N, out_deg=_COLOR_OUT_DEG)
+    res = greedy_coloring(g, num_partitions=8)
+    if res.rounds > _COLOR_UNROLL:
+        raise ValueError(
+            f"coloring needed {res.rounds} rounds vs the oracle's "
+            f"{_COLOR_UNROLL}-round unroll; raise _COLOR_UNROLL"
+        )
+    return res.colors.select(
+        F.col("id").cast("long"), F.col("color").cast("long")
+    )
+
+
 _SUBG_FRACTION = 0.5
 
 
@@ -1548,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_order": _q_build_order,
         "event_funnel": _q_event_funnel,
         "subgraph_sample": _q_subgraph_sample,
+        "graph_coloring": _q_graph_coloring,
     }
 
 
@@ -3247,6 +3273,84 @@ def _build_order_oracle_sql(rounds: int, edges_sql: str) -> str:
     """
 
 
+def _coloring_oracle_sql(rounds: int, n: int, out_deg: int) -> str:
+    """Jones–Plassmann rounds unrolled as materialized CTEs over the md5
+    vertex graph: readiness = no undecided lower-priority neighbor; color
+    pick = min-gap over lower-neighbor colors via the candidates
+    ({1} ∪ {c+1}) anti-join — all-integer, reproduces the kernel (and the
+    sequential greedy in (h, id) order) bit-for-bit."""
+    ctes = []
+    prev_c, prev_u = "c0", "und0"
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""rdy{t} AS MATERIALIZED (
+                SELECT u.id FROM {prev_u} u
+                LEFT JOIN (
+                    SELECT DISTINCT l.v AS id
+                    FROM ladj l JOIN {prev_u} w ON w.id = l.u
+                ) b ON b.id = u.id
+                WHERE b.id IS NULL
+            ),
+            usd{t} AS MATERIALIZED (
+                SELECT DISTINCT l.v AS id, c.color
+                FROM ladj l
+                JOIN rdy{t} r ON r.id = l.v
+                JOIN {prev_c} c ON c.id = l.u
+            ),
+            pck{t} AS MATERIALIZED (
+                SELECT n.id, MIN(n.k) AS color
+                FROM (
+                    SELECT id, 1 AS k FROM rdy{t}
+                    UNION ALL
+                    SELECT id, color + 1 FROM usd{t}
+                ) n
+                LEFT JOIN usd{t} u ON u.id = n.id AND u.color = n.k
+                WHERE u.color IS NULL
+                GROUP BY n.id
+            ),
+            c{t} AS MATERIALIZED (
+                SELECT * FROM {prev_c}
+                UNION ALL SELECT id, color FROM pck{t}
+            ),
+            und{t} AS MATERIALIZED (
+                SELECT u.id FROM {prev_u} u
+                LEFT JOIN rdy{t} r ON r.id = u.id
+                WHERE r.id IS NULL
+            )"""
+        )
+        prev_c, prev_u = f"c{t}", f"und{t}"
+    return f"""
+        WITH dedges AS ({md5_vertex_graph_sql(n, out_deg)}),
+        und AS (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM dedges GROUP BY 1, 2
+        ),
+        pri AS (
+            SELECT id, {_md5h("color", "CAST(id AS VARCHAR)")} AS h
+            FROM (SELECT a AS id FROM und UNION SELECT b FROM und)
+        ),
+        sym AS (
+            SELECT a AS v, b AS u FROM und
+            UNION ALL SELECT b AS v, a AS u FROM und
+        ),
+        ladj AS MATERIALIZED (
+            SELECT s.v, s.u
+            FROM sym s
+            JOIN pri pv ON pv.id = s.v
+            JOIN pri pu ON pu.id = s.u
+            WHERE (pu.h, pu.id) < (pv.h, pv.id)
+        ),
+        und0 AS (SELECT id FROM pri),
+        c0 AS (
+            SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INT) AS color
+            WHERE FALSE
+        ),
+        {", ".join(ctes)}
+        SELECT CAST(id AS BIGINT) AS id, CAST(color AS BIGINT) AS color
+        FROM {prev_c}
+    """
+
+
 _EVENT_FUNNEL_SQL = """
     WITH ev AS (
         SELECT user_id, event_type, epoch_ms(ts) AS t_ms FROM events
@@ -3839,6 +3943,9 @@ def oracle_sql() -> dict[str, str]:
             _BUILD_ORDER_UNROLL, _import_edges_md5_sql(_SCC_FILES, 8, 12, 16)
         ),
         "event_funnel": _EVENT_FUNNEL_SQL,
+        "graph_coloring": _coloring_oracle_sql(
+            _COLOR_UNROLL, _COLOR_N, _COLOR_OUT_DEG
+        ),
         "subgraph_sample": f"""
             WITH edges AS ({COPURCHASE_EDGES_SQL})
             SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst

@@ -1,5 +1,6 @@
 from paragrapher_spark.kernels.betweenness import betweenness, harmonic_centrality
 from paragrapher_spark.kernels.bfs import bfs
+from paragrapher_spark.kernels.coloring import greedy_coloring
 from paragrapher_spark.kernels.components import (
     component_sizes,
     connected_components,
@@ -35,6 +36,7 @@ __all__ = [
     "betweenness",
     "harmonic_centrality",
     "bfs",
+    "greedy_coloring",
     "component_sizes",
     "connected_components",
     "degree_distribution",

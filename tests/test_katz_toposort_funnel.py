@@ -173,3 +173,59 @@ def test_funnel_python_replay(spark):
     base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
     want = {u: (s, base + a, base + b) for u, (s, a, b) in want.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# greedy coloring (kernels/coloring.py)
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from paragrapher_spark.kernels.coloring import greedy_coloring
+
+
+def _py_greedy_coloring(pairs):
+    """Sequential greedy in (md5-h, id) order — the kernel's contract."""
+    def h(v):
+        return int(hashlib.md5(f"color:42:{v}".encode()).hexdigest()[:15], 16)
+
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    col: dict[int, int] = {}
+    for v in sorted(adj, key=lambda v: (h(v), v)):
+        used = {col[u] for u in adj[v] if u in col}
+        k = 1
+        while k in used:
+            k += 1
+        col[v] = k
+    return col, und, adj
+
+
+COLOR_PAIRS = PAIRS + [(1, 4), (5, 6), (6, 7), (7, 5)]
+
+
+def test_coloring_matches_sequential_greedy(spark):
+    res = greedy_coloring(_edges(spark, COLOR_PAIRS))
+    got = {r["id"]: r["color"] for r in res.colors.collect()}
+    want, und, adj = _py_greedy_coloring(COLOR_PAIRS)
+    assert got == want
+    # proper coloring + the greedy bound
+    assert all(got[a] != got[b] for a, b in und)
+    max_deg = max(len(v) for v in adj.values())
+    assert res.n_colors <= max_deg + 1
+
+
+def test_coloring_k5_needs_five(spark):
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    res = greedy_coloring(_edges(spark, k5))
+    got = {r["id"]: r["color"] for r in res.colors.collect()}
+    assert sorted(got.values()) == [1, 2, 3, 4, 5]
+
+
+def test_coloring_max_rounds_raises(spark):
+    chain = [(i, i + 1) for i in range(8)]
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        greedy_coloring(_edges(spark, chain), max_rounds=1)

@@ -1497,6 +1497,61 @@ def _q_subgraph_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sub.select(F.col("src").cast("long"), F.col("dst").cast("long"))
 
 
+def _q_package_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Package-level dependency rollup of the file-level import graph
+    (graph.py quotient_graph — the attribute-quotient twin of SCC
+    condensation): vertices collapse to their ``repo:pkgdir`` group, edge
+    weight = the exact total number of import sites between the two
+    packages (intra-package imports dropped). The coarsening step every
+    multilevel partitioner / architecture-dependency view starts with.
+    Oracle: the shared md5 import-site CTE grouped by the same package
+    keys — every (src_group, dst_group, weight) row exact."""
+    from paragrapher_spark.graph import quotient_graph
+
+    corpus = synth_corpus(spark, n_files=_SCC_FILES, n_repos=8)
+    g = edges_from_corpus(corpus, num_partitions=8)
+    mapping = g.vertices.select(
+        "id",
+        F.concat(
+            F.col("repo"), F.lit(":"), F.split(F.col("path"), "/").getItem(0)
+        ).alias("group"),
+    )
+    return quotient_graph(g.edges, mapping, weight_col="weight")
+
+
+def _q_knn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-correlation profile knn(k) of the co-purchase graph
+    (kernels/degrees.py avg_neighbor_degree — Pastor-Satorras et al. PRL
+    2001): per degree class k, the edge-weighted mean neighbor degree.
+    n_k and the numerator s_k are exact longs; knn is ONE IEEE division,
+    so every column gates bit-for-bit. Complements the scalar Newman
+    assortativity r (`assortativity`) with the full curve."""
+    from paragrapher_spark.kernels.degrees import avg_neighbor_degree
+
+    edges = copurchase_edges(spark, sf_dir)
+    return avg_neighbor_degree(edges).select(
+        F.col("k").cast("long"), F.col("n_k"), F.col("s_k"), "knn"
+    )
+
+
+_COOC_WINDOW = 3
+_COOC_MIN_COUNT = 2
+
+
+def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts over the documents table
+    (functions/text.py cooccurrence_counts — the word2vec/GloVe/PPMI
+    preprocessing stage): ordered token pairs within a 3-token forward
+    window, exact global counts, min_count=2 floor. All-integer output;
+    the oracle replays the window join and every count bit-for-bit."""
+    from paragrapher_spark.functions.text import cooccurrence_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cooccurrence_counts(
+        docs, window=_COOC_WINDOW, min_count=_COOC_MIN_COUNT
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -1574,6 +1629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,
         "subgraph_sample": _q_subgraph_sample,
         "graph_coloring": _q_graph_coloring,
+        "knn_profile": _q_knn_profile,
+        "cooccurrence": _q_cooccurrence,
+        "package_graph": _q_package_graph,
     }
 
 
@@ -2432,15 +2490,17 @@ def _md5h(tag: str, cols: str) -> str:
     )
 
 
-def _import_edges_md5_sql(
+def _import_sites_md5_cte(
     n_files: int, n_repos: int, max_out: int, hub_count: int
 ) -> str:
-    """Dense-id weighted import-edge table of sources/corpus.py's
-    ``synth_corpus`` (the hash-skew fixture) regenerated from its md5
-    hash formulas — deg, Zipf-ish target draw, hub boost, parity
-    alignment, self-loop avoidance all mirrored term-for-term
-    (corpus.py:86-97). Dense ids by (repo, path) rank as in
-    ``_import_edges_sql``."""
+    """Shared CTE block regenerating sources/corpus.py ``synth_corpus``'s
+    import sites from its md5 hash formulas — deg, Zipf-ish target draw,
+    hub boost, parity alignment, self-loop avoidance mirrored term-for-term
+    (corpus.py:86-97). Yields CTEs ``files(i, repo, path)``,
+    ``ivertsq(i, vid)`` (dense ids by (repo, path) rank) and
+    ``itarg(src_i, dst_i)`` (one row per import site). Factored so every
+    oracle over this corpus (edge table, package quotient) derives from ONE
+    copy of the formulas — a duplicated copy could silently desynchronize."""
     from paragrapher_spark.sources.corpus import N_PATH_DIRS
 
     i1 = "CAST(i AS VARCHAR)"
@@ -2483,6 +2543,16 @@ def _import_edges_md5_sql(
             )
         )
     )
+    """
+
+
+def _import_edges_md5_sql(
+    n_files: int, n_repos: int, max_out: int, hub_count: int
+) -> str:
+    """Dense-id weighted import-edge table over ``_import_sites_md5_cte``
+    — dense ids by (repo, path) rank as in ``_import_edges_sql``."""
+    return f"""
+    {_import_sites_md5_cte(n_files, n_repos, max_out, hub_count)}
     SELECT sv.vid AS src, dv.vid AS dst, count(*) AS weight
     FROM itarg s
     JOIN ivertsq sv ON sv.i = s.src_i
@@ -3955,6 +4025,65 @@ def oracle_sql() -> dict[str, str]:
               AND {_md5h("subg", "CAST(dst AS VARCHAR)")}
                       < {threshold_for(_SUBG_FRACTION)}
         """,
+        "knn_profile": f"""
+    WITH edges AS ({COPURCHASE_EDGES_SQL}),
+    und AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    deg AS MATERIALIZED (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS id FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY id
+    ),
+    endp AS (
+        SELECT da.deg AS dda, db.deg AS ddb
+        FROM und
+        JOIN deg da ON da.id = und.a
+        JOIN deg db ON db.id = und.b
+    ),
+    ends AS (
+        SELECT dda AS k, ddb AS nd FROM endp
+        UNION ALL
+        SELECT ddb AS k, dda AS nd FROM endp
+    ),
+    s AS (SELECT k, CAST(SUM(nd) AS BIGINT) AS s_k FROM ends GROUP BY k),
+    nk AS (
+        SELECT deg AS k, CAST(count(*) AS BIGINT) AS n_k FROM deg GROUP BY deg
+    )
+    SELECT CAST(nk.k AS BIGINT) AS k, n_k, s_k,
+           CAST(s_k AS DOUBLE) / CAST(nk.k * n_k AS DOUBLE) AS knn
+    FROM nk JOIN s ON s.k = nk.k
+    """,
+        "cooccurrence": f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id AS d,
+               unnest({_TOKENS}) AS tok,
+               unnest(range(len({_TOKENS}))) AS pos
+        FROM documents
+    ),
+    pairs AS (
+        SELECT t1.tok AS a, t2.tok AS b
+        FROM toks t1
+        JOIN toks t2 ON t2.d = t1.d
+            AND t2.pos > t1.pos AND t2.pos <= t1.pos + {_COOC_WINDOW}
+    )
+    SELECT a, b, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY a, b HAVING count(*) >= {_COOC_MIN_COUNT}
+    """,
+        "package_graph": f"""
+    {_import_sites_md5_cte(_SCC_FILES, 8, 12, 16)}
+    SELECT src_group, dst_group, CAST(count(*) AS BIGINT) AS weight
+    FROM (
+        SELECT sf.repo || ':' || string_split(sf.path, '/')[1] AS src_group,
+               df.repo || ':' || string_split(df.path, '/')[1] AS dst_group
+        FROM itarg s
+        JOIN files sf ON sf.i = s.src_i
+        JOIN files df ON df.i = s.dst_i
+    )
+    WHERE src_group <> dst_group
+    GROUP BY 1, 2
+    """,
         # every query carries an oracle since r3: knn_ivf's fixed-point
         # Lloyd trainer (order-free int64 centroid sums) made the last
         # formerly-inexpressible query (iterative float k-means) exactly

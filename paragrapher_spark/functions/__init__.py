@@ -1,3 +1,18 @@
-from paragrapher_spark.functions.extract import extract_import_keys, IMPORT_PATTERNS
+from paragrapher_spark.functions.extract import IMPORT_PATTERNS, extract_import_keys
+from paragrapher_spark.functions.text import (
+    cooccurrence_counts,
+    detect_language,
+    fingerprint,
+    text_stats,
+    top_terms,
+)
 
-__all__ = ["extract_import_keys", "IMPORT_PATTERNS"]
+__all__ = [
+    "extract_import_keys",
+    "IMPORT_PATTERNS",
+    "cooccurrence_counts",
+    "detect_language",
+    "fingerprint",
+    "text_stats",
+    "top_terms",
+]

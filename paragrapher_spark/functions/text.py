@@ -363,3 +363,49 @@ def top_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def cooccurrence_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts over the corpus — the word2vec /
+    GloVe / PPMI preprocessing stage (Mikolov et al. 2013; Pennington et
+    al. 2014): every ordered token pair (a, b) where ``b`` occurs within
+    ``window`` positions AFTER ``a`` in the same document, with its exact
+    global count. Pairs below ``min_count`` are dropped (the standard
+    vocabulary floor). Counts are exact longs; no floats anywhere, so the
+    result is engine-reproducible bit-for-bit.
+
+    Scale shape (100 TB): positions come from one ``posexplode`` (map
+    stage); the window is realized as an EQUI-join — each token row is
+    fanned out to ``window`` (doc, pos+o) probe keys against the token
+    table itself, so Spark plans a plain shuffled hash/merge join on the
+    uniform composite key (doc_id, pos), never a range join or a per-doc
+    cartesian. Shuffle volume is window * |tokens| rows, linear in corpus
+    size; the final count agg is map-side combinable. No UDF, no
+    collect().
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    offs = docs.sparkSession.range(1, window + 1).select(
+        F.col("id").cast("int").alias("off")
+    )
+    left = toks.crossJoin(F.broadcast(offs)).select(
+        "d", (F.col("pos") + F.col("off")).alias("pos"), F.col("tok").alias("a")
+    )
+    pairs = left.join(
+        toks.select("d", "pos", F.col("tok").alias("b")), on=["d", "pos"]
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= min_count)
+    )

@@ -126,3 +126,44 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     fwd = edges.select("src", "dst")
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return fwd.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def quotient_graph(
+    edges: DataFrame,
+    mapping: DataFrame,
+    weight_col: str | None = None,
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Coarsen ``edges(src, dst[, weight])`` by a vertex→group ``mapping
+    (id, group)``: one edge per ordered group pair, ``weight`` = the number
+    of underlying edges (or the exact sum of ``weight_col`` when given).
+    The attribute-quotient twin of ``kernels.scc.condensation`` (which
+    quotients by computed SCC labels): rolling a file-level import graph up
+    to package/repo dependency edges, a user graph up to region edges — the
+    coarsening step every multilevel partitioner and graph summary starts
+    with. Weights stay exact longs; no floats anywhere.
+
+    Scale shape (100 TB): two equi-joins of the edge table against the
+    (small) mapping — broadcast when the vertex table fits, shuffled
+    hash join otherwise — then one map-side-combinable agg whose key
+    cardinality is #groups², usually tiny. Vertices missing from
+    ``mapping`` drop out via the inner joins (loud alternative: pre-check
+    with an anti-join; the import-graph callers generate total mappings).
+    """
+    w = (
+        F.sum(F.col(weight_col)).cast("long")
+        if weight_col
+        else F.count(F.lit(1)).cast("long")
+    )
+    e = edges.join(
+        mapping.select(F.col("id").alias("src"), F.col("group").alias("gsrc")),
+        on="src",
+    ).join(
+        mapping.select(F.col("id").alias("dst"), F.col("group").alias("gdst")),
+        on="dst",
+    )
+    if drop_self_loops:
+        e = e.where(F.col("gsrc") != F.col("gdst"))
+    return e.groupBy(
+        F.col("gsrc").alias("src_group"), F.col("gdst").alias("dst_group")
+    ).agg(w.alias("weight"))

@@ -6,9 +6,11 @@ from paragrapher_spark.kernels.components import (
     connected_components,
 )
 from paragrapher_spark.kernels.degrees import (
+    avg_neighbor_degree,
     degree_distribution,
     in_degrees,
     out_degrees,
+    rich_club,
     top_k_degrees,
 )
 from paragrapher_spark.kernels.hits import hits
@@ -39,9 +41,11 @@ __all__ = [
     "greedy_coloring",
     "component_sizes",
     "connected_components",
+    "avg_neighbor_degree",
     "degree_distribution",
     "in_degrees",
     "out_degrees",
+    "rich_club",
     "top_k_degrees",
     "hits",
     "hyperball",

@@ -120,3 +120,63 @@ def rich_club(edges: DataFrame) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Degree-correlation profile knn(k) of the undirected simple graph
+    underlying ``edges(src, dst)`` (Pastor-Satorras, Vazquez & Vespignani,
+    PRL 2001 — the standard assortativity *curve* that complements the
+    scalar Newman r in kernels/linkpred.py):
+
+        knn(k) = (Σ over edge endpoints u with deg(u)=k of deg(other end))
+                 / (k * N_k)
+
+    i.e. the edge-weighted mean neighbor degree of the degree-k class
+    (each vertex contributes once per incident edge, so the numerator and
+    denominator are both exact longs and knn is ONE IEEE division —
+    SQL-reproducible bit-for-bit; the mean-of-per-vertex-means variant
+    would nest IEEE divisions and is deliberately not used). Returns
+    (k, n_k, s_k, knn) for every degree value present: n_k = #vertices of
+    degree k, s_k = the exact numerator.
+
+    Scale shape (100 TB): degree agg + one two-sided degree join over the
+    edge table + one histogram agg whose key cardinality is max-degree —
+    the same single-pass shape as ``rich_club`` above; no per-k scan, no
+    window over |E| rows.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    # each undirected edge contributes both directions: (deg a -> deg b)
+    # and (deg b -> deg a)
+    endp = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), on="a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), on="b")
+    )
+    both = endp.select(F.col("da").alias("k"), F.col("db").alias("nd")).unionByName(
+        endp.select(F.col("db").alias("k"), F.col("da").alias("nd"))
+    )
+    s = both.groupBy("k").agg(F.sum("nd").cast("long").alias("s_k"))
+    nk = deg.groupBy(F.col("deg").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_k")
+    )
+    return (
+        nk.join(s, on="k")
+        .select(
+            "k",
+            "n_k",
+            "s_k",
+            (
+                F.col("s_k").cast("double")
+                / (F.col("k") * F.col("n_k")).cast("double")
+            ).alias("knn"),
+        )
+    )

@@ -67,7 +67,12 @@ from paragrapher_spark.operators.sampling import sample_hash, threshold_for
 from paragrapher_spark.streaming.events import funnel_stages
 from paragrapher_spark.operators.indexing import prefix_sum
 from paragrapher_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
-from paragrapher_spark.sources.corpus import synth_corpus, synth_corpus_sql
+from paragrapher_spark.sources.corpus import (
+    callgraph_vertex_count,
+    synth_callgraph_corpus_sql,
+    synth_corpus,
+    synth_corpus_sql,
+)
 from paragrapher_spark.sources.edges import (
     COPURCHASE_EDGES_SQL,
     COPURCHASE_WEIGHTED_EDGES_SQL,
@@ -1519,6 +1524,113 @@ def _q_package_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quotient_graph(g.edges, mapping, weight_col="weight")
 
 
+_CG_FILES, _CG_REPOS, _CG_MAXF, _CG_MAXC = 900, 6, 3, 4
+
+
+def _cg_corpus(spark: SparkSession) -> DataFrame:
+    return synth_callgraph_corpus_sql(
+        spark, n_files=_CG_FILES, n_repos=_CG_REPOS,
+        max_funcs=_CG_MAXF, max_calls=_CG_MAXC,
+    )
+
+
+def _q_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-level CALL-GRAPH extraction (functions/extract.py
+    extract_call_sites over sources/corpus.synth_callgraph_corpus_sql):
+    two-level vectorized regex parse — definition lines to (caller, body),
+    bodies to call sites — aggregated to weighted (caller, callee) edges.
+    The finer-granularity companion to the file-level import extraction;
+    the oracle regenerates the exact call structure from the generator's
+    arithmetic (verifying the parse recovered every generated call IS the
+    check). Recursion (self-loop) edges are preserved."""
+    from paragrapher_spark.functions.extract import extract_call_sites
+
+    sites = extract_call_sites(_cg_corpus(spark))
+    return sites.groupBy("caller", "callee").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sites")
+    )
+
+
+def _q_call_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule pipeline at FUNCTION granularity: callgraph corpus ->
+    vectorized call-site extraction -> dense ids by global fname rank ->
+    weighted PageRank, 8 fixed supersteps. Unlike the import fixture this
+    graph is cyclic (recursion), so it exercises PageRank's behavior on
+    strongly-connected mass flow. Isolated (never-calling, never-called)
+    functions enter via vertices= and collect teleport-only rank."""
+    from paragrapher_spark.graph import call_graph_from_corpus
+
+    g = call_graph_from_corpus(_cg_corpus(spark), num_partitions=8)
+    res = pagerank(
+        g.edges, vertices=g.vertices.select("id"), tol=0.0, max_iter=8,
+        weight_col="weight",
+    )
+    return res.ranks.select(
+        F.col("id").cast("long"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _q_call_file_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-granularity rollup: per FILE, how many functions it defines,
+    how many call sites its functions make, and how many distinct files
+    those calls land in — the fan-out profile a build-system / impact
+    analyzer reads off a call graph. Joins the function table back to the
+    site table (callee fname -> defining file), then rolls up to (repo,
+    path); files whose functions make no calls appear with zeros."""
+    from paragrapher_spark.functions.extract import (
+        extract_call_sites,
+        extract_functions,
+    )
+
+    corpus = _cg_corpus(spark)
+    funcs = extract_functions(corpus)
+    sites = extract_call_sites(corpus)
+    callee_files = funcs.select(
+        F.col("fname").alias("callee"),
+        F.col("repo").alias("callee_repo"),
+        F.col("path").alias("callee_path"),
+    )
+    per_file_calls = (
+        sites.join(callee_files, on="callee")
+        .groupBy("repo", "path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sites"),
+            F.countDistinct("callee_repo", "callee_path")
+            .cast("long")
+            .alias("n_callee_files"),
+        )
+    )
+    per_file_funcs = funcs.groupBy("repo", "path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_funcs")
+    )
+    return per_file_funcs.join(
+        per_file_calls, on=["repo", "path"], how="left"
+    ).select(
+        "repo",
+        "path",
+        "n_funcs",
+        F.coalesce("n_sites", F.lit(0)).cast("long").alias("n_sites"),
+        F.coalesce("n_callee_files", F.lit(0)).cast("long").alias("n_callee_files"),
+    )
+
+
+def _q_call_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-recursion detection: strongly connected components of the
+    function-level call graph (kernels/scc.py over
+    graph.call_graph_from_corpus). Direct recursion is a self-loop; an
+    SCC of size > 1 is a set of functions that call each other in a cycle
+    — what an inliner / stack-depth analyzer must detect before
+    transforming. Same definitional transitive-closure oracle as
+    scc_imports, over the arithmetic-regenerated dense-id call edges."""
+    from paragrapher_spark.graph import call_graph_from_corpus
+
+    g = call_graph_from_corpus(_cg_corpus(spark), num_partitions=8)
+    res = scc(g.edges.select("src", "dst"), num_partitions=8)
+    return res.components.select(
+        F.col("id").cast("long"), F.col("scc").cast("long")
+    )
+
+
 def _q_knn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-correlation profile knn(k) of the co-purchase graph
     (kernels/degrees.py avg_neighbor_degree — Pastor-Satorras et al. PRL
@@ -1632,6 +1744,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_profile": _q_knn_profile,
         "cooccurrence": _q_cooccurrence,
         "package_graph": _q_package_graph,
+        "call_edges": _q_call_edges,
+        "call_graph_pagerank": _q_call_graph_pagerank,
+        "call_file_fanout": _q_call_file_fanout,
+        "call_scc": _q_call_scc,
     }
 
 
@@ -2543,6 +2659,87 @@ def _import_sites_md5_cte(
             )
         )
     )
+    """
+
+
+def _call_sites_cte(
+    n_files: int, n_repos: int, max_funcs: int, max_calls: int
+) -> str:
+    """Shared CTE block regenerating sources/corpus.py
+    ``synth_callgraph_corpus_sql``'s call structure from its arithmetic —
+    nf, nc, target file (parity-aligned) and target function index
+    mirrored term-for-term. Yields CTEs ``cfuncs(i, q)`` (every defined
+    function), ``cfiles(i, repo, path)`` and ``ctarg(i, q, ti, tq)`` (one
+    row per call site: function (i,q) calls function (ti,tq)). One copy of
+    the formulas shared by all callgraph oracles, same anti-desync rule as
+    ``_import_sites_md5_cte``."""
+    from paragrapher_spark.sources.corpus import N_PATH_DIRS
+
+    return f"""
+    WITH cfuncs AS MATERIALIZED (
+        SELECT i, unnest(range(1, ((i * 31 + 5) % {max_funcs}) + 2)) AS q
+        FROM range(0, {n_files}) t(i)
+    ),
+    cfiles AS MATERIALIZED (
+        SELECT i,
+               'repo_' || lpad(CAST(i % {n_repos} AS VARCHAR), 3, '0') AS repo,
+               'pkg' || CAST((i // {n_repos}) % {N_PATH_DIRS} AS VARCHAR)
+                   || '/f' || CAST(i // {n_repos} AS VARCHAR)
+                   || CASE WHEN i % 2 = 0 THEN '.py' ELSE '.c' END AS path
+        FROM range(0, {n_files}) t(i)
+    ),
+    csites AS MATERIALIZED (
+        SELECT i, q,
+               unnest(range(1, ((i * 17 + q * 29 + 3) % {max_calls}) + 1)) AS j
+        FROM cfuncs
+    ),
+    ctarg AS MATERIALIZED (
+        SELECT i, q,
+               CASE WHEN (i + q * 5 + j * 11) % 23 = 0 THEN i ELSE t2 END AS ti,
+               CASE WHEN (i + q * 5 + j * 11) % 23 = 0 THEN q
+                    ELSE ((i + q * 3 + j * 7)
+                          % (((t2 * 31 + 5) % {max_funcs}) + 1)) + 1
+               END AS tq
+        FROM (
+            SELECT i, q, j,
+                   CASE WHEN t1 >= {n_files} THEN t1 - 2 ELSE t1 END AS t2
+            FROM (
+                SELECT i, q, j, t0 - (t0 % 2) + (i % 2) AS t1
+                FROM (
+                    SELECT i, q, j,
+                           (i * 48611 + q * 2741 + j * 7451 + 23) % {n_files} AS t0
+                    FROM csites
+                )
+            )
+        )
+    )
+    """
+
+
+def _call_edges_vid_sql(
+    n_files: int, n_repos: int, max_funcs: int, max_calls: int
+) -> str:
+    """Dense-id weighted call-edge table over ``_call_sites_cte`` — dense
+    ids by global fname rank, matching graph.call_graph_from_corpus's
+    dense_ids ordering (both sides binary-sort ASCII strings). Nested WITH
+    so it can sit inside the pagerank generator's ``edges`` CTE."""
+    return f"""
+    {_call_sites_cte(n_files, n_repos, max_funcs, max_calls)},
+    cvid AS MATERIALIZED (
+        SELECT fname, row_number() OVER (ORDER BY fname) - 1 AS vid
+        FROM (
+            SELECT 'fn_' || CAST(i AS VARCHAR) || '_' || CAST(q AS VARCHAR)
+                       AS fname
+            FROM cfuncs
+        )
+    )
+    SELECT sv.vid AS src, dv.vid AS dst, count(*) AS weight
+    FROM ctarg s
+    JOIN cvid sv
+      ON sv.fname = 'fn_' || CAST(s.i AS VARCHAR) || '_' || CAST(s.q AS VARCHAR)
+    JOIN cvid dv
+      ON dv.fname = 'fn_' || CAST(s.ti AS VARCHAR) || '_' || CAST(s.tq AS VARCHAR)
+    GROUP BY 1, 2
     """
 
 
@@ -4083,6 +4280,40 @@ def oracle_sql() -> dict[str, str]:
     )
     WHERE src_group <> dst_group
     GROUP BY 1, 2
+    """,
+        "call_edges": f"""
+    {_call_sites_cte(_CG_FILES, _CG_REPOS, _CG_MAXF, _CG_MAXC)}
+    SELECT 'fn_' || CAST(i AS VARCHAR) || '_' || CAST(q AS VARCHAR) AS caller,
+           'fn_' || CAST(ti AS VARCHAR) || '_' || CAST(tq AS VARCHAR) AS callee,
+           CAST(count(*) AS BIGINT) AS n_sites
+    FROM ctarg GROUP BY 1, 2
+    """,
+        "call_graph_pagerank": _pagerank_oracle_sql(
+            8,
+            weighted=True,
+            edges_sql=_call_edges_vid_sql(_CG_FILES, _CG_REPOS, _CG_MAXF, _CG_MAXC),
+            verts_sql=(
+                f"SELECT i AS id FROM"
+                f" range(0, {callgraph_vertex_count(_CG_FILES, _CG_MAXF)}) t(i)"
+            ),
+        ),
+        "call_scc": _scc_oracle_sql(
+            _call_edges_vid_sql(_CG_FILES, _CG_REPOS, _CG_MAXF, _CG_MAXC)
+        ),
+        "call_file_fanout": f"""
+    {_call_sites_cte(_CG_FILES, _CG_REPOS, _CG_MAXF, _CG_MAXC)},
+    cfanout AS (
+        SELECT i, count(*) AS n_sites, count(DISTINCT ti) AS n_callee_files
+        FROM ctarg GROUP BY i
+    ),
+    cnfuncs AS (SELECT i, count(*) AS n_funcs FROM cfuncs GROUP BY i)
+    SELECT f.repo, f.path,
+           CAST(n.n_funcs AS BIGINT) AS n_funcs,
+           CAST(COALESCE(fo.n_sites, 0) AS BIGINT) AS n_sites,
+           CAST(COALESCE(fo.n_callee_files, 0) AS BIGINT) AS n_callee_files
+    FROM cfiles f
+    JOIN cnfuncs n ON n.i = f.i
+    LEFT JOIN cfanout fo ON fo.i = f.i
     """,
         # every query carries an oracle since r3: knn_ivf's fixed-point
         # Lloyd trainer (order-free int64 centroid sums) made the last

@@ -26,6 +26,15 @@ IMPORT_PATTERNS: dict[str, str] = {
     "c": r"(?m)^#include\s+\"([^\"]+)\"$",
 }
 
+# function-granularity patterns (sources/corpus.synth_callgraph_corpus_sql
+# fixture shape): group 1 = defined name, group 2 = one-line body; CALL
+# matches each call site inside a body
+CALLGRAPH_PATTERNS: dict[str, str] = {
+    "python": r"(?m)^def (fn_\d+_\d+)\(\): (.*)$",
+    "c": r"(?m)^void (fn_\d+_\d+)\(void\) \{ (.*) \}$",
+    "call": r"(fn_\d+_\d+)\(\)",
+}
+
 
 def vertex_key(repo: Column, path: Column) -> Column:
     return F.concat(repo, F.lit("/"), path)
@@ -73,3 +82,65 @@ def extract_import_keys(corpus: DataFrame) -> DataFrame:
         )
     )
     return py.unionByName(c)
+
+
+def extract_functions(corpus: DataFrame) -> DataFrame:
+    """corpus -> (repo, path, fname): every function DEFINITION, one row
+    each (including functions that make no calls — the call graph's
+    isolated vertices). JVM-side regexp_extract_all over the content
+    column, same vectorized-extraction contract as extract_import_keys
+    (the reference delivers vertices the same way it delivers edges,
+    `src/WG400AP.java:139-196` — here both are regex passes over a
+    columnar string batch)."""
+    parts = []
+    for lang in ("python", "c"):
+        parts.append(
+            corpus.where(F.col("lang") == lang).select(
+                "repo",
+                "path",
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col("content"),
+                        F.lit(CALLGRAPH_PATTERNS[lang]),
+                        F.lit(1),
+                    )
+                ).alias("fname"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def extract_call_sites(corpus: DataFrame) -> DataFrame:
+    """corpus -> (repo, path, caller, callee): one row per CALL SITE.
+
+    Two-level vectorized parse, all inside whole-stage codegen: the
+    definition regex yields (caller, body) per function, then the call
+    regex explodes each body into its call sites. Duplicate (caller,
+    callee) pairs are preserved — they become edge weights downstream,
+    exactly like repeated import statements in extract_import_keys.
+    """
+    parts = []
+    for lang in ("python", "c"):
+        pat = CALLGRAPH_PATTERNS[lang]
+        stmts = corpus.where(F.col("lang") == lang).select(
+            "repo",
+            "path",
+            F.explode(
+                F.regexp_extract_all(F.col("content"), F.lit(pat), F.lit(0))
+            ).alias("stmt"),
+        )
+        parts.append(
+            stmts.select(
+                "repo",
+                "path",
+                F.regexp_extract(F.col("stmt"), pat, 1).alias("caller"),
+                F.explode(
+                    F.regexp_extract_all(
+                        F.regexp_extract(F.col("stmt"), pat, 2),
+                        F.lit(CALLGRAPH_PATTERNS["call"]),
+                        F.lit(1),
+                    )
+                ).alias("callee"),
+            )
+        )
+    return parts[0].unionByName(parts[1])

@@ -102,6 +102,42 @@ def edges_from_corpus(corpus: DataFrame, num_partitions: int | None = None) -> G
     return Graph(vertices=vertices, edges=edges, num_vertices=n_v, num_edges=n_e)
 
 
+def call_graph_from_corpus(corpus: DataFrame, num_partitions: int | None = None) -> Graph:
+    """Extract the FUNCTION-level call graph from a corpus table — the
+    finer-granularity companion to ``edges_from_corpus``'s file-level
+    import graph (the reference analyzes one graph per dataset; multi-
+    granularity over the same corpus is engine surface it lacks).
+
+    Vertices are all defined functions (dense ids by global fname rank,
+    isolated functions included); edges are (caller, callee) with weight
+    = number of call sites. Self-loops (recursion) are preserved — a call
+    graph is cyclic, unlike the parity-layered import fixture.
+    """
+    from paragrapher_spark.functions.extract import (
+        extract_call_sites,
+        extract_functions,
+    )
+
+    funcs = extract_functions(corpus)
+    vertices = dense_ids(
+        funcs.select("fname"), ["fname"], id_col="id",
+        num_partitions=num_partitions,
+    )
+    sites = extract_call_sites(corpus)
+    src_map = vertices.select(F.col("fname").alias("caller"), F.col("id").alias("src"))
+    dst_map = vertices.select(F.col("fname").alias("callee"), F.col("id").alias("dst"))
+    edges = (
+        sites.join(src_map, on="caller")
+        .join(dst_map, on="callee")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    n_v = vertices.count()
+    edges = edges.persist()
+    n_e = edges.count()
+    return Graph(vertices=vertices, edges=edges, num_vertices=n_v, num_edges=n_e)
+
+
 def graph_from_edges(edges: DataFrame, weight: bool = False) -> Graph:
     """Wrap a raw (src, dst[, weight]) edge table as a Graph; vertices are
     the distinct endpoint ids (no name attributes)."""

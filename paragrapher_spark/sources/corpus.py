@@ -251,6 +251,116 @@ def synth_corpus_sql(
     )
 
 
+def synth_callgraph_corpus_sql(
+    spark: SparkSession,
+    n_files: int = 900,
+    n_repos: int = 6,
+    max_funcs: int = 3,
+    max_calls: int = 4,
+    partitions: int = 8,
+) -> DataFrame:
+    """Deterministic corpus whose ``content`` holds FUNCTION definitions
+    with call sites — the function-level companion to the file-level
+    import corpus (``synth_corpus_sql``). Same (repo, path, commit, lang,
+    content) schema; every random-looking choice is plain modular
+    arithmetic so a DuckDB oracle regenerates the exact call-graph
+    structure (``__spark_entry__._call_sites_cte`` mirrors these formulas
+    term-for-term).
+
+    File ``i`` defines ``nf(i) = (i*31 + 5) % max_funcs + 1`` functions
+    named ``fn_{i}_{q}`` (q in 1..nf) as single-line bodies:
+
+    - python: ``def fn_i_q(): fn_a_b(); fn_c_d()`` (or ``pass``)
+    - c:      ``void fn_i_q(void) { fn_a_b(); fn_c_d(); }`` (or ``;``)
+
+    Function (i, q) makes ``nc = (i*17 + q*29 + 3) % max_calls`` calls;
+    call ``j`` targets file ``t`` from ``(i*48611 + q*2741 + j*7451 + 23)
+    % n_files`` parity-aligned to the caller's language (python calls
+    python, C calls C) and function index ``((i + q*3 + j*7) % nf(t)) + 1``.
+    Self-calls (recursion) are allowed — a call graph is cyclic by nature,
+    unlike the import DAG-ish fixture. Entirely ``spark.range`` + built-in
+    expressions (nested higher-order ``transform``), whole-stage codegen,
+    no shuffle: at 10^12 files this stays a single map stage.
+    """
+    if n_files % 2 or n_repos % 2:
+        raise ValueError("n_files and n_repos must be even (parity = language)")
+
+    def repo_of(t: Column) -> Column:
+        return F.concat(F.lit("repo_"), F.lpad((t % n_repos).cast("string"), 3, "0"))
+
+    def path_of(t: Column, t_ext: Column) -> Column:
+        tk = (t / n_repos).cast("long")
+        return F.concat(
+            F.lit("pkg"), (tk % N_PATH_DIRS).cast("string"),
+            F.lit("/f"), tk.cast("string"), t_ext,
+        )
+
+    df = spark.range(0, n_files, 1, partitions)
+    i = F.col("id")
+    is_py = (i % 2) == 0
+    ext = F.when(is_py, ".py").otherwise(".c")
+    nf = (i * 31 + 5) % max_funcs + 1
+
+    def fname_of(fi: Column, fq: Column) -> Column:
+        return F.concat(
+            F.lit("fn_"), fi.cast("string"), F.lit("_"), fq.cast("string")
+        )
+
+    def callee(q: Column, j: Column) -> Column:
+        t0 = (i * 48611 + q * 2741 + j * 7451 + 23) % n_files
+        t1 = t0 - (t0 % 2) + (i % 2)
+        t2 = F.when(t1 >= n_files, t1 - 2).otherwise(t1)
+        tq = (i + q * 3 + j * 7) % ((t2 * 31 + 5) % max_funcs + 1) + 1
+        # direct-recursion rule: ~1/23 of call sites target their own
+        # function (the modular draws alone never land on (i, q), so the
+        # cyclic-graph property the call graph exists to model is forced
+        # explicitly)
+        rec = (i + q * 5 + j * 11) % 23 == 0
+        return F.when(rec, fname_of(i, q)).otherwise(fname_of(t2, tq))
+
+    def def_line(q: Column) -> Column:
+        nc = (i * 17 + q * 29 + 3) % max_calls
+        calls = F.transform(
+            F.sequence(F.lit(1), nc),
+            lambda j: F.concat(callee(q, j), F.lit("()")),
+        )
+        joined = F.array_join(calls, "; ")
+        body_py = F.when(nc > 0, joined).otherwise(F.lit("pass"))
+        body_c = F.when(nc > 0, F.concat(joined, F.lit(";"))).otherwise(F.lit(";"))
+        return F.when(
+            is_py,
+            F.concat(F.lit("def "), fname_of(i, q), F.lit("(): "), body_py),
+        ).otherwise(
+            F.concat(
+                F.lit("void "), fname_of(i, q), F.lit("(void) { "),
+                body_c, F.lit(" }"),
+            )
+        )
+
+    header = F.when(is_py, F.concat(F.lit("# file "), i.cast("string"))).otherwise(
+        F.concat(F.lit("// file "), i.cast("string"))
+    )
+    defs = F.transform(F.sequence(F.lit(1), nf), def_line)
+    content = F.concat_ws("\n", F.concat(F.array(header), defs))
+
+    return df.select(
+        repo_of(i).alias("repo"),
+        path_of(i, ext).alias("path"),
+        F.substring(
+            F.sha2(F.concat(F.lit("ccommit"), i.cast("string")), 256), 1, 40
+        ).alias("commit"),
+        F.when(is_py, F.lit("python")).otherwise(F.lit("c")).alias("lang"),
+        content.alias("content"),
+    )
+
+
+def callgraph_vertex_count(n_files: int, max_funcs: int = 3) -> int:
+    """Exact |V| of the callgraph corpus: sum of nf(i) over files — the
+    dense-id space is 0..N-1 by construction, which is what lets the
+    DuckDB oracle use a plain ``range(0, N)`` vertex set."""
+    return sum((i * 31 + 5) % max_funcs + 1 for i in range(n_files))
+
+
 def content_sha256(df: DataFrame) -> DataFrame:
     """Per-row invariant column (input_hint: content sha256 equality)."""
     return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))

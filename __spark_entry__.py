@@ -68,6 +68,7 @@ from paragrapher_spark.streaming.events import funnel_stages
 from paragrapher_spark.operators.indexing import prefix_sum
 from paragrapher_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
 from paragrapher_spark.sources.corpus import (
+    N_PATH_DIRS,
     callgraph_vertex_count,
     synth_callgraph_corpus_sql,
     synth_corpus,
@@ -1631,6 +1632,50 @@ def _q_call_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_import_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPACT ANALYSIS (the CI test-selection / incremental-rebuild query):
+    if files {vid 0,1,2} change, which files transitively import them and
+    at what dependency distance — multi-source BFS over the REVERSED
+    import graph (kernels/bfs.py), depth-capped at 8. Oracle: recursive-
+    CTE min-depth walk following edges dst->src over the arithmetic-
+    regenerated import edge table."""
+    corpus = synth_corpus_sql(spark, n_files=1200, n_repos=8, max_out=10)
+    g = edges_from_corpus(corpus, num_partitions=8)
+    rev = g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    res = bfs(rev, [0, 1, 2], directed=True, max_depth=8)
+    return res.distances.select(
+        F.col("id").cast("long"), F.col("dist").cast("long").alias("depth")
+    )
+
+
+def _q_dead_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEAD-CODE detection over the call graph: functions not reachable
+    (via any call chain) from the application's entry package — roots are
+    every function defined in repo_000's pkg0 files, liveness is the BFS
+    closure over call edges, dead = the anti-join. The attribute-driven
+    twin of a linker's --gc-sections / tree-shaking pass. Oracle:
+    recursive-CTE reachability from the same formula-regenerated root set,
+    NOT IN over the full function table."""
+    from paragrapher_spark.functions.extract import extract_functions
+    from paragrapher_spark.graph import call_graph_from_corpus
+
+    corpus = _cg_corpus(spark)
+    g = call_graph_from_corpus(corpus, num_partitions=8)
+    funcs = extract_functions(corpus)
+    roots = (
+        funcs.where(
+            (F.col("repo") == "repo_000") & F.col("path").startswith("pkg0/")
+        )
+        .join(g.vertices, on="fname")
+        .select("id")
+    )
+    res = bfs(g.edges.select("src", "dst"), roots, directed=True, max_depth=30)
+    dead = g.vertices.join(
+        res.distances.select("id"), on="id", how="left_anti"
+    )
+    return dead.select("fname")
+
+
 def _q_knn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-correlation profile knn(k) of the co-purchase graph
     (kernels/degrees.py avg_neighbor_degree — Pastor-Satorras et al. PRL
@@ -1748,6 +1793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "call_graph_pagerank": _q_call_graph_pagerank,
         "call_file_fanout": _q_call_file_fanout,
         "call_scc": _q_call_scc,
+        "import_impact": _q_import_impact,
+        "dead_functions": _q_dead_functions,
     }
 
 
@@ -2663,7 +2710,8 @@ def _import_sites_md5_cte(
 
 
 def _call_sites_cte(
-    n_files: int, n_repos: int, max_funcs: int, max_calls: int
+    n_files: int, n_repos: int, max_funcs: int, max_calls: int,
+    recursive: bool = False,
 ) -> str:
     """Shared CTE block regenerating sources/corpus.py
     ``synth_callgraph_corpus_sql``'s call structure from its arithmetic —
@@ -2675,8 +2723,9 @@ def _call_sites_cte(
     ``_import_sites_md5_cte``."""
     from paragrapher_spark.sources.corpus import N_PATH_DIRS
 
+    kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
-    WITH cfuncs AS MATERIALIZED (
+    {kw} cfuncs AS MATERIALIZED (
         SELECT i, unnest(range(1, ((i * 31 + 5) % {max_funcs}) + 2)) AS q
         FROM range(0, {n_files}) t(i)
     ),
@@ -4300,6 +4349,41 @@ def oracle_sql() -> dict[str, str]:
         "call_scc": _scc_oracle_sql(
             _call_edges_vid_sql(_CG_FILES, _CG_REPOS, _CG_MAXF, _CG_MAXC)
         ),
+        "import_impact": f"""
+    WITH RECURSIVE edges AS ({_import_edges_sql(1200, 8, 10)}),
+    walk(id, d) AS (
+        SELECT CAST(s.id AS BIGINT), 0 FROM (VALUES (0), (1), (2)) s(id)
+        UNION
+        SELECT e.src, walk.d + 1
+        FROM walk JOIN edges e ON e.dst = walk.id
+        WHERE walk.d < 8
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(MIN(d) AS BIGINT) AS depth
+    FROM walk GROUP BY id
+    """,
+        "dead_functions": f"""
+    {_call_sites_cte(_CG_FILES, _CG_REPOS, _CG_MAXF, _CG_MAXC, recursive=True)},
+    cedges AS MATERIALIZED (
+        SELECT 'fn_' || CAST(i AS VARCHAR) || '_' || CAST(q AS VARCHAR) AS caller,
+               'fn_' || CAST(ti AS VARCHAR) || '_' || CAST(tq AS VARCHAR) AS callee
+        FROM ctarg
+    ),
+    creach(fname, d) AS (
+        SELECT 'fn_' || CAST(i AS VARCHAR) || '_' || CAST(q AS VARCHAR), 0
+        FROM cfuncs
+        WHERE i % {_CG_REPOS} = 0
+          AND (i // {_CG_REPOS}) % {N_PATH_DIRS} = 0
+        UNION
+        SELECT e.callee, creach.d + 1
+        FROM creach JOIN cedges e ON e.caller = creach.fname
+        WHERE creach.d < 30
+    )
+    SELECT fname FROM (
+        SELECT 'fn_' || CAST(i AS VARCHAR) || '_' || CAST(q AS VARCHAR) AS fname
+        FROM cfuncs
+    )
+    WHERE fname NOT IN (SELECT fname FROM creach)
+    """,
         "call_file_fanout": f"""
     {_call_sites_cte(_CG_FILES, _CG_REPOS, _CG_MAXF, _CG_MAXC)},
     cfanout AS (

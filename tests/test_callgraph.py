@@ -129,3 +129,52 @@ def test_recursion_self_loops_preserved(spark):
         .collect()[0][0]
     )
     assert got == n_rec
+
+
+def test_dead_functions_matches_python_bfs(spark):
+    """dead_functions query semantics replayed with a plain-Python BFS
+    from the same attribute-defined root set (repo_000's pkg0 files)."""
+    from collections import deque
+
+    import __spark_entry__ as entry
+
+    adj: dict[str, list[str]] = {}
+    N, R, MF, MC = (
+        entry._CG_FILES, entry._CG_REPOS, entry._CG_MAXF, entry._CG_MAXC,
+    )
+    allf = []
+    for i in range(N):
+        nf = (i * 31 + 5) % MF + 1
+        for q in range(1, nf + 1):
+            name = f"fn_{i}_{q}"
+            allf.append((i, name))
+            nc = (i * 17 + q * 29 + 3) % MC
+            for j in range(1, nc + 1):
+                if (i + q * 5 + j * 11) % 23 == 0:
+                    adj.setdefault(name, []).append(name)
+                    continue
+                t0 = (i * 48611 + q * 2741 + j * 7451 + 23) % N
+                t1 = t0 - (t0 % 2) + (i % 2)
+                t2 = t1 - 2 if t1 >= N else t1
+                tq = (i + q * 3 + j * 7) % ((t2 * 31 + 5) % MF + 1) + 1
+                adj.setdefault(name, []).append(f"fn_{t2}_{tq}")
+    from paragrapher_spark.sources.corpus import N_PATH_DIRS
+
+    roots = [
+        n for i, n in allf if i % R == 0 and (i // R) % N_PATH_DIRS == 0
+    ]
+    seen = set(roots)
+    dq = deque((r, 0) for r in roots)
+    while dq:
+        u, d = dq.popleft()
+        if d >= 30:
+            continue
+        for v in adj.get(u, ()):
+            if v not in seen:
+                seen.add(v)
+                dq.append((v, d + 1))
+    want_dead = sorted(n for _, n in allf if n not in seen)
+    got = sorted(
+        r.fname for r in entry._q_dead_functions(spark, "").collect()
+    )
+    assert got == want_dead

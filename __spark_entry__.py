@@ -764,6 +764,62 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION audit (operators/dedup.py
+    split_contamination): per test-split document, how many of its
+    distinct word 3-grams also occur anywhere in the train split — the
+    n-gram collision rule every LLM pipeline runs before training. The
+    split assignment is the deterministic md5 cut (doc_splits); the scale
+    path is a left-semi join against the distinct train gram set (linear,
+    no pair blow-up)."""
+    from paragrapher_spark.operators.dedup import split_contamination
+    from paragrapher_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = assign_splits(docs, _SPLIT_WEIGHTS, ["doc_id"])
+    res = split_contamination(sp, n=3)
+    return res.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_grams").cast("long"),
+        F.col("n_shared").cast("long"),
+        F.round("frac_shared", 6).alias("frac_shared"),
+    )
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.py redact_pii) with deterministic
+    planted PII: every 5th document gets a synthetic email + numeric id
+    appended, then the scrub must find exactly them and the md5 of the
+    scrubbed text must match the oracle's byte-for-byte (proving the
+    replacement itself, not just the counts, is identical). Map-only JVM
+    regex stage — the Dolma/CCNet redaction pass shape."""
+    from paragrapher_spark.functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com ref "),
+                (F.col("doc_id") * 7919 + 1000000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    res = redact_pii(planted)
+    return res.select(
+        F.col("doc_id").cast("long"),
+        "n_email",
+        "n_number",
+        F.md5(F.col("scrubbed")).alias("scrubbed_md5"),
+    )
+
+
 def _q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinctive terms per document (functions/text.py
     top_terms): integer-exact TF/DF keyword extraction ranked
@@ -1795,6 +1851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "call_scc": _q_call_scc,
         "import_impact": _q_import_impact,
         "dead_functions": _q_dead_functions,
+        "split_contamination": _q_split_contamination,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
@@ -1815,6 +1873,13 @@ _WCC_CTE = f"""
 """
 
 _TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+# PII oracle patterns: the SAME strings as functions/text.PII_RULES
+# (single-sourced so the Spark scrub and the SQL twin cannot drift)
+from paragrapher_spark.functions.text import PII_RULES as _PII_RULES  # noqa: E402
+
+_PII_EMAIL = _PII_RULES[0][1]
+_PII_NUMBER = _PII_RULES[1][1]
 
 
 # ---------------------------------------------------------------------------
@@ -4349,6 +4414,61 @@ def oracle_sql() -> dict[str, str]:
         "call_scc": _scc_oracle_sql(
             _call_edges_vid_sql(_CG_FILES, _CG_REPOS, _CG_MAXF, _CG_MAXC)
         ),
+        "split_contamination": f"""
+    WITH s AS MATERIALIZED ({_doc_splits_sql()}),
+    t AS MATERIALIZED (
+        SELECT d.doc_id, s.split, {_TOKENS} AS toks
+        FROM documents d JOIN s ON s.doc_id = d.doc_id
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id, split,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               ELSE [array_to_string(toks, ' ')] END AS grams
+        FROM t
+    ),
+    e AS MATERIALIZED (SELECT doc_id, split, unnest(grams) AS gram FROM g),
+    dirty AS MATERIALIZED (
+        SELECT DISTINCT gram FROM e WHERE split = 'train'
+    ),
+    clean AS MATERIALIZED (
+        SELECT doc_id, gram FROM e WHERE split = 'test'
+    ),
+    c AS (SELECT doc_id, count(*) AS n_grams FROM clean GROUP BY doc_id),
+    sh AS (
+        SELECT c2.doc_id, count(*) AS n_shared
+        FROM clean c2 JOIN dirty d2 ON d2.gram = c2.gram
+        GROUP BY c2.doc_id
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(c.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+           ROUND(COALESCE(sh.n_shared, 0) / CAST(c.n_grams AS DOUBLE), 6)
+               AS frac_shared
+    FROM c LEFT JOIN sh ON sh.doc_id = c.doc_id
+    """,
+        "pii_scrub": f"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example.com ref '
+                         || CAST(doc_id * 7919 + 1000000 AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_NUMBER}')) AS BIGINT)
+               AS n_number,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}',
+               '<EMAIL>', 'g'), '{_PII_NUMBER}', '<NUM>', 'g'))
+               AS scrubbed_md5
+    FROM planted
+    """,
         "import_impact": f"""
     WITH RECURSIVE edges AS ({_import_edges_sql(1200, 8, 10)}),
     walk(id, d) AS (

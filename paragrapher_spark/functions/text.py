@@ -409,3 +409,34 @@ def cooccurrence_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .where(F.col("n") >= min_count)
     )
+
+
+# PII rules: (name, RE2-and-Java-compatible pattern, replacement tag).
+# Patterns avoid lookarounds and stay in the regex dialect intersection so
+# the Spark scrub and the DuckDB oracle replay byte-identically.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9]+@[a-z0-9.]+\.[a-z]+", "<EMAIL>"),
+    ("number", r"\b[0-9]{6,}\b", "<NUM>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing (the redaction pass of CCNet/Dolma-style pipelines):
+    count and replace email-like and long-numeric-id spans. Returns
+    (id_col, n_email, n_number, scrubbed). Rules apply in PII_RULES order
+    (emails first, so an address's digits are gone before the numeric
+    rule runs); counts are measured on the ORIGINAL text. Pure JVM column
+    expressions — a map-only stage, no shuffle, no Python in the path."""
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]
+    scrubbed = text
+    for _, pat, repl in PII_RULES:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))

@@ -347,6 +347,72 @@ def simhash_candidates(
 # ---------------------------------------------------------------------------
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """DISTINCT word n-grams of ``text`` (whitespace tokens, empties
+    dropped); a doc shorter than n tokens contributes its whole token
+    string as one gram so no document silently vanishes from gram-space.
+    Shared by ngram_jaccard_pairs and split_contamination — one copy of
+    the tokenization contract, mirrored by the DuckDB oracles' gram CTE."""
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def split_contamination(
+    docs: DataFrame,
+    split_col: str = "split",
+    clean_split: str = "test",
+    dirty_split: str = "train",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION scan (the train/test-overlap audit every
+    LLM data pipeline runs before training — GPT-3 appendix C's n-gram
+    collision rule): for each ``clean_split`` doc, how many of its
+    distinct word n-grams also occur anywhere in ``dirty_split``.
+
+    Returns (doc_id, n_grams, n_shared, frac_shared). The DECISION signal
+    is per-doc overlap, so the scale path is a LEFT-SEMI join of clean
+    grams against the DISTINCT dirty gram set — linear in both corpora,
+    one shuffle per side, and none of the df² pair blow-up that the
+    pair-listing operator (ngram_jaccard_pairs) has to cap; at 100 TB the
+    dirty gram set shuffles once and the semi-join streams.
+    """
+    g = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(split_col).alias("sp"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    clean = g.where(F.col("sp") == clean_split).select("id", "gram")
+    dirty = g.where(F.col("sp") == dirty_split).select("gram").distinct()
+    counts = clean.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        clean.join(dirty, on="gram", how="left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        counts.join(shared, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (
+                F.coalesce("n_shared", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("frac_shared"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -366,17 +432,10 @@ def ngram_jaccard_pairs(
     not propose). Same guard family as the LSH paths' ``max_bucket_size``.
     ``None`` disables the cap (exact Jaccard — the oracle-checked mode).
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    g = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    g = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
     counts = g.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     if max_df is not None:
         ok_grams = (

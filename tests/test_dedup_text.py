@@ -328,3 +328,67 @@ def test_simhash_bitvote_vectorized_exact_and_fast():
     t2 = time.process_time()
     assert got == exp
     _assert_speedup_unless_loaded(t2 - t1, [t1 - t0], 5.0)
+
+
+def test_split_contamination_python_replay(spark):
+    """Per-doc overlap counts replayed in plain Python (distinct 2-gram
+    sets, set-intersection with the union of dirty grams)."""
+    from paragrapher_spark.operators.dedup import split_contamination
+
+    rows = [
+        (0, "train", "a b c d e"),
+        (1, "train", "x y z"),
+        (2, "test", "a b c q r"),      # shares 'a b', 'b c' with doc 0
+        (3, "test", "q r s t"),         # shares nothing
+        (4, "test", "x"),               # short doc -> whole-string gram
+        (5, "val", "a b c"),            # other split: ignored
+        (6, "train", "x"),              # makes doc 4's single gram dirty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_shared, r.frac_shared)
+        for r in split_contamination(docs, n=2).collect()
+    }
+
+    def grams(t):
+        toks = [w for w in t.split(" ") if w]
+        if len(toks) < 2:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    dirty = set().union(
+        *(grams(t) for _, s, t in rows if s == "train")
+    )
+    want = {}
+    for did, s, t in rows:
+        if s != "test":
+            continue
+        g = grams(t)
+        shared = len(g & dirty)
+        want[did] = (len(g), shared, shared / len(g))
+    assert got == want
+
+
+def test_redact_pii_planted(spark):
+    from paragrapher_spark.functions.text import redact_pii
+
+    rows = [
+        (0, "reach me at bob99@corp.example.org today"),
+        (1, "ticket 1234567 and ticket 7654321 are open"),
+        (2, "no pii here at all"),
+        (3, "alice@a.io ref 999999888"),
+        (4, "short num 12345 is too short to redact"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert (got[0].n_email, got[0].n_number) == (1, 0)
+    assert got[0].scrubbed == "reach me at <EMAIL> today"
+    assert (got[1].n_email, got[1].n_number) == (0, 2)
+    assert got[1].scrubbed == "ticket <NUM> and ticket <NUM> are open"
+    assert (got[2].n_email, got[2].n_number) == (0, 0)
+    assert got[2].scrubbed == rows[2][1]
+    assert (got[3].n_email, got[3].n_number) == (1, 1)
+    assert got[3].scrubbed == "<EMAIL> ref <NUM>"
+    # 5-digit run stays (the {6,} floor) — redaction is not a digit nuke
+    assert (got[4].n_email, got[4].n_number) == (0, 0)
+    assert got[4].scrubbed == rows[4][1]

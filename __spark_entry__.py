@@ -1765,6 +1765,66 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py — one of the brief's named custom
+    operators): every purchase matched to the same user's LATEST click
+    at-or-before it (pandas merge_asof backward semantics, microsecond
+    precision; LEFT — purchases with no prior click keep nulls). Clicks
+    are deduped to one row per (user, ts) keeping the max event_id so
+    the tie rule is total; DuckDB's native ASOF JOIN replays the match
+    exactly. Plan: one union + one window = ONE shuffle on user_id."""
+    from paragrapher_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    res = asof_join(purchases, clicks, keys=["user_id"], right_cols=["click_id"])
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return res.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        t_us.alias("t_us"),
+        F.col("ts_r").alias("t_click_us"),
+        F.col("click_id_r").cast("long").alias("click_id"),
+        (t_us - F.col("ts_r")).alias("gap_us"),
+    )
+
+
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join (operators/asof.py — the other named custom
+    operator): every (click, error) pair of the same user with the error
+    STRICTLY after the click and within 10 minutes. The interval
+    predicate is planned as a bucketed EQUI-join (each click probes <=2
+    time buckets), never Spark's default BroadcastNestedLoopJoin for
+    theta joins; the exact [lo, hi] filter runs post-join."""
+    from paragrapher_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    res = range_join(
+        clicks, errors, keys=["user_id"], lower_us=1, upper_us=600_000_000
+    )
+    return res.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("error_id_r").cast("long").alias("error_id"),
+        F.col("t_us"),
+        F.col("t_us_r").alias("t_err_us"),
+        (F.col("t_us_r") - F.col("t_us")).alias("gap_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -1853,6 +1913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dead_functions": _q_dead_functions,
         "split_contamination": _q_split_contamination,
         "pii_scrub": _q_pii_scrub,
+        "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
     }
 
 
@@ -4518,6 +4580,44 @@ def oracle_sql() -> dict[str, str]:
     FROM cfiles f
     JOIN cnfuncs n ON n.i = f.i
     LEFT JOIN cfanout fo ON fo.i = f.i
+    """,
+        "events_asof": """
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+        WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(p.purchase_id AS BIGINT) AS purchase_id,
+           epoch_us(p.ts) AS t_us,
+           epoch_us(c.ts) AS t_click_us,
+           CAST(c.click_id AS BIGINT) AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+        "events_range_join": """
+    WITH cl AS (
+        SELECT user_id, ts, event_id AS click_id FROM events
+        WHERE event_type = 'click'
+    ),
+    er AS (
+        SELECT user_id, ts, event_id AS error_id FROM events
+        WHERE event_type = 'error'
+    )
+    SELECT CAST(cl.user_id AS BIGINT) AS user_id,
+           CAST(cl.click_id AS BIGINT) AS click_id,
+           CAST(er.error_id AS BIGINT) AS error_id,
+           epoch_us(cl.ts) AS t_us,
+           epoch_us(er.ts) AS t_err_us,
+           epoch_us(er.ts) - epoch_us(cl.ts) AS gap_us
+    FROM cl JOIN er
+      ON er.user_id = cl.user_id
+     AND epoch_us(er.ts) BETWEEN epoch_us(cl.ts) + 1
+                             AND epoch_us(cl.ts) + 600000000
     """,
         # every query carries an oracle since r3: knn_ivf's fixed-point
         # Lloyd trainer (order-free int64 centroid sums) made the last

@@ -1765,6 +1765,26 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (functions/stats.py): the
+    filter-threshold-calibration query of a curation pipeline. Type-1
+    quantiles at all-integer ranks ((n-1)*num DIV den + 1), so every
+    output column is gated exactly."""
+    from paragrapher_spark.functions.stats import group_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = group_quantiles(docs, ["lang"], "n_chars")
+    return res.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("v_min").cast("long").alias("v_min"),
+        F.col("v_max").cast("long").alias("v_max"),
+        F.col("p50").cast("long").alias("p50"),
+        F.col("p90").cast("long").alias("p90"),
+        F.col("p99").cast("long").alias("p99"),
+    )
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py — one of the brief's named custom
     operators): every purchase matched to the same user's LATEST click
@@ -1915,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
+        "doc_length_quantiles": _q_doc_length_quantiles,
     }
 
 
@@ -4598,6 +4619,24 @@ def oracle_sql() -> dict[str, str]:
            epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
     FROM p ASOF LEFT JOIN c
       ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+        "doc_length_quantiles": """
+    WITH ranked AS (
+        SELECT lang, n_chars AS v,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(v) AS BIGINT) AS v_min,
+           CAST(MAX(v) AS BIGINT) AS v_max,
+           CAST(MAX(CASE WHEN rn = ((n - 1) * 1) // 2 + 1 THEN v END)
+               AS BIGINT) AS p50,
+           CAST(MAX(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN v END)
+               AS BIGINT) AS p90,
+           CAST(MAX(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN v END)
+               AS BIGINT) AS p99
+    FROM ranked GROUP BY lang
     """,
         "events_range_join": """
     WITH cl AS (

@@ -43,7 +43,7 @@ from paragrapher_spark.kernels.mis import maximal_independent_set
 from paragrapher_spark.kernels.neighborhood import neighbor_feature_agg
 from paragrapher_spark.kernels.scc import condensation, scc
 from paragrapher_spark.kernels.coloring import greedy_coloring
-from paragrapher_spark.kernels.katz import katz
+from paragrapher_spark.kernels.katz import eigencentrality, katz
 from paragrapher_spark.kernels.toposort import topo_levels
 from paragrapher_spark.kernels.walks import random_walks
 from paragrapher_spark.kernels.pagerank import pagerank
@@ -1765,6 +1765,24 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EIG_ROUNDS = 6
+
+
+def _q_eigencentrality_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality by 6 integer power-iteration rounds
+    (kernels/katz.py eigencentrality) on the undirected co-purchase
+    graph: ``walks`` (length-6 walk counts) gates exactly; ``eig`` is
+    ONE IEEE division by the max — the fourth classic ranking next to
+    PageRank/HITS/Katz."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = eigencentrality(edges, rounds=_EIG_ROUNDS, directed=False)
+    return res.scores.select(
+        F.col("id").cast("long"),
+        F.col("walks").cast("long"),
+        F.col("eig"),
+    )
+
+
 def _q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length quantiles (functions/stats.py): the
     filter-threshold-calibration query of a curation pipeline. Type-1
@@ -1936,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "eigencentrality_fixed": _q_eigencentrality_fixed,
     }
 
 
@@ -3694,6 +3713,44 @@ def _katz_oracle_sql(rounds: int, base: int) -> str:
     """
 
 
+def _eigen_oracle_sql(rounds: int) -> str:
+    """eigencentrality's bump-less twin of _katz_oracle_sql: the walk
+    counting recurrence y_{t+1} = sum of in-neighbor y_t unrolled as
+    materialized CTEs over the symmetrized co-purchase graph; ``walks``
+    exact, ``eig`` one IEEE division by the exact max."""
+    ctes = []
+    prev = "k0"
+    for t in range(1, rounds + 1):
+        cur = f"k{t}"
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+                SELECT v.id, CAST(COALESCE(m.g, 0) AS BIGINT) AS y
+                FROM verts v LEFT JOIN (
+                    SELECT und.v AS id, SUM(p.y) AS g
+                    FROM und JOIN {prev} p ON p.id = und.u
+                    GROUP BY und.v
+                ) m ON m.id = v.id
+            )"""
+        )
+        prev = cur
+    return f"""
+        WITH edges AS ({COPURCHASE_EDGES_SQL}),
+        und AS (
+            SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+            UNION
+            SELECT dst AS u, src AS v FROM edges WHERE src <> dst
+        ),
+        verts AS (SELECT DISTINCT u AS id FROM und),
+        k0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS y FROM verts),
+        {", ".join(ctes)}
+        SELECT CAST(id AS BIGINT) AS id,
+               CAST(y AS BIGINT) AS walks,
+               CAST(y AS DOUBLE) / CAST((SELECT MAX(y) FROM {prev}) AS DOUBLE)
+                   AS eig
+        FROM {prev}
+    """
+
+
 def _build_order_oracle_sql(rounds: int, edges_sql: str) -> str:
     """Condensation DAG (closure-derived SCC labels) + the kernel's
     all-integer longest-path relaxation unrolled as materialized CTEs —
@@ -4403,6 +4460,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sid
         """,
         "katz_fixed": _katz_oracle_sql(_KATZ_ROUNDS, _KATZ_BASE),
+        "eigencentrality_fixed": _eigen_oracle_sql(_EIG_ROUNDS),
         "build_order": _build_order_oracle_sql(
             _BUILD_ORDER_UNROLL, _import_edges_md5_sql(_SCC_FILES, 8, 12, 16)
         ),

@@ -1,4 +1,5 @@
 from paragrapher_spark.functions.extract import IMPORT_PATTERNS, extract_import_keys
+from paragrapher_spark.functions.stats import group_quantiles
 from paragrapher_spark.functions.text import (
     cooccurrence_counts,
     detect_language,
@@ -10,6 +11,7 @@ from paragrapher_spark.functions.text import (
 __all__ = [
     "extract_import_keys",
     "IMPORT_PATTERNS",
+    "group_quantiles",
     "cooccurrence_counts",
     "detect_language",
     "fingerprint",

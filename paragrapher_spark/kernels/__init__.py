@@ -15,7 +15,7 @@ from paragrapher_spark.kernels.degrees import (
 )
 from paragrapher_spark.kernels.hits import hits
 from paragrapher_spark.kernels.hyperball import hyperball
-from paragrapher_spark.kernels.katz import katz
+from paragrapher_spark.kernels.katz import eigencentrality, katz
 from paragrapher_spark.kernels.kcore import kcore
 from paragrapher_spark.kernels.labelprop import label_propagation, modularity
 from paragrapher_spark.kernels.neighborhood import assemble, neighbor_feature_agg
@@ -49,6 +49,7 @@ __all__ = [
     "top_k_degrees",
     "hits",
     "hyperball",
+    "eigencentrality",
     "katz",
     "kcore",
     "coreness",

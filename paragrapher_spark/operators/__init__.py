@@ -1,3 +1,4 @@
+from paragrapher_spark.operators.asof import asof_join, range_join
 from paragrapher_spark.operators.indexing import dense_ids, prefix_sum
 from paragrapher_spark.operators.salting import explode_salts, salt_column
 from paragrapher_spark.operators.packing import pack_documents, pack_stats
@@ -9,6 +10,8 @@ from paragrapher_spark.operators.sampling import (
 )
 
 __all__ = [
+    "asof_join",
+    "range_join",
     "dense_ids",
     "prefix_sum",
     "salt_column",

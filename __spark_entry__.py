@@ -1765,6 +1765,29 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MATCH_UNROLL = 16
+
+
+def _q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicographically-first maximal matching (deterministic parallel
+    local-min edge rounds, kernels/matching.py) of the co-purchase
+    graph, with the round that matched each edge. Oracle: the rounds
+    unrolled as materialized CTEs (empty past the fixpoint, so
+    over-unrolling is exact — the MIS pattern on edges)."""
+    from paragrapher_spark.kernels.matching import maximal_matching
+
+    edges = copurchase_edges(spark, sf_dir)
+    res = maximal_matching(edges)
+    if res.rounds > _MATCH_UNROLL:
+        raise AssertionError(
+            f"matching took {res.rounds} rounds > the oracle's "
+            f"{_MATCH_UNROLL}-round unroll; raise _MATCH_UNROLL"
+        )
+    return res.matching.select(
+        F.col("a").cast("long"), F.col("b").cast("long"), F.col("round").cast("int")
+    )
+
+
 _EIG_ROUNDS = 6
 
 
@@ -1955,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "eigencentrality_fixed": _q_eigencentrality_fixed,
+        "maximal_matching": _q_maximal_matching,
     }
 
 
@@ -3713,6 +3737,54 @@ def _katz_oracle_sql(rounds: int, base: int) -> str:
     """
 
 
+def _matching_oracle_sql(rounds: int) -> str:
+    """kernels/matching.py unrolled: per round every undecided canonical
+    edge compares its (md5, a, b) key against the ROW-min over undecided
+    edges at each endpoint; strict double winners join, their endpoints'
+    edges leave. Empty past the fixpoint, so over-unrolling is exact."""
+    h_expr = _md5h("match", "CAST(a AS VARCHAR), CAST(b AS VARCHAR)")
+    parts = [
+        f"WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),",
+        f"""
+    e0 AS MATERIALIZED (
+        SELECT a, b, {h_expr} AS h FROM (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM edges WHERE src <> dst GROUP BY 1, 2
+        )
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    vm{r} AS MATERIALIZED (
+        SELECT v, MIN(ROW(h, a, b)) AS mn FROM (
+            SELECT a AS v, h, a, b FROM e{r - 1}
+            UNION ALL SELECT b AS v, h, a, b FROM e{r - 1}
+        ) GROUP BY v
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{r - 1} e
+        JOIN vm{r} ma ON ma.v = e.a
+        JOIN vm{r} mb ON mb.v = e.b
+        WHERE ROW(e.h, e.a, e.b) = ma.mn AND ROW(e.h, e.a, e.b) = mb.mn
+    ),
+    mv{r} AS MATERIALIZED (
+        SELECT a AS v FROM w{r} UNION SELECT b FROM w{r}
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT a, b, h FROM e{r - 1}
+        WHERE a NOT IN (SELECT v FROM mv{r})
+          AND b NOT IN (SELECT v FROM mv{r})
+    )""")
+    matched = "\n        UNION ALL ".join(
+        f"SELECT a, b, {r} AS r FROM w{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(r AS INTEGER) AS round
+    FROM ({matched})""")
+    return "".join(parts)
+
+
 def _eigen_oracle_sql(rounds: int) -> str:
     """eigencentrality's bump-less twin of _katz_oracle_sql: the walk
     counting recurrence y_{t+1} = sum of in-neighbor y_t unrolled as
@@ -4461,6 +4533,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "katz_fixed": _katz_oracle_sql(_KATZ_ROUNDS, _KATZ_BASE),
         "eigencentrality_fixed": _eigen_oracle_sql(_EIG_ROUNDS),
+        "maximal_matching": _matching_oracle_sql(_MATCH_UNROLL),
         "build_order": _build_order_oracle_sql(
             _BUILD_ORDER_UNROLL, _import_edges_md5_sql(_SCC_FILES, 8, 12, 16)
         ),

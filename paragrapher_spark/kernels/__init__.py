@@ -18,6 +18,7 @@ from paragrapher_spark.kernels.hyperball import hyperball
 from paragrapher_spark.kernels.katz import eigencentrality, katz
 from paragrapher_spark.kernels.kcore import kcore
 from paragrapher_spark.kernels.labelprop import label_propagation, modularity
+from paragrapher_spark.kernels.matching import maximal_matching
 from paragrapher_spark.kernels.neighborhood import assemble, neighbor_feature_agg
 from paragrapher_spark.kernels.pagerank import pagerank
 from paragrapher_spark.kernels.scc import condensation, scc
@@ -56,6 +57,7 @@ __all__ = [
     "ktruss",
     "label_propagation",
     "maximal_independent_set",
+    "maximal_matching",
     "modularity",
     "link_prediction",
     "assortativity",

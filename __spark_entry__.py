@@ -1765,6 +1765,27 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROJ_CAP = 50
+
+
+def _q_shared_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite co-reference projection (graph.bipartite_project): file
+    pairs of the import graph that import at least one common target,
+    weight = exact distinct shared-target count — the co-citation /
+    shared-dependency view (Small 1973). Hub targets above in-degree
+    _PROJ_CAP are excluded loudly in BOTH engines (none exist at this
+    corpus's max in-degree 6, so the cap is exercised by the planted
+    test, not the gate)."""
+    from paragrapher_spark.graph import bipartite_project
+
+    corpus = synth_corpus_sql(spark, n_files=1200, n_repos=8, max_out=10)
+    g = edges_from_corpus(corpus, num_partitions=8)
+    proj = bipartite_project(g.edges, cap=_PROJ_CAP)
+    return proj.select(
+        F.col("a").cast("long"), F.col("b").cast("long"), F.col("weight")
+    )
+
+
 _MATCH_UNROLL = 16
 
 
@@ -1979,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "eigencentrality_fixed": _q_eigencentrality_fixed,
         "maximal_matching": _q_maximal_matching,
+        "shared_imports": _q_shared_imports,
     }
 
 
@@ -4534,6 +4556,19 @@ def oracle_sql() -> dict[str, str]:
         "katz_fixed": _katz_oracle_sql(_KATZ_ROUNDS, _KATZ_BASE),
         "eigencentrality_fixed": _eigen_oracle_sql(_EIG_ROUNDS),
         "maximal_matching": _matching_oracle_sql(_MATCH_UNROLL),
+        "shared_imports": f"""
+    WITH edges AS ({_import_edges_sql(1200, 8, 10)}),
+    arcs AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+    indeg AS (SELECT dst, count(*) AS c FROM arcs GROUP BY dst),
+    keep AS (
+        SELECT a.src, a.dst FROM arcs a
+        JOIN indeg i ON i.dst = a.dst WHERE i.c <= {_PROJ_CAP}
+    )
+    SELECT CAST(x.src AS BIGINT) AS a, CAST(y.src AS BIGINT) AS b,
+           CAST(count(*) AS BIGINT) AS weight
+    FROM keep x JOIN keep y ON x.dst = y.dst AND x.src < y.src
+    GROUP BY 1, 2
+    """,
         "build_order": _build_order_oracle_sql(
             _BUILD_ORDER_UNROLL, _import_edges_md5_sql(_SCC_FILES, 8, 12, 16)
         ),

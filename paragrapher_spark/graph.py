@@ -203,3 +203,49 @@ def quotient_graph(
     return e.groupBy(
         F.col("gsrc").alias("src_group"), F.col("gdst").alias("dst_group")
     ).agg(w.alias("weight"))
+
+
+def bipartite_project(
+    edges: DataFrame,
+    cap: int = 1000,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Co-reference projection of a directed ``edges(src, dst)`` table:
+    one row per unordered source pair (a < b) that references at least
+    one common dst, ``weight`` = the exact number of distinct shared
+    dsts. The co-citation / co-import / users-who-bought-together shape
+    (Small 1973) — the projection every bipartite recommender and
+    shared-dependency analysis starts from.
+
+    Scale contract: a dst referenced by d sources fans out to d·(d-1)/2
+    pairs, so hub dsts are the quadratic blow-up. dsts with in-degree >
+    ``cap`` are EXCLUDED and counted (``metrics["n_dropped_dsts"]`` /
+    ``["n_dropped_refs"]`` — the minhash dropped-bucket discipline:
+    never a silent drop, never an unbounded wedge join). Plan: dedupe
+    arcs (one shuffle), in-degree agg + filter, self-equi-join on dst,
+    map-side-combinable pair count. No per-row Python anywhere.
+    """
+    arcs = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    indeg = arcs.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    if metrics is not None:
+        drop = (
+            indeg.where(F.col("d") > cap)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("d"), F.lit(0)).alias("r"),
+            )
+            .collect()[0]
+        )
+        metrics["n_dropped_dsts"] = int(drop["n"])
+        metrics["n_dropped_refs"] = int(drop["r"])
+    keep = arcs.join(
+        indeg.where(F.col("d") <= cap).select("dst"), on="dst", how="left_semi"
+    )
+    a = keep.select(F.col("dst"), F.col("src").alias("a"))
+    b = keep.select(F.col("dst"), F.col("src").alias("b"))
+    return (
+        a.join(b, on="dst")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )

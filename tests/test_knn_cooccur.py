@@ -151,3 +151,42 @@ def test_quotient_graph(spark):
         ).collect()
     }
     assert with_loops[("a", "a")] == 2 and with_loops[("b", "b")] == 5
+
+
+def _brute_project(pairs, cap):
+    arcs = {(s, d) for s, d in pairs if s != d}
+    indeg = defaultdict(int)
+    for _, d in arcs:
+        indeg[d] += 1
+    out = defaultdict(int)
+    for d in {d for _, d in arcs}:
+        if indeg[d] > cap:
+            continue
+        srcs = sorted(s for s, dd in arcs if dd == d)
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                out[(srcs[i], srcs[j])] += 1
+    return dict(out)
+
+
+def test_bipartite_project_matches_brute_force(spark):
+    from paragrapher_spark.graph import bipartite_project
+
+    pairs = [(0, 9), (1, 9), (2, 9), (0, 8), (2, 8), (3, 7), (3, 7),
+             (4, 4), (1, 8), (5, 6)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {(r.a, r.b): r.weight for r in bipartite_project(edges, cap=10).collect()}
+    assert got == _brute_project(pairs, cap=10)
+
+
+def test_bipartite_project_hub_cap_drops_loudly(spark):
+    from paragrapher_spark.graph import bipartite_project
+
+    # dst 99 referenced by 5 sources (> cap 3) must be excluded AND counted
+    pairs = [(i, 99) for i in range(5)] + [(0, 1), (2, 1)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    m: dict = {}
+    got = {(r.a, r.b): r.weight
+           for r in bipartite_project(edges, cap=3, metrics=m).collect()}
+    assert got == {(0, 2): 1}
+    assert m["n_dropped_dsts"] == 1 and m["n_dropped_refs"] == 5

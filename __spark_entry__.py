@@ -1765,6 +1765,29 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle count (kernels/triangles.py
+    triangle_count_sampled, Tsourakakis KDD'09) at p=1/2 next to the
+    exact count: the deterministic md5 edge coin makes the sparsified
+    count replayable, the estimate is sampled*8.0 exactly, and rel_err
+    is ONE IEEE division — an approximate operator under a fully exact
+    gate."""
+    from paragrapher_spark.kernels.triangles import triangle_count_sampled
+
+    edges = copurchase_edges(spark, sf_dir)
+    s = triangle_count_sampled(edges, fraction=0.5)
+    exact = triangle_count(edges).select(F.col("triangles").alias("exact_triangles"))
+    return s.crossJoin(exact).select(
+        F.col("sampled_triangles").cast("long"),
+        F.col("triangles_est"),
+        F.col("exact_triangles").cast("long"),
+        (
+            (F.col("triangles_est") - F.col("exact_triangles"))
+            / F.col("exact_triangles")
+        ).alias("rel_err"),
+    )
+
+
 _PROJ_CAP = 50
 
 
@@ -2001,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality_fixed": _q_eigencentrality_fixed,
         "maximal_matching": _q_maximal_matching,
         "shared_imports": _q_shared_imports,
+        "triangle_count_doulion": _q_triangle_count_doulion,
     }
 
 
@@ -4556,6 +4580,36 @@ def oracle_sql() -> dict[str, str]:
         "katz_fixed": _katz_oracle_sql(_KATZ_ROUNDS, _KATZ_BASE),
         "eigencentrality_fixed": _eigen_oracle_sql(_EIG_ROUNDS),
         "maximal_matching": _matching_oracle_sql(_MATCH_UNROLL),
+        "triangle_count_doulion": f"""
+    WITH edges AS ({COPURCHASE_EDGES_SQL}),
+    und AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    kept AS MATERIALIZED (
+        SELECT a, b FROM und
+        WHERE {_md5h("doulion", "CAST(a AS VARCHAR), CAST(b AS VARCHAR)")}
+                  < {threshold_for(0.5)}
+    ),
+    ts AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM kept e1
+        JOIN kept e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN kept e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    tx AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT ts.n AS sampled_triangles,
+           CAST(ts.n AS DOUBLE) * 8.0 AS triangles_est,
+           tx.n AS exact_triangles,
+           (CAST(ts.n AS DOUBLE) * 8.0 - CAST(tx.n AS DOUBLE))
+               / CAST(tx.n AS DOUBLE) AS rel_err
+    FROM ts, tx
+    """,
         "shared_imports": f"""
     WITH edges AS ({_import_edges_sql(1200, 8, 10)}),
     arcs AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),

@@ -165,3 +165,48 @@ def transitivity(edges: DataFrame) -> DataFrame:
             / F.col("wedges").cast("double")
         ).alias("transitivity"),
     )
+
+
+def triangle_count_sampled(
+    edges: DataFrame,
+    fraction: float = 0.5,
+    seed: int = 42,
+    tag: str = "doulion",
+) -> DataFrame:
+    """DOULION approximate triangle count (Tsourakakis et al., KDD 2009):
+    keep each canonical undirected edge with probability p via the
+    repo's deterministic md5-threshold coin (operators/sampling.py — the
+    same replayable hash family as every sampled query), exact-count
+    triangles on the sparsified graph, scale by 1/p^3.
+
+    Returns ONE row: ``sampled_triangles`` (exact long) and
+    ``triangles_est`` = sampled * float(1/p^3) — ONE IEEE multiply of an
+    exact long by a driver-computed constant (for p = 1/2 the scale is
+    exactly 8.0, so even the estimate is exact in a second engine).
+
+    Scale story: the sparsified graph has ~p*|E| edges, so the oriented
+    wedge join's O(sqrt(E)) hub fan-out shrinks by p^1.5 — this is the
+    100 TB path when the exact count's shuffle is the bottleneck; the
+    coin is a pushed-down filter, so the scan prunes before any shuffle.
+    """
+    from fractions import Fraction
+
+    from paragrapher_spark.operators.sampling import (
+        HASH_SPACE,
+        sample_hash,
+        threshold_for,
+    )
+
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+    kept = sample_hash(und, fraction, ["src", "dst"], tag=tag, seed=seed)
+    inv = Fraction(HASH_SPACE, threshold_for(fraction)) ** 3
+    return triangle_count(kept).select(
+        F.col("triangles").alias("sampled_triangles"),
+        (F.col("triangles") * F.lit(float(inv))).alias("triangles_est"),
+    )

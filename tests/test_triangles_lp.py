@@ -77,3 +77,44 @@ def test_lp_star(spark):
 
 def test_lp_powerlaw(spark):
     _lp_compare(spark, powerlaw_graph(spark, n=300, m=3))
+
+
+def test_doulion_sampled_count_matches_hash_replay(spark):
+    import hashlib
+    from itertools import combinations
+
+    from paragrapher_spark.kernels.triangles import triangle_count_sampled
+    from paragrapher_spark.operators.sampling import threshold_for
+
+    # K8: 28 edges, 56 triangles — enough for the coin to split
+    pairs = [(i, j) for i, j in combinations(range(8), 2)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    thr = threshold_for(0.5)
+    kept = {
+        (a, b)
+        for a, b in pairs
+        if int(hashlib.md5(f"doulion:42:{a}:{b}".encode()).hexdigest()[:15], 16)
+        < thr
+    }
+    want = sum(
+        1
+        for u, v, w in combinations(range(8), 3)
+        if {(u, v), (u, w), (v, w)} <= kept
+    )
+    [row] = triangle_count_sampled(edges, fraction=0.5).collect()
+    assert row["sampled_triangles"] == want
+    assert row["triangles_est"] == want * 8.0
+
+
+def test_doulion_fraction_one_is_exact(spark):
+    from paragrapher_spark.kernels.triangles import (
+        triangle_count,
+        triangle_count_sampled,
+    )
+
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (1, 4)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    [exact] = triangle_count(edges).collect()
+    [row] = triangle_count_sampled(edges, fraction=1.0).collect()
+    assert row["sampled_triangles"] == exact["triangles"]
+    assert row["triangles_est"] == float(exact["triangles"])

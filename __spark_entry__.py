@@ -1765,6 +1765,24 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component odd-cycle test (kernels/components.py
+    bipartite_check): WCC roots seed one BFS per component, the parity
+    join counts same-level canonical edges — is_bipartite per component
+    with exact conflict counts. Composition of two already-oracled
+    kernels under one new gate."""
+    from paragrapher_spark.kernels.components import bipartite_check
+
+    edges = copurchase_edges(spark, sf_dir)
+    res = bipartite_check(edges, max_depth=16)
+    return res.select(
+        F.col("component").cast("long"),
+        F.col("n_vertices").cast("long"),
+        F.col("n_conflicts").cast("long"),
+        "is_bipartite",
+    )
+
+
 def _q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sampled triangle count (kernels/triangles.py
     triangle_count_sampled, Tsourakakis KDD'09) at p=1/2 next to the
@@ -2025,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_matching": _q_maximal_matching,
         "shared_imports": _q_shared_imports,
         "triangle_count_doulion": _q_triangle_count_doulion,
+        "bipartite_check": _q_bipartite_check,
     }
 
 
@@ -4580,6 +4599,34 @@ def oracle_sql() -> dict[str, str]:
         "katz_fixed": _katz_oracle_sql(_KATZ_ROUNDS, _KATZ_BASE),
         "eigencentrality_fixed": _eigen_oracle_sql(_EIG_ROUNDS),
         "maximal_matching": _matching_oracle_sql(_MATCH_UNROLL),
+        "bipartite_check": f"""
+    {_WCC_CTE},
+    walk(id, d) AS (
+        SELECT component, 0 FROM (SELECT DISTINCT component FROM comp)
+        UNION
+        SELECT u.b, walk.d + 1 FROM walk JOIN und u ON u.a = walk.id
+        WHERE walk.d < 16
+    ),
+    dist AS (SELECT id, MIN(d) AS d FROM walk GROUP BY id),
+    canon AS (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    confl AS (
+        SELECT c.component, count(*) AS n FROM canon e
+        JOIN dist da ON da.id = e.a
+        JOIN dist db ON db.id = e.b
+        JOIN comp c ON c.id = e.a
+        WHERE da.d % 2 = db.d % 2
+        GROUP BY 1
+    )
+    SELECT CAST(c.component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(COALESCE(MAX(f.n), 0) AS BIGINT) AS n_conflicts,
+           COALESCE(MAX(f.n), 0) = 0 AS is_bipartite
+    FROM comp c LEFT JOIN confl f ON f.component = c.component
+    GROUP BY c.component
+    """,
         "triangle_count_doulion": f"""
     WITH edges AS ({COPURCHASE_EDGES_SQL}),
     und AS MATERIALIZED (

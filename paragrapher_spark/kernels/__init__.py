@@ -2,6 +2,7 @@ from paragrapher_spark.kernels.betweenness import betweenness, harmonic_centrali
 from paragrapher_spark.kernels.bfs import bfs
 from paragrapher_spark.kernels.coloring import greedy_coloring
 from paragrapher_spark.kernels.components import (
+    bipartite_check,
     component_sizes,
     connected_components,
 )
@@ -40,6 +41,8 @@ __all__ = [
     "harmonic_centrality",
     "bfs",
     "greedy_coloring",
+    "bipartite_check",
+    "bipartite_check",
     "component_sizes",
     "connected_components",
     "avg_neighbor_degree",

@@ -182,3 +182,70 @@ def connected_components(
 def component_sizes(components: DataFrame) -> DataFrame:
     """(component, size) — `test2:244-285`'s wcc_dist; sizes sum to |V|."""
     return components.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+
+def bipartite_check(edges: DataFrame, max_depth: int = 16) -> DataFrame:
+    """Per-component bipartiteness by BFS-parity 2-coloring: a component
+    is bipartite iff no edge joins two vertices at the same BFS-level
+    parity from its root (odd-cycle test — König's theorem's algorithmic
+    face; the graph-ML sanity check before any bipartite-only method).
+
+    Composition of two existing kernels, no new iteration machinery:
+    ``connected_components`` (min-id roots) supplies one BFS source per
+    component, the multi-source ``bfs`` computes hop distances (sources
+    sit in disjoint components, so the one run IS per-component
+    single-source BFS), and the verdict is one parity join over the
+    canonical edge set. Returns one row per component:
+    (component, n_vertices, n_conflicts, is_bipartite) — n_conflicts =
+    exact count of same-parity canonical edges, every column gated.
+
+    ``max_depth`` must be >= the largest component eccentricity of its
+    root; bfs raising/under-reaching would surface as a vertex with no
+    distance, which this function turns into a LOUD error rather than a
+    wrong verdict.
+    """
+    from paragrapher_spark.kernels.bfs import bfs
+
+    comp = connected_components(edges).components  # (id, component)
+    roots = comp.where(F.col("id") == F.col("component")).select("id")
+    depths = bfs(edges, roots, directed=False, max_depth=max_depth).distances
+    side = comp.join(depths, on="id", how="left").select(
+        "id",
+        "component",
+        (F.col("dist") % 2).alias("side"),
+        F.col("dist").alias("__dist"),
+    )
+    n_unreached = side.where(F.col("__dist").isNull()).count()
+    if n_unreached:
+        raise RuntimeError(
+            f"bipartite_check: {n_unreached} vertices unreached at "
+            f"max_depth={max_depth} — raise max_depth"
+        )
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    conflicts = (
+        und.join(side.select(F.col("id").alias("a"), F.col("side").alias("sa"),
+                             F.col("component")), on="a")
+        .join(side.select(F.col("id").alias("b"), F.col("side").alias("sb")), on="b")
+        .where(F.col("sa") == F.col("sb"))
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conflicts"))
+    )
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+        .join(conflicts, on="component", how="left")
+        .select(
+            "component",
+            "n_vertices",
+            F.coalesce(F.col("n_conflicts"), F.lit(0)).cast("long").alias(
+                "n_conflicts"
+            ),
+            (F.coalesce(F.col("n_conflicts"), F.lit(0)) == 0).alias("is_bipartite"),
+        )
+    )

@@ -64,3 +64,78 @@ def test_isolated_vertices(spark):
     res = connected_components(edges, vertices=vertices)
     got = {r.id: r.component for r in res.components.collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 6, 7: 7}
+
+
+def _py_bipartite(pairs):
+    """BFS 2-coloring replay: per component (min-id root), min-dist
+    parity sides, conflicts = same-side canonical edges."""
+    from collections import deque
+
+    adj = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    ids = sorted(adj)
+    comp, dist = {}, {}
+    for r in ids:
+        if r in comp:
+            continue
+        comp[r], dist[r] = r, 0
+        q = deque([r])
+        while q:
+            v = q.popleft()
+            for u in sorted(adj[v]):
+                if u not in comp:
+                    comp[u], dist[u] = r, dist[v] + 1
+                    q.append(u)
+    canon = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    out = {}
+    for r in set(comp.values()):
+        n = sum(1 for v in comp if comp[v] == r)
+        c = sum(
+            1 for a, b in canon
+            if comp[a] == r and dist[a] % 2 == dist[b] % 2
+        )
+        out[r] = (n, c, c == 0)
+    return out
+
+
+def test_bipartite_check_matches_python_replay(spark):
+    from paragrapher_spark.kernels.components import bipartite_check
+
+    # even 6-cycle (bipartite) + triangle (odd cycle) + path (bipartite)
+    pairs = (
+        [(i, (i + 1) % 6) for i in range(6)]
+        + [(10, 11), (11, 12), (10, 12)]
+        + [(20, 21), (21, 22)]
+    )
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["component"]: (r["n_vertices"], r["n_conflicts"], r["is_bipartite"])
+        for r in bipartite_check(edges).collect()
+    }
+    assert got == _py_bipartite(pairs)
+    assert got[0][2] and got[20][2] and not got[10][2]
+
+
+def test_bipartite_check_odd_cycle_conflict_count(spark):
+    from paragrapher_spark.kernels.components import bipartite_check
+
+    # 5-cycle: exactly one same-parity edge under BFS from vertex 0
+    pairs = [(i, (i + 1) % 5) for i in range(5)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    [row] = bipartite_check(edges).collect()
+    assert (row["n_conflicts"], row["is_bipartite"]) == (1, False)
+
+
+def test_bipartite_check_loud_when_depth_too_small(spark):
+    import pytest as _pytest
+
+    from paragrapher_spark.kernels.components import bipartite_check
+
+    pairs = [(i, i + 1) for i in range(6)]  # path of length 6
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    with _pytest.raises(RuntimeError, match="max_depth"):
+        bipartite_check(edges, max_depth=2)

@@ -1765,6 +1765,23 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus duplicate n-gram fraction (operators/dedup.py
+    dup_gram_stats — the Lee et al. 2022 / Dolma curation signal): per
+    doc, how many of its distinct word 3-grams occur in any OTHER doc.
+    Linear inverted-index audit, no pairwise blow-up."""
+    from paragrapher_spark.operators.dedup import dup_gram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = dup_gram_stats(docs)
+    return res.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_grams",
+        "n_dup",
+        "frac_dup",
+    )
+
+
 def _q_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-component odd-cycle test (kernels/components.py
     bipartite_check): WCC roots seed one BFS per component, the parity
@@ -2044,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_imports": _q_shared_imports,
         "triangle_count_doulion": _q_triangle_count_doulion,
         "bipartite_check": _q_bipartite_check,
+        "dup_gram_stats": _q_dup_gram_stats,
     }
 
 
@@ -4599,6 +4617,37 @@ def oracle_sql() -> dict[str, str]:
         "katz_fixed": _katz_oracle_sql(_KATZ_ROUNDS, _KATZ_BASE),
         "eigencentrality_fixed": _eigen_oracle_sql(_EIG_ROUNDS),
         "maximal_matching": _matching_oracle_sql(_MATCH_UNROLL),
+        "dup_gram_stats": f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               ELSE [array_to_string(toks, ' ')] END AS grams
+        FROM t
+    ),
+    e AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g),
+    c AS (SELECT doc_id, count(*) AS n_grams FROM e GROUP BY doc_id),
+    dup AS (
+        SELECT gram FROM (
+            SELECT gram, count(*) AS df FROM e GROUP BY gram
+        ) WHERE df >= 2
+    ),
+    sh AS (
+        SELECT e.doc_id, count(*) AS n_dup
+        FROM e JOIN dup USING (gram) GROUP BY e.doc_id
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(c.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(sh.n_dup, 0) AS BIGINT) AS n_dup,
+           ROUND(COALESCE(sh.n_dup, 0) / CAST(c.n_grams AS DOUBLE), 6)
+               AS frac_dup
+    FROM c LEFT JOIN sh ON sh.doc_id = c.doc_id
+    """,
         "bipartite_check": f"""
     {_WCC_CTE},
     walk(id, d) AS (

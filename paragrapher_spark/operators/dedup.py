@@ -551,3 +551,56 @@ def embedding_dup_pairs(
         .where(F.col("score") >= threshold)
         .distinct()
     )
+
+
+def dup_gram_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Within-corpus duplicate-text audit (the "duplicate n-gram
+    fraction" curation signal — Lee et al. 2022 "Deduplicating training
+    data makes language models better" measure this before choosing a
+    dedup threshold; Dolma reports it per source): for every doc, how
+    many of its DISTINCT word n-grams also occur in at least one OTHER
+    doc.
+
+    Returns (id, n_grams, n_dup, frac_dup[round 6]) — all integer until
+    the final rounded ratio, so a DuckDB twin gates every row.
+
+    Scale shape: tokenization stays in whole-stage codegen
+    (``word_ngrams``, the module's single gram contract); the audit is
+    gram doc-frequency (one map-side-combinable agg over distinct
+    (doc, gram)) + one semi-join of the doc's grams against the df>=2
+    gram set — linear in corpus gram volume, one shuffle per step,
+    never the pairwise blow-up the candidate listers need caps for.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    per_doc = grams.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    # distinct per doc already (word_ngrams dedupes), so df = #docs w/ gram
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gram")
+    )
+    n_dup = (
+        grams.join(dup_grams, on="gram", how="left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup"))
+    )
+    return (
+        per_doc.join(n_dup, on="id", how="left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("frac_dup"),
+        )
+    )

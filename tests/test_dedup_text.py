@@ -392,3 +392,38 @@ def test_redact_pii_planted(spark):
     # 5-digit run stays (the {6,} floor) — redaction is not a digit nuke
     assert (got[4].n_email, got[4].n_number) == (0, 0)
     assert got[4].scrubbed == rows[4][1]
+
+
+def test_dup_gram_stats_matches_set_replay(spark):
+    from paragrapher_spark.operators.dedup import dup_gram_stats
+
+    rows = [
+        (0, "the quick brown fox jumps over"),
+        (1, "a quick brown fox jumps today"),   # shares "quick brown fox" ...
+        (2, "completely different text here now"),
+        (3, "the quick brown fox jumps over"),  # exact dup of 0
+        (4, "tiny doc"),                        # < n tokens -> one gram
+        (5, "tiny doc"),                        # whole-string gram dup of 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(t, n=3):
+        toks = [x for x in t.split(" ") if x]
+        if len(toks) >= n:
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    gm = {i: grams(t) for i, t in rows}
+    got = {r["id"]: (r["n_grams"], r["n_dup"], r["frac_dup"])
+           for r in dup_gram_stats(docs).collect()}
+    assert set(got) == set(gm)
+    for i, gs in gm.items():
+        dup = {g for g in gs if any(g in gm[j] for j in gm if j != i)}
+        n_g, n_d, frac = got[i]
+        assert (n_g, n_d) == (len(gs), len(dup)), i
+        assert frac == round(len(dup) / len(gs), 6)
+    # the planted structure: 0/3 fully duplicated, 2 untouched, 4/5 via
+    # the short-doc whole-string gram
+    assert got[0][1] == got[0][0] and got[3][1] == got[3][0]
+    assert got[2][1] == 0
+    assert got[4] == (1, 1, 1.0) and got[5] == (1, 1, 1.0)

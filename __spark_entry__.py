@@ -1765,6 +1765,27 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_SCALE = 10**9
+
+
+def _q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score per document (functions/text.py
+    lm_bigram_scores — the CCNet-style quality bucket signal) with the
+    corpus as its own LM: per-bigram MLE probabilities in 1e-9 fixed
+    point, summed exactly; lm_score is ONE IEEE division. Docs with <2
+    tokens keep a NULL score."""
+    from paragrapher_spark.functions.text import lm_bigram_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = lm_bigram_scores(docs, scale=_LM_SCALE)
+    return res.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "lm_fp_sum",
+        "lm_score",
+    )
+
+
 def _q_dup_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-corpus duplicate n-gram fraction (operators/dedup.py
     dup_gram_stats — the Lee et al. 2022 / Dolma curation signal): per
@@ -2062,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_doulion": _q_triangle_count_doulion,
         "bipartite_check": _q_bipartite_check,
         "dup_gram_stats": _q_dup_gram_stats,
+        "doc_lm_score": _q_doc_lm_score,
     }
 
 
@@ -4617,6 +4639,34 @@ def oracle_sql() -> dict[str, str]:
         "katz_fixed": _katz_oracle_sql(_KATZ_ROUNDS, _KATZ_BASE),
         "eigencentrality_fixed": _eigen_oracle_sql(_EIG_ROUNDS),
         "maximal_matching": _matching_oracle_sql(_MATCH_UNROLL),
+        "doc_lm_score": f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id AS d,
+               unnest({_TOKENS}) AS tok,
+               unnest(range(len({_TOKENS}))) AS pos
+        FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT t1.d, t1.tok AS w1, t2.tok AS w2
+        FROM toks t1 JOIN toks t2 ON t2.d = t1.d AND t2.pos = t1.pos + 1
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    per AS (
+        SELECT bg.d, count(*) AS n_bigrams,
+               CAST(SUM((c12.c12 * CAST({_LM_SCALE} AS BIGINT)) // c1.c1)
+                   AS BIGINT) AS fp
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY bg.d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(per.fp, 0) AS BIGINT) AS lm_fp_sum,
+           CAST(per.fp AS DOUBLE)
+               / CAST(per.n_bigrams * CAST({_LM_SCALE} AS BIGINT) AS DOUBLE)
+               AS lm_score
+    FROM documents LEFT JOIN per ON per.d = documents.doc_id
+    """,
         "dup_gram_stats": f"""
     WITH t AS MATERIALIZED (
         SELECT doc_id, {_TOKENS} AS toks FROM documents

@@ -440,3 +440,79 @@ def redact_pii(
     for _, pat, repl in PII_RULES:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return docs.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def lm_bigram_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Bigram language-model quality score per document, in fixed point —
+    the CCNet/Gopher-style "LM fluency" filter signal (CCNet buckets docs
+    by LM score before training; this is the same shape with the corpus
+    itself as the LM, a perplexity proxy with NO float in the pipeline).
+
+    Model: corpus-wide MLE P(w2|w1) = c(w1 w2) / c(w1 ·) where c(w1 ·)
+    is the count of bigrams starting with w1. Per doc the score is the
+    mean of its bigrams' probabilities, carried as integers:
+    p_fp = (c12 * scale) DIV c1 per bigram (exact), summed exactly;
+    ``lm_score`` = lm_fp_sum / (n_bigrams * scale) is ONE IEEE division
+    of two exact longs, so a DuckDB twin replays every row. Repeated
+    n-grams count with multiplicity (it is a language model, not a set).
+
+    Docs under 2 tokens have n_bigrams = 0 and a NULL score (they carry
+    no bigram evidence — callers route them to a length filter instead).
+
+    Overflow is checked exactly, not estimated: max(c12) * scale must
+    stay under 2^62 or this raises loudly (at web scale drop ``scale``
+    to 10**6 — the score keeps 6 digits).
+
+    Scale shape: tokenize + bigram expansion in whole-stage codegen
+    (transform over the token array, one explode); two
+    map-side-combinable count aggs; two equi-joins of doc bigrams
+    against the (much smaller) count tables — broadcastable when the
+    vocab fits; one final per-doc agg. No per-row Python anywhere.
+    """
+    toks = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bg = docs.select(
+        F.col(id_col).alias("id"), F.explode(bigrams).alias("b")
+    ).select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    max_c12 = c12.agg(F.max("c12")).collect()[0][0] or 0
+    if max_c12 * scale >= 2**62:
+        raise ValueError(
+            f"lm_bigram_scores fixed point would overflow: max bigram count "
+            f"{max_c12} * scale {scale} >= 2^62 — lower scale="
+        )
+    scored = (
+        bg.join(c12, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .withColumn("p_fp", F.expr(f"(c12 * CAST({scale} AS BIGINT)) DIV c1"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("p_fp").cast("long").alias("lm_fp_sum"),
+        )
+    )
+    all_docs = docs.select(F.col(id_col).alias("id"))
+    return all_docs.join(scored, on="id", how="left").select(
+        "id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("lm_fp_sum"), F.lit(0)).cast("long").alias("lm_fp_sum"),
+        (
+            F.col("lm_fp_sum").cast("double")
+            / (F.col("n_bigrams") * F.lit(scale)).cast("double")
+        ).alias("lm_score"),
+    )

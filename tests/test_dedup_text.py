@@ -427,3 +427,52 @@ def test_dup_gram_stats_matches_set_replay(spark):
     assert got[0][1] == got[0][0] and got[3][1] == got[3][0]
     assert got[2][1] == 0
     assert got[4] == (1, 1, 1.0) and got[5] == (1, 1, 1.0)
+
+
+def test_lm_bigram_scores_matches_python_replay(spark):
+    from collections import Counter
+
+    from paragrapher_spark.functions.text import lm_bigram_scores
+
+    rows = [
+        (0, "a b a b c"),
+        (1, "a b c d"),
+        (2, "x"),          # < 2 tokens -> NULL score
+        (3, ""),           # empty -> NULL score
+        (4, "a a a a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scale = 10**9
+
+    bgs = {
+        i: [
+            (w1, w2)
+            for w1, w2 in zip(t.split()[:-1], t.split()[1:])
+        ]
+        for i, t in rows
+    }
+    c12 = Counter(p for b in bgs.values() for p in b)
+    c1 = Counter(p[0] for b in bgs.values() for p in b)
+    got = {r["id"]: r for r in lm_bigram_scores(docs, scale=scale).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    for i, b in bgs.items():
+        fp = sum((c12[p] * scale) // c1[p[0]] for p in b)
+        row = got[i]
+        assert row["n_bigrams"] == len(b)
+        assert row["lm_fp_sum"] == fp
+        if b:
+            assert row["lm_score"] == fp / (len(b) * scale)
+        else:
+            assert row["lm_score"] is None
+
+
+def test_lm_bigram_scores_overflow_guard(spark):
+    from paragrapher_spark.functions.text import lm_bigram_scores
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a a a")], "doc_id long, text string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overflow"):
+        lm_bigram_scores(docs, scale=2**61)

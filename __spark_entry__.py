@@ -1786,6 +1786,53 @@ def _q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's quality-bucket assignment, composed from this round's two
+    new operators: per-doc bigram-LM fixed-point score (lm_bigram_scores)
+    cut at per-language exact quartiles (group_quantiles) into
+    q1..q4 — the head/middle/tail split CCNet feeds to sampling. The
+    per-doc scalar is the all-integer mean lm_fp_sum DIV n_bigrams, so
+    every threshold and every bucket decision replays exactly; docs
+    without bigrams bucket as 'unscored'."""
+    from paragrapher_spark.functions.stats import group_quantiles
+    from paragrapher_spark.functions.text import lm_bigram_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = (
+        lm_bigram_scores(docs, scale=_LM_SCALE)
+        .join(docs.select(F.col("doc_id").alias("id"), "lang"), on="id")
+        .withColumn(
+            "q",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.expr("lm_fp_sum DIV n_bigrams"),
+            ),
+        )
+    )
+    thr = group_quantiles(
+        scores.where(F.col("q").isNotNull()),
+        ["lang"],
+        "q",
+        qs=("0.25", "0.5", "0.75"),
+    ).select("lang", "p25", "p50", "p75")
+    bucket = (
+        F.when(F.col("q").isNull(), F.lit("unscored"))
+        .when(F.col("q") <= F.col("p25"), F.lit("q1"))
+        .when(F.col("q") <= F.col("p50"), F.lit("q2"))
+        .when(F.col("q") <= F.col("p75"), F.lit("q3"))
+        .otherwise(F.lit("q4"))
+    )
+    return (
+        scores.join(F.broadcast(thr), on="lang", how="left")
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("q").cast("long").alias("lm_fp_mean"),
+            bucket.alias("bucket"),
+        )
+    )
+
+
 def _q_dup_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-corpus duplicate n-gram fraction (operators/dedup.py
     dup_gram_stats — the Lee et al. 2022 / Dolma curation signal): per
@@ -1830,7 +1877,18 @@ def _q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate."""
     from paragrapher_spark.kernels.triangles import triangle_count_sampled
 
-    edges = copurchase_edges(spark, sf_dir)
+    # canonicalize ONCE and materialize: the sampled and exact counts
+    # share the (expensive) co-purchase derivation instead of replaying
+    # the whole lineage twice (plan audit: 84 -> ~40 exchanges)
+    edges = (
+        copurchase_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     s = triangle_count_sampled(edges, fraction=0.5)
     exact = triangle_count(edges).select(F.col("triangles").alias("exact_triangles"))
     return s.crossJoin(exact).select(
@@ -2084,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_check": _q_bipartite_check,
         "dup_gram_stats": _q_dup_gram_stats,
         "doc_lm_score": _q_doc_lm_score,
+        "lm_quality_buckets": _q_lm_quality_buckets,
     }
 
 
@@ -4666,6 +4725,54 @@ def oracle_sql() -> dict[str, str]:
                / CAST(per.n_bigrams * CAST({_LM_SCALE} AS BIGINT) AS DOUBLE)
                AS lm_score
     FROM documents LEFT JOIN per ON per.d = documents.doc_id
+    """,
+        "lm_quality_buckets": f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id AS d,
+               unnest({_TOKENS}) AS tok,
+               unnest(range(len({_TOKENS}))) AS pos
+        FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT t1.d, t1.tok AS w1, t2.tok AS w2
+        FROM toks t1 JOIN toks t2 ON t2.d = t1.d AND t2.pos = t1.pos + 1
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    per AS (
+        SELECT bg.d, count(*) AS n_bigrams,
+               CAST(SUM((c12.c12 * CAST({_LM_SCALE} AS BIGINT)) // c1.c1)
+                   AS BIGINT) AS fp
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY bg.d
+    ),
+    sc AS MATERIALIZED (
+        SELECT doc_id, lang,
+               CASE WHEN per.n_bigrams > 0 THEN per.fp // per.n_bigrams
+                    END AS q
+        FROM documents LEFT JOIN per ON per.d = documents.doc_id
+    ),
+    ranked AS (
+        SELECT lang, q,
+               row_number() OVER (PARTITION BY lang ORDER BY q) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM sc WHERE q IS NOT NULL
+    ),
+    thr AS (
+        SELECT lang,
+               MAX(CASE WHEN rn = ((n - 1) * 1) // 4 + 1 THEN q END) AS p25,
+               MAX(CASE WHEN rn = ((n - 1) * 1) // 2 + 1 THEN q END) AS p50,
+               MAX(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN q END) AS p75
+        FROM ranked GROUP BY lang
+    )
+    SELECT CAST(sc.doc_id AS BIGINT) AS doc_id, sc.lang,
+           CAST(sc.q AS BIGINT) AS lm_fp_mean,
+           CASE WHEN sc.q IS NULL THEN 'unscored'
+                WHEN sc.q <= thr.p25 THEN 'q1'
+                WHEN sc.q <= thr.p50 THEN 'q2'
+                WHEN sc.q <= thr.p75 THEN 'q3'
+                ELSE 'q4' END AS bucket
+    FROM sc LEFT JOIN thr ON thr.lang = sc.lang
     """,
         "dup_gram_stats": f"""
     WITH t AS MATERIALIZED (

@@ -2044,6 +2044,47 @@ def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-filter battery (functions/text.py gopher_rules — Rae
+    et al. 2021 App. A): word count, mean word length, symbol ratio,
+    alpha-word fraction, distinct-stopword hits, top-bigram character
+    fraction, and the conjunctive pass verdict. Thresholds scaled to the
+    synthetic corpus (min_words=20, min_stop_hits=1); every ratio is a
+    round(6) integer quotient so the SQL twin gates all rows."""
+    from paragrapher_spark.functions.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = gopher_rules(docs, min_words=20, min_stop_hits=1)
+    return res.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long"),
+        "mean_word_len",
+        "symbol_ratio",
+        "frac_alpha_words",
+        F.col("n_stop_hits").cast("long"),
+        "frac_top_bigram",
+        "gopher_pass",
+    )
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup (operators/dedup.py span_dedup — Raffel et al.
+    2020 §2.2, with fixed 16-token windows standing in for three-sentence
+    spans): keep the globally-first occurrence of every distinct span,
+    reassemble docs from survivors. Returns the cleaned text itself plus
+    removal counts, all exactly SQL-expressible."""
+    from paragrapher_spark.operators.dedup import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = span_dedup(docs, span_tokens=16)
+    return res.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "clean_text",
+        F.col("n_spans").cast("long"),
+        F.col("n_removed").cast("long"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -2143,6 +2184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_gram_stats": _q_dup_gram_stats,
         "doc_lm_score": _q_doc_lm_score,
         "lm_quality_buckets": _q_lm_quality_buckets,
+        "gopher_rules": _q_gopher_rules,
+        "span_dedup": _q_span_dedup,
     }
 
 
@@ -5130,6 +5173,119 @@ def oracle_sql() -> dict[str, str]:
       ON er.user_id = cl.user_id
      AND epoch_us(er.ts) BETWEEN epoch_us(cl.ts) + 1
                              AND epoch_us(cl.ts) + 600000000
+    """,
+        # functions/text.py gopher_rules mirrored term-for-term: the five
+        # scalar rules are per-row expressions; the top-bigram rule is the
+        # same explode -> (doc, gram) count -> rank-1 window (ties broken
+        # count DESC, gram ASC) -> left join back. All ratios round(6) on
+        # exact integer quotients. Thresholds = the query's
+        # (min_words=20, min_stop_hits=1, rest Gopher defaults).
+        "gopher_rules": f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, text, {_TOKENS} AS toks,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks_lo
+        FROM documents
+    ),
+    sc AS MATERIALIZED (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(toks) AS n_words,
+               CASE WHEN len(toks) > 0 THEN
+                   ROUND(list_sum(list_transform(toks, x -> length(x)))
+                         / len(toks), 6)
+               ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(toks) > 0 THEN
+                   ROUND(((length(text) - length(replace(text, '#', '')))
+                          + (length(text) - length(replace(text, '...', ''))) / 3)
+                         / len(toks), 6)
+               ELSE 0.0 END AS symbol_ratio,
+               CASE WHEN len(toks) > 0 THEN
+                   ROUND(len(list_filter(toks,
+                             x -> regexp_matches(x, '[A-Za-z]')))
+                         / len(toks), 6)
+               ELSE 0.0 END AS frac_alpha_words,
+               len(list_intersect(list_distinct(toks_lo),
+                   ['the','be','to','of','and','that','have','with']))
+                   AS n_stop_hits
+        FROM t
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM t WHERE len(toks) >= 2
+    ),
+    cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+        SELECT doc_id, c AS top_c, gram AS top_gram
+        FROM (SELECT doc_id, c, gram,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY c DESC, gram ASC) AS rn
+              FROM cnt)
+        WHERE rn = 1
+    ),
+    m AS (
+        SELECT sc.*,
+               CASE WHEN top.top_c IS NOT NULL AND sc.n_chars > 0 THEN
+                   ROUND(top.top_c * length(top.top_gram) / sc.n_chars, 6)
+               ELSE 0.0 END AS frac_top_bigram
+        FROM sc LEFT JOIN top USING (doc_id)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len, symbol_ratio, frac_alpha_words,
+           CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+           frac_top_bigram,
+           (n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1
+            AND frac_alpha_words >= 0.8
+            AND n_stop_hits >= 1
+            AND frac_top_bigram <= 0.20) AS gopher_pass
+    FROM m
+    """,
+        # operators/dedup.py span_dedup mirrored: the same 16-token window
+        # chunking (ceil(len/16), min 1 — empty docs yield one '' span),
+        # global keep-first by (doc_id, idx), string_agg reassembly in
+        # span order.
+        "span_dedup": f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    s AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(CAST(ceil(len(toks) / 16.0) AS BIGINT), 1)),
+                   i -> {{'idx': i,
+                          'span': array_to_string(list_slice(toks,
+                                      CAST(i * 16 + 1 AS BIGINT),
+                                      CAST(i * 16 + 16 AS BIGINT)), ' ')}})) AS u
+        FROM t
+    ),
+    e AS MATERIALIZED (
+        SELECT doc_id, u.idx AS idx, u.span AS span FROM s
+    ),
+    kept AS (
+        SELECT doc_id, idx, span
+        FROM (SELECT doc_id, idx, span,
+                     row_number() OVER (PARTITION BY span
+                         ORDER BY doc_id, idx) AS rn
+              FROM e)
+        WHERE rn = 1
+    ),
+    re AS (
+        SELECT doc_id,
+               string_agg(span, ' ' ORDER BY idx) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_spans FROM e GROUP BY doc_id)
+    SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
+           COALESCE(re.clean_text, '') AS clean_text,
+           CAST(tot.n_spans AS BIGINT) AS n_spans,
+           CAST(tot.n_spans - COALESCE(re.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tot LEFT JOIN re ON re.doc_id = tot.doc_id
     """,
         # every query carries an oracle since r3: knn_ivf's fixed-point
         # Lloyd trainer (order-free int64 centroid sums) made the last

@@ -4,6 +4,7 @@ from paragrapher_spark.functions.text import (
     cooccurrence_counts,
     detect_language,
     fingerprint,
+    gopher_rules,
     text_stats,
     top_terms,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "cooccurrence_counts",
     "detect_language",
     "fingerprint",
+    "gopher_rules",
     "text_stats",
     "top_terms",
 ]

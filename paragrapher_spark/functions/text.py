@@ -516,3 +516,121 @@ def lm_bigram_scores(
             / (F.col("n_bigrams") * F.lit(scale)).cast("double")
         ).alias("lm_score"),
     )
+
+
+# Gopher rule-filter defaults (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1) — the
+# published rule battery most curation pipelines (MassiveText, Dolma,
+# RefinedWeb) start from. Thresholds are parameters; these are the paper's.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_top_bigram_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 App. A):
+    per-doc metrics for each published rule plus the conjunctive verdict.
+
+    Rules (names follow the paper):
+    - word count in [min_words, max_words];
+    - mean word length in [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio ('#' chars + '...' occurrences, per word)
+      <= max_symbol_ratio;
+    - fraction of words containing an alphabetic character >= min_alpha_frac;
+    - at least min_stop_hits DISTINCT Gopher stopwords present;
+    - fraction of characters inside the most frequent word 2-gram
+      (count * gram length / doc length, ties -> lexicographically
+      smallest gram) <= max_top_bigram_frac.
+
+    Scale shape: every scalar rule is a single whole-stage-codegen
+    projection (zero shuffles). Only the top-bigram rule is relational —
+    one explode + one map-side-combinable (id, gram) count + one
+    per-doc-partitioned window (rank 1) + one left join back on id; the
+    explode volume is exactly the token volume, never pairwise. All
+    ratios round(6) on exact integer ratios so a DuckDB twin gates every
+    row (same convention as dup_gram_stats).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    n_hash = F.length(t) - F.length(F.translate(t, "#", ""))
+    n_ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(F.lower(t))),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    scalars = docs.select(
+        F.col(id_col).alias("id"),
+        F.length(t).cast("long").alias("n_chars"),
+        n.cast("long").alias("n_words"),
+        F.when(n > 0, F.round(sum_len / n, 6)).otherwise(F.lit(0.0)).alias(
+            "mean_word_len"
+        ),
+        F.when(n > 0, F.round((n_hash + n_ellipsis) / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("symbol_ratio"),
+        F.when(n > 0, F.round(n_alpha / n, 6)).otherwise(F.lit(0.0)).alias(
+            "frac_alpha_words"
+        ),
+        n_stop.cast("long").alias("n_stop_hits"),
+    )
+
+    # top word-2-gram: relational path (explode -> count -> rank-1 window)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("gram"))
+    cnt = bg.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("gram").asc())
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", F.col("c").alias("top_c"), F.col("gram").alias("top_gram"))
+    )
+    out = scalars.join(top, on="id", how="left").select(
+        "id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "frac_alpha_words",
+        "n_stop_hits",
+        F.when(
+            F.col("top_c").isNotNull() & (F.col("n_chars") > 0),
+            F.round(F.col("top_c") * F.length("top_gram") / F.col("n_chars"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("frac_top_bigram"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("frac_alpha_words") >= min_alpha_frac)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+        & (F.col("frac_top_bigram") <= max_top_bigram_frac),
+    )

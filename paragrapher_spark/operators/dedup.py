@@ -604,3 +604,66 @@ def dup_gram_stats(
             ).alias("frac_dup"),
         )
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 16,
+) -> DataFrame:
+    """C4-style within-corpus span dedup (Raffel et al. 2020 §2.2 remove
+    every occurrence-after-the-first of any repeated three-sentence span;
+    here the span unit is a fixed window of ``span_tokens`` whitespace
+    tokens, since the corpus carries no sentence boundaries): chunk each
+    doc into consecutive token spans, keep exactly the FIRST occurrence of
+    every distinct span text corpus-wide (first = smallest (doc_id,
+    span_idx) — deterministic), drop the rest, and reassemble each doc
+    from its surviving spans in order.
+
+    Returns (id, clean_text, n_spans, n_removed) for every input doc
+    (clean_text = '' when all spans were dropped).
+
+    Scale shape: one shuffle keyed by the span text (the window's
+    partitionBy — Spark hash-partitions the string key; each window group
+    is one span's occurrence list, bounded by its duplication count, so no
+    skew beyond true duplication skew), then one groupBy(id) to
+    reassemble. Token volume in, token volume out — never pairwise. At
+    100 TB you would key the exchange by xxhash64(span) and keep the
+    string only as a same-bucket verifier; at oracle scale the exact
+    string key keeps the DuckDB twin byte-identical.
+    """
+    from pyspark.sql import Window
+
+    W = span_tokens
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, " "), lambda x: x != "")
+    n_spans = F.greatest(F.ceil(F.size(toks) / F.lit(W)).cast("int"), F.lit(1))
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * W + 1, W), " "),
+    )
+    ex = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(spans).alias("idx", "span")
+    )
+    w = Window.partitionBy("span").orderBy("id", "idx")
+    kept = ex.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = ex.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    return totals.join(reassembled, on="id", how="left").select(
+        "id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_spans",
+        (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

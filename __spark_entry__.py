@@ -2085,6 +2085,27 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting (functions/text.py bpe_token_count — the
+    brief's 'whitespace + BPE-ish regex' pair): per doc, whitespace token
+    count, GPT-2-style pre-token count (RE2∩Java regex, single-sourced as
+    BPE_TOKEN_PATTERN so the SQL twin replays the same stream), and the
+    chars-per-pre-token compression proxy."""
+    from paragrapher_spark.functions.text import bpe_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    bpe = bpe_token_count(t)
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        token_count(t).cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.when(bpe > 0, F.round(F.length(t) / bpe, 6))
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_token"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -2186,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_buckets": _q_lm_quality_buckets,
         "gopher_rules": _q_gopher_rules,
         "span_dedup": _q_span_dedup,
+        "token_counts": _q_token_counts,
     }
 
 
@@ -2206,6 +2228,12 @@ _WCC_CTE = f"""
 """
 
 _TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+# BPE-ish pre-tokenizer regex, single-sourced from the Spark operator so
+# the two engines cannot drift; SQL string literal needs '' for '
+from paragrapher_spark.functions.text import BPE_TOKEN_PATTERN as _BPE_PATTERN  # noqa: E402
+
+_BPE_SQL_PATTERN = _BPE_PATTERN.replace("'", "''")
 
 # PII oracle patterns: the SAME strings as functions/text.PII_RULES
 # (single-sourced so the Spark scrub and the SQL twin cannot drift)
@@ -5286,6 +5314,20 @@ def oracle_sql() -> dict[str, str]:
            CAST(tot.n_spans AS BIGINT) AS n_spans,
            CAST(tot.n_spans - COALESCE(re.n_kept, 0) AS BIGINT) AS n_removed
     FROM tot LEFT JOIN re ON re.doc_id = tot.doc_id
+    """,
+        # functions/text.py bpe_token_count mirrored: the regex is the
+        # SAME string (BPE_TOKEN_PATTERN, single-sourced below via
+        # _BPE_SQL_PATTERN), whole-match extraction in both engines.
+        "token_counts": f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len({_TOKENS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'))
+               AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) > 0
+                THEN ROUND(length(text)
+                    / len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')), 6)
+                ELSE 0.0 END AS chars_per_token
+    FROM documents
     """,
         # every query carries an oracle since r3: knn_ivf's fixed-point
         # Lloyd trainer (order-free int64 centroid sums) made the last

@@ -634,3 +634,27 @@ def gopher_rules(
         & (F.col("n_stop_hits") >= min_stop_hits)
         & (F.col("frac_top_bigram") <= max_top_bigram_frac),
     )
+
+
+# GPT-2-style pre-tokenizer pattern (Radford et al. 2019 — the published
+# regex splitting contractions / letter runs / digit runs / punctuation
+# runs / whitespace), constrained to the RE2∩Java dialect so Spark and the
+# DuckDB oracle replay the SAME token stream byte-for-byte: no lookahead
+# ((?!\S) dropped — trailing-space attachment differs from GPT-2 only on
+# runs of spaces before a token), ASCII classes instead of \p{L}/\p{N}
+# (the unicode classes agree between engines but the fixture corpus is
+# ASCII and ASCII keeps the oracle obviously dialect-safe).
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """The BPE-ish pre-token stream itself (whole-match extraction)."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Training-token budget estimate: how many BPE-ish pre-tokens a doc
+    contributes (each pre-token maps to >=1 BPE merges, so this is the
+    standard cheap lower-bound proxy for tokenizer cost). Pure JVM regex —
+    one codegen projection, no shuffle, no Python."""
+    return F.size(bpe_tokens(text))

@@ -111,3 +111,30 @@ def test_span_dedup_empty_doc_single_empty_span(spark):
     got = {r.id: (r.clean_text, r.n_spans, r.n_removed) for r in
            span_dedup(docs, span_tokens=4).collect()}
     assert got == {1: ("", 1, 0), 2: ("", 1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# bpe_token_count
+
+
+def test_bpe_token_count_hand_cases(spark):
+    from paragrapher_spark.functions.text import bpe_token_count, bpe_tokens
+
+    docs = _docs(
+        spark,
+        [(1, "don't stop"), (2, "hello,  world!! 42x"), (3, ""), (4, "a#b ... c")],
+    )
+    rows = {
+        r.doc_id: (r.n, r.toks)
+        for r in docs.select(
+            "doc_id",
+            bpe_token_count(F.col("text")).alias("n"),
+            bpe_tokens(F.col("text")).alias("toks"),
+        ).collect()
+    }
+    # contraction split, punctuation runs, digit runs, whitespace runs —
+    # the GPT-2 pre-tokenizer shapes (lookahead-free dialect)
+    assert rows[1] == (3, ["don", "'t", " stop"])
+    assert rows[2] == (7, ["hello", ",", "  ", "world", "!!", " 42", "x"])
+    assert rows[3] == (0, [])
+    assert rows[4] == (5, ["a", "#", "b", " ...", " c"])

@@ -601,13 +601,17 @@ def gopher_rules(
     ).otherwise(F.array().cast("array<string>"))
     bg = docs.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("gram"))
     cnt = bg.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("gram").asc())
-    top = (
-        cnt.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", F.col("c").alias("top_c"), F.col("gram").alias("top_gram"))
+    # rank-1 as min(struct(-count, gram)): lexicographic struct order gives
+    # max count with min-gram tie-break, as a partially-aggregable agg —
+    # map-side combine, no per-doc WindowExec sort
+    top = cnt.groupBy("id").agg(
+        F.min(
+            F.struct((-F.col("c")).alias("negc"), F.col("gram").alias("gram"))
+        ).alias("m")
+    ).select(
+        "id",
+        (-F.col("m.negc")).alias("top_c"),
+        F.col("m.gram").alias("top_gram"),
     )
     out = scalars.join(top, on="id", how="left").select(
         "id",

@@ -658,7 +658,10 @@ def span_dedup(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
-    totals = ex.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    # per-doc span totals come from the doc row itself (one map-only
+    # projection) — NOT a second groupBy over the exploded table, which
+    # would re-shuffle the whole token volume just to count it
+    totals = docs.select(F.col(id_col).alias("id"), n_spans.cast("long").alias("n_spans"))
     return totals.join(reassembled, on="id", how="left").select(
         "id",
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),

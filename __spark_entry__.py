@@ -281,6 +281,49 @@ def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitivity(edges)
 
 
+def _q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural embeddedness (common-neighbor count) per canonical
+    undirected co-purchase edge (kernels/triangles.py edge_embeddedness) —
+    all-integer, zero-support edges (local bridges) included."""
+    from paragrapher_spark.kernels.triangles import edge_embeddedness
+
+    edges = copurchase_edges(spark, sf_dir)
+    return edge_embeddedness(edges).select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("embeddedness").cast("long"),
+    )
+
+
+_PSEUDO_DIAM_SWEEPS = 3
+_PSEUDO_DIAM_UNROLL = 16
+
+
+def _q_pseudo_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep pseudo-diameter lower bound of the co-purchase graph
+    (kernels/bfs.py pseudo_diameter): BFS from the max-degree vertex,
+    re-BFS from the farthest vertex, 3 sweeps; one row per sweep
+    (sweep, source, ecc, farthest) — all-integer, deterministic
+    tie-breaks (min id), gated bit-for-bit against the unrolled-BFS
+    oracle. The result table is O(sweeps) rows by construction."""
+    from paragrapher_spark.kernels.bfs import pseudo_diameter
+
+    edges = copurchase_edges(spark, sf_dir)
+    res = pseudo_diameter(edges, sweeps=_PSEUDO_DIAM_SWEEPS, max_depth=64)
+    if res.max_depth_seen > _PSEUDO_DIAM_UNROLL:
+        raise AssertionError(
+            f"BFS depth {res.max_depth_seen} > the oracle's "
+            f"{_PSEUDO_DIAM_UNROLL}-level unroll; raise _PSEUDO_DIAM_UNROLL"
+        )
+    return spark.createDataFrame(
+        [
+            (int(r["sweep"]), int(r["source"]), int(r["ecc"]), int(r["farthest"]))
+            for r in res.sweeps
+        ],
+        "sweep long, source long, ecc long, farthest long",
+    )
+
+
 def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club curve of the co-purchase graph (kernels/degrees.py
     rich_club): phi(k) per degree threshold from suffix sums over two
@@ -2175,6 +2218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": _q_doc_top_terms,
         "rich_club": _q_rich_club,
         "transitivity": _q_transitivity,
+        "edge_embeddedness": _q_edge_embeddedness,
+        "pseudo_diameter": _q_pseudo_diameter,
         "doc_packs": _q_doc_packs,
         "vocab_per_lang": _q_vocab_per_lang,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -2850,6 +2895,56 @@ def _ktruss_oracle_sql(k: int, rounds: int) -> str:
            CAST(support AS BIGINT) AS support
     FROM e{rounds}""")
     return "".join(parts)
+
+
+def _pseudo_diameter_oracle_sql(sweeps: int, levels: int) -> str:
+    """Mirror of kernels/bfs.py pseudo_diameter: per sweep an unrolled
+    single-source frontier BFS (frontier = neighbors minus visited, the
+    kernel's exact superstep), the next sweep's source selected by the
+    same total order (dist DESC, id ASC). ``levels`` must exceed the true
+    eccentricities — the Spark query asserts that before returning."""
+    parts = [
+        f"edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL})",
+        """und AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst GROUP BY 1, 2)""",
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und "
+        "UNION ALL SELECT b AS src, a AS dst FROM und)",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1)",
+        "s0 AS MATERIALIZED (SELECT id FROM deg ORDER BY deg DESC, id ASC LIMIT 1)",
+    ]
+    rows = []
+    src_cte = "s0"
+    for s in range(sweeps):
+        w = f"sw{s}"
+        parts.append(f"{w}f0 AS MATERIALIZED (SELECT id FROM {src_cte})")
+        parts.append(f"{w}v0 AS MATERIALIZED (SELECT id FROM {w}f0)")
+        for d in range(1, levels + 1):
+            parts.append(f"""{w}f{d} AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS id
+        FROM {w}f{d - 1} p JOIN sym e ON e.src = p.id
+        WHERE NOT EXISTS (SELECT 1 FROM {w}v{d - 1} v WHERE v.id = e.dst))""")
+            parts.append(
+                f"{w}v{d} AS MATERIALIZED (SELECT id FROM {w}v{d - 1} "
+                f"UNION ALL SELECT id FROM {w}f{d})"
+            )
+        lvl_union = " UNION ALL ".join(
+            f"SELECT id, CAST({d} AS BIGINT) AS dist FROM {w}f{d}"
+            for d in range(levels + 1)
+        )
+        parts.append(f"{w}lvl AS MATERIALIZED ({lvl_union})")
+        parts.append(
+            f"{w}far AS MATERIALIZED (SELECT id, dist FROM {w}lvl "
+            f"ORDER BY dist DESC, id ASC LIMIT 1)"
+        )
+        rows.append(
+            f"SELECT CAST({s} AS BIGINT) AS sweep,"
+            f" CAST((SELECT id FROM {src_cte}) AS BIGINT) AS source,"
+            f" CAST((SELECT dist FROM {w}far) AS BIGINT) AS ecc,"
+            f" CAST((SELECT id FROM {w}far) AS BIGINT) AS farthest"
+        )
+        src_cte = f"{w}far"
+    return "WITH " + ",\n    ".join(parts) + "\n    " + " UNION ALL ".join(rows)
 
 
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
@@ -4475,6 +4570,29 @@ def oracle_sql() -> dict[str, str]:
     """,
         "vocab_per_lang": _vocab_per_lang_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "edge_embeddedness": f"""
+    WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+    e0 AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    adj AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b AS v, a AS u FROM e0
+    ),
+    sup AS MATERIALIZED (
+        SELECT e.a, e.b, count(*) AS emb
+        FROM e0 e
+        JOIN adj x ON x.v = e.a
+        JOIN adj y ON y.v = e.b AND y.u = x.u
+        GROUP BY e.a, e.b
+    )
+    SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b,
+           CAST(COALESCE(s.emb, 0) AS BIGINT) AS embeddedness
+    FROM e0 e LEFT JOIN sup s ON s.a = e.a AND s.b = e.b
+    """,
+        "pseudo_diameter": _pseudo_diameter_oracle_sql(
+            _PSEUDO_DIAM_SWEEPS, _PSEUDO_DIAM_UNROLL
+        ),
         "rich_club": f"""
     WITH edges AS ({COPURCHASE_EDGES_SQL}),
     und AS MATERIALIZED (

@@ -147,3 +147,74 @@ def bfs(
     return BFSResult(
         distances=dist, iterations=it, exhausted=exhausted, history=history
     )
+
+
+@dataclass
+class PseudoDiameterResult:
+    sweeps: list[dict[str, int]]  # per sweep: {sweep, source, ecc, farthest}
+    diameter_lb: int  # max eccentricity seen across sweeps
+    max_depth_seen: int  # deepest BFS level materialized (for unroll guards)
+
+
+def pseudo_diameter(
+    edges: DataFrame,
+    sweeps: int = 2,
+    max_depth: int = 64,
+    num_partitions: int | None = None,
+) -> PseudoDiameterResult:
+    """Double-sweep pseudo-diameter lower bound (the GAPBS/iFUB warm-start
+    heuristic, Crescenzi et al.; e.g. Magnien, Latapy & Habib 2009): BFS
+    from a deterministic start — the max-undirected-degree vertex, min id
+    on ties — take the farthest vertex (max dist, min id on ties), BFS
+    again from there, repeating ``sweeps`` times. max ecc over sweeps is a
+    diameter lower bound that is empirically tight on power-law graphs,
+    at the cost of ``sweeps`` BFS runs instead of the sampled-eccentricity
+    battery's |S| runs.
+
+    Driver traffic is O(1) rows per sweep (one argmax row each); each
+    sweep is a frontier BFS with the kernel's one-job-per-superstep
+    discipline. Everything is integer-exact, so the result gates
+    bit-for-bit against an unrolled-BFS SQL oracle.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    start_row = deg.orderBy(F.desc("deg"), F.asc("id")).limit(1).collect()
+    if not start_row:
+        return PseudoDiameterResult(sweeps=[], diameter_lb=0, max_depth_seen=0)
+    source = int(start_row[0]["id"])
+
+    recs: list[dict[str, int]] = []
+    max_depth_seen = 0
+    for s in range(sweeps):
+        res = bfs(
+            und.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            [source],
+            max_depth=max_depth,
+            directed=False,
+            num_partitions=num_partitions,
+        )
+        far = (
+            res.distances.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
+        )
+        ecc = int(far["dist"])
+        max_depth_seen = max(max_depth_seen, ecc)
+        recs.append(
+            {"sweep": s, "source": source, "ecc": ecc, "farthest": int(far["id"])}
+        )
+        if ecc == 0:  # isolated start (no undirected neighbors): converged
+            break
+        source = int(far["id"])
+    return PseudoDiameterResult(
+        sweeps=recs,
+        diameter_lb=max((r["ecc"] for r in recs), default=0),
+        max_depth_seen=max_depth_seen,
+    )

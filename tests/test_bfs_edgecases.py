@@ -162,3 +162,39 @@ def test_bfs_duplicate_sources_deduped(spark):
     res = bfs(e, [0, 0, 0], max_depth=10)
     rows = res.distances.collect()
     assert len(rows) == len({r.id for r in rows}) == 4
+
+
+def test_pseudo_diameter_path(spark):
+    """Path 0-1-2-3-4: start = max-deg min-id vertex 1; sweep 0 reaches 4
+    at depth 3, sweep 1 (from 4) and sweep 2 (from 0) both find the true
+    diameter 4 — the double-sweep guarantee on trees."""
+    from paragrapher_spark.kernels.bfs import pseudo_diameter
+
+    res = pseudo_diameter(path_graph(spark, n=5), sweeps=3)
+    assert [r["source"] for r in res.sweeps] == [1, 4, 0]
+    assert [r["ecc"] for r in res.sweeps] == [3, 4, 4]
+    assert [r["farthest"] for r in res.sweeps] == [4, 0, 4]
+    assert res.diameter_lb == 4 == res.max_depth_seen
+
+
+def test_pseudo_diameter_star_and_cycle(spark):
+    from paragrapher_spark.fixtures import cycle_graph, star_graph
+    from paragrapher_spark.kernels.bfs import pseudo_diameter
+
+    star = pseudo_diameter(star_graph(spark, n=6), sweeps=2)
+    assert star.sweeps[0]["source"] == 0 and star.sweeps[0]["ecc"] == 1
+    assert star.sweeps[1] == {"sweep": 1, "source": 1, "ecc": 2, "farthest": 2}
+    assert star.diameter_lb == 2
+
+    cyc = pseudo_diameter(cycle_graph(spark, n=6), sweeps=2)
+    assert cyc.sweeps[0] == {"sweep": 0, "source": 0, "ecc": 3, "farthest": 3}
+    assert cyc.diameter_lb == 3
+
+
+def test_pseudo_diameter_empty_and_self_loops(spark):
+    from paragrapher_spark.kernels.bfs import pseudo_diameter
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pseudo_diameter(empty, sweeps=2).sweeps == []
+    loops = spark.createDataFrame([(7, 7)], "src long, dst long")
+    assert pseudo_diameter(loops, sweeps=2).sweeps == []

@@ -118,3 +118,43 @@ def test_doulion_fraction_one_is_exact(spark):
     [row] = triangle_count_sampled(edges, fraction=1.0).collect()
     assert row["sampled_triangles"] == exact["triangles"]
     assert row["triangles_est"] == float(exact["triangles"])
+
+
+def _embeddedness_oracle(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return {(a, b): len(adj[a] & adj[b]) for a, b in und}
+
+
+def _emb_compare(spark, edges_df):
+    from paragrapher_spark.kernels.triangles import edge_embeddedness
+
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    got = {(r.a, r.b): r.embeddedness for r in edge_embeddedness(edges_df).collect()}
+    assert got == _embeddedness_oracle(edges)
+    return got
+
+
+def test_embeddedness_k5(spark):
+    got = _emb_compare(spark, k_complete(spark, 5))
+    assert set(got.values()) == {3}  # every K5 edge closes with the other 3
+
+
+def test_embeddedness_path_all_zero(spark):
+    got = _emb_compare(spark, path_graph(spark, 6))
+    assert set(got.values()) == {0}  # every path edge is a local bridge
+
+
+def test_embeddedness_triangle_with_pendant(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (2, 1)], "src long, dst long"
+    )  # duplicate reverse edge (2,1) must not double-count
+    got = _emb_compare(spark, df)
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (3, 4): 0}
+
+
+def test_embeddedness_powerlaw_vs_oracle(spark):
+    _emb_compare(spark, powerlaw_graph(spark, n=300, seed=11))

@@ -1496,6 +1496,34 @@ def _q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Girvan–Newman edge betweenness over the sampled source set
+    (kernels/betweenness.py:edge_betweenness): the backward sweep's
+    per-DAG-edge credits σv/σw·(1+δw) summed per canonical undirected
+    edge, zero-credit edges kept. Gated on a 4-decimal projection like
+    the vertex scores (same σ-ratio float carve-out)."""
+    from paragrapher_spark.kernels.betweenness import edge_betweenness
+
+    edges = copurchase_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % _BC_SOURCE_MOD == 0)
+    res = edge_betweenness(edges, seeds)
+    if res.depth > _BC_UNROLL:
+        raise AssertionError(
+            f"BFS depth {res.depth} > the oracle's {_BC_UNROLL}-level "
+            f"unroll; raise _BC_UNROLL"
+        )
+    return res.scores.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.round("ebc", 4).alias("ebc"),
+    )
+
+
 _KATZ_ROUNDS = 6
 _KATZ_BASE = 16
 
@@ -2220,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": _q_transitivity,
         "edge_embeddedness": _q_edge_embeddedness,
         "pseudo_diameter": _q_pseudo_diameter,
+        "edge_betweenness_sampled": _q_edge_betweenness,
         "doc_packs": _q_doc_packs,
         "vocab_per_lang": _q_vocab_per_lang,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -4026,6 +4055,31 @@ def _betweenness_oracle_sql(levels: int, source_mod: int) -> str:
     """
 
 
+def _edge_betweenness_oracle_sql(levels: int, source_mod: int) -> str:
+    """Girvan–Newman edge scores from the shared Brandes CTE chain: the
+    credit σv/σw·(1+δw) per shortest-path-DAG edge (lv→lw, one level
+    apart) summed over sources onto the canonical undirected edge;
+    zero-credit edges restored by a left join (the Spark kernel's exact
+    shape, kernels/betweenness.py:edge_betweenness)."""
+    return f"""
+        WITH {_brandes_cte(levels, source_mod)},
+        credits AS (
+            SELECT LEAST(lv.id, lw.id) AS a, GREATEST(lv.id, lw.id) AS b,
+                   SUM(CAST(lv.sigma AS DOUBLE) / CAST(lw.sigma AS DOUBLE)
+                       * (1 + COALESCE(dn.delta, 0))) AS s
+            FROM lvl lv JOIN sym e ON e.src = lv.id
+            JOIN lvl lw ON lw.source = lv.source AND lw.id = e.dst
+                       AND lw.dist = lv.dist + 1
+            LEFT JOIN alldelta dn ON dn.source = lv.source AND dn.id = lw.id
+            GROUP BY 1, 2
+        ),
+        undc AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst)
+        SELECT CAST(u.a AS BIGINT) AS a, CAST(u.b AS BIGINT) AS b,
+               ROUND(COALESCE(c.s, 0), 4) AS ebc
+        FROM undc u LEFT JOIN credits c ON c.a = u.a AND c.b = u.b
+    """
+
+
 def _katz_oracle_sql(rounds: int, base: int) -> str:
     """The kernel's all-integer recurrence y_{t+1} = base^(t+1) + sum of
     in-neighbor y_t, unrolled as materialized CTEs over the symmetrized
@@ -4418,6 +4472,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2520 AS BIGINT) AS h_den
             FROM lvl WHERE dist > 0 GROUP BY id
         """,
+        "edge_betweenness_sampled": _edge_betweenness_oracle_sql(
+            _BC_UNROLL, _BC_SOURCE_MOD
+        ),
         "betweenness_sampled": _betweenness_oracle_sql(
             _BC_UNROLL, _BC_SOURCE_MOD
         ),

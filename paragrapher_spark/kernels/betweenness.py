@@ -203,6 +203,107 @@ def closeness_centrality(levels: DataFrame) -> DataFrame:
     )
 
 
+@dataclass
+class EdgeBetweennessResult:
+    scores: DataFrame  # (a, b, ebc) — canonical undirected edge, credit sum
+    depth: int
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+
+def edge_betweenness(
+    edges: DataFrame,
+    sources: DataFrame | list[int],
+    max_depth: int = 50,
+    num_partitions: int | None = None,
+) -> EdgeBetweennessResult:
+    """Girvan–Newman edge betweenness from the sampled sources (Brandes
+    2001 §4 edge variant; Girvan & Newman PNAS 2002): during the backward
+    sweep the per-edge credit σ(s,v)/σ(s,w) · (1 + δ(s,w)) for each
+    shortest-path-DAG edge v→w is exactly the term the vertex loop sums
+    into δ(s,v) — this kernel materializes those terms per edge instead
+    of collapsing them, then sums over sources onto the canonical
+    undirected edge. Zero-credit edges (on no sampled shortest path) are
+    kept at 0.0 so the output is a total edge scoring, the input the
+    Girvan–Newman community peel removes its max from.
+
+    Same discipline as ``betweenness``: one action per backward level
+    (the eager checkpoint of the joined credit table — the per-vertex δ
+    agg and the edge credits both read that checkpoint, no re-join);
+    state keyed (source, vertex) exactly like the forward phase.
+    """
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = _symmetrized(edges, directed=False, n_part=n_part)
+    levels, depth, history = _forward_levels(e, sources, n_part, max_depth)
+
+    delta_next = spark.createDataFrame([], "source long, id long, delta double")
+    edge_parts = spark.createDataFrame([], "v long, w long, part double")
+    for d in range(depth - 1, -1, -1):
+        lv = levels.where(F.col("dist") == d).select("source", "id", "sigma")
+        lw = levels.where(F.col("dist") == d + 1).select(
+            F.col("source").alias("wsource"),
+            F.col("id").alias("wid"),
+            F.col("sigma").alias("wsigma"),
+        )
+        dn = delta_next.select(
+            F.col("source").alias("dsource"),
+            F.col("id").alias("did"),
+            "delta",
+        )
+        joined = (
+            lv.join(e, on=F.col("id") == F.col("src"))
+            .join(
+                lw,
+                on=(F.col("source") == F.col("wsource"))
+                & (F.col("dst") == F.col("wid")),
+            )
+            .join(
+                dn,
+                on=(F.col("source") == F.col("dsource"))
+                & (F.col("wid") == F.col("did")),
+                how="left",
+            )
+            .select(
+                "source",
+                "id",
+                "wid",
+                (
+                    F.col("sigma").cast("double")
+                    / F.col("wsigma").cast("double")
+                    * (F.lit(1.0) + F.coalesce(F.col("delta"), F.lit(0.0)))
+                ).alias("part"),
+            )
+            .repartition(n_part, "source", "id")
+            .localCheckpoint(eager=True)
+        )
+        delta_next = joined.groupBy("source", "id").agg(
+            F.sum("part").alias("delta")
+        )
+        edge_parts = edge_parts.unionByName(
+            joined.select(F.col("id").alias("v"), F.col("wid").alias("w"), "part")
+        )
+
+    credits = (
+        edge_parts.groupBy(
+            F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")
+        )
+        .agg(F.sum("part").alias("ebc"))
+    )
+    scores = (
+        e.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(credits, on=["a", "b"], how="left")
+        .select("a", "b", F.coalesce("ebc", F.lit(0.0)).alias("ebc"))
+        # eager checkpoint so the persisted substrates can be released
+        # before returning (the similarity.py persist-leak discipline)
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    levels.unpersist()
+    return EdgeBetweennessResult(scores=scores, depth=depth, history=history)
+
+
 def betweenness(
     edges: DataFrame,
     sources: DataFrame | list[int],

@@ -161,3 +161,79 @@ def test_closeness_centrality_exact(spark):
     }
     # path closed form: vertex 2 sees both ends at distance 2
     assert got[2] == (2, 4, 0.5)
+
+
+def _edge_brandes(edges, sources):
+    """Pure-python Girvan–Newman edge betweenness (undirected)."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[int, list[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    ebc = {e: 0.0 for e in und}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj.get(v, []):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0) + sigma[v]
+        delta = {v: 0.0 for v in dist}
+        for v in reversed(order):
+            for w in adj.get(v, []):
+                if dist.get(w) == dist[v] + 1:
+                    c = sigma[v] / sigma[w] * (1 + delta[w])
+                    delta[v] += c
+                    ebc[tuple(sorted((v, w)))] += c
+    return ebc
+
+
+def test_edge_betweenness_matches_pure_brandes(spark):
+    from paragrapher_spark.kernels.betweenness import edge_betweenness
+
+    e = spark.createDataFrame(_DIAMOND, "src long, dst long")
+    srcs = [0, 2, 5]
+    res = edge_betweenness(e, srcs)
+    got = {(r.a, r.b): r.ebc for r in res.scores.collect()}
+    want = _edge_brandes(_DIAMOND, srcs)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_edge_betweenness_path_closed_form(spark):
+    """Path 0-1-2-3, all sources: edge (i,i+1) lies on the unique s-t
+    path for every s<=i<t, so its credit is (i+1)*(n-1-i) counting both
+    directions over all-source Brandes."""
+    from paragrapher_spark.kernels.betweenness import edge_betweenness
+
+    n = 4
+    path = [(i, i + 1) for i in range(n - 1)]
+    e = spark.createDataFrame(path, "src long, dst long")
+    res = edge_betweenness(e, list(range(n)))
+    got = {(r.a, r.b): r.ebc for r in res.scores.collect()}
+    want = {(i, i + 1): float((i + 1) * (n - 1 - i) * 2) for i in range(n - 1)}
+    assert got == want
+
+
+def test_edge_betweenness_zero_credit_edges_kept(spark):
+    """A source set that reaches nothing beyond its component still
+    yields a full edge scoring: the other component's edges appear at
+    exactly 0.0 (the Girvan-Newman peel needs a total scoring)."""
+    from paragrapher_spark.kernels.betweenness import edge_betweenness
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "src long, dst long"
+    )
+    res = edge_betweenness(e, [0])
+    got = {(r.a, r.b): r.ebc for r in res.scores.collect()}
+    assert got[(10, 11)] == 0.0
+    assert got[(0, 1)] == 2.0 and got[(1, 2)] == 1.0

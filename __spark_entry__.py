@@ -1524,6 +1524,32 @@ def _q_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DENSEST_EPS = (1, 2)  # ε = 1/2 → (2+2ε)=3-approx, ~log_1.5|V| rounds
+_DENSEST_UNROLL = 28
+
+
+def _q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bahmani-Kumar-Vassilvitskii densest-subgraph peel over the
+    co-purchase graph (kernels/densest.py): members of the densest peel
+    prefix with its exact (m, n, round) — every comparison integer
+    cross-multiplied, so the whole peel gates bit-for-bit."""
+    from paragrapher_spark.kernels.densest import densest_subgraph
+
+    edges = copurchase_edges(spark, sf_dir)
+    res = densest_subgraph(edges, *_DENSEST_EPS)
+    if res.rounds > _DENSEST_UNROLL:
+        raise AssertionError(
+            f"peel ran {res.rounds} rounds > the oracle's "
+            f"{_DENSEST_UNROLL}-round unroll; raise _DENSEST_UNROLL"
+        )
+    return res.members.select(
+        F.col("id").cast("long"),
+        F.lit(res.best_m).cast("long").alias("best_m"),
+        F.lit(res.best_n).cast("long").alias("best_n"),
+        F.lit(res.best_round).cast("long").alias("best_round"),
+    )
+
+
 _KATZ_ROUNDS = 6
 _KATZ_BASE = 16
 
@@ -2249,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_embeddedness": _q_edge_embeddedness,
         "pseudo_diameter": _q_pseudo_diameter,
         "edge_betweenness_sampled": _q_edge_betweenness,
+        "densest_subgraph": _q_densest_subgraph,
         "doc_packs": _q_doc_packs,
         "vocab_per_lang": _q_vocab_per_lang,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -4055,6 +4082,67 @@ def _betweenness_oracle_sql(levels: int, source_mod: int) -> str:
     """
 
 
+def _densest_oracle_sql(num: int, den: int, rounds: int) -> str:
+    """The Bahmani peel unrolled (kernels/densest.py): per round the
+    degree table, the (n, 2m) stats, the integer cross-multiplied keep
+    filter, and the induced edge set; the density argmax is the earliest
+    round no other round strictly beats (m'·n > m·n'). Over-unrolling is
+    safe — an empty edge set propagates and n=0 rounds are excluded."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),",
+        """
+    e0 AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    )""",
+    ]
+    for r in range(rounds + 1):
+        parts.append(f""",
+    deg{r} AS MATERIALIZED (
+        SELECT id, COUNT(*) AS deg FROM (
+            SELECT src AS id FROM e{r} UNION ALL SELECT dst FROM e{r}
+        ) GROUP BY 1
+    ),
+    st{r} AS MATERIALIZED (
+        SELECT COUNT(*) AS n, COALESCE(SUM(deg), 0) // 2 AS m FROM deg{r}
+    )""")
+        if r < rounds:
+            parts.append(f""",
+    keep{r} AS MATERIALIZED (
+        SELECT d.id FROM deg{r} d, st{r} s
+        WHERE d.deg * s.n * {den} > 2 * s.m * {den + num}
+    ),
+    e{r + 1} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e{r} e
+        JOIN keep{r} a ON a.id = e.src
+        JOIN keep{r} b ON b.id = e.dst
+    )""")
+    rounds_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, n, m FROM st{r}" for r in range(rounds + 1)
+    )
+    members_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, id FROM deg{r}" for r in range(rounds + 1)
+    )
+    parts.append(f""",
+    rounds_tbl AS MATERIALIZED (
+        SELECT * FROM ({rounds_union}) WHERE n > 0
+    ),
+    best AS MATERIALIZED (
+        SELECT r, n, m FROM rounds_tbl ro
+        WHERE NOT EXISTS (
+            SELECT 1 FROM rounds_tbl x WHERE x.m * ro.n > ro.m * x.n
+        )
+        ORDER BY r LIMIT 1
+    ),
+    members AS ({members_union})
+    SELECT CAST(mm.id AS BIGINT) AS id,
+           CAST(b.m AS BIGINT) AS best_m,
+           CAST(b.n AS BIGINT) AS best_n,
+           CAST(b.r AS BIGINT) AS best_round
+    FROM members mm JOIN best b ON mm.r = b.r""")
+    return "".join(parts)
+
+
 def _edge_betweenness_oracle_sql(levels: int, source_mod: int) -> str:
     """Girvan–Newman edge scores from the shared Brandes CTE chain: the
     credit σv/σw·(1+δw) per shortest-path-DAG edge (lv→lw, one level
@@ -4474,6 +4562,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "edge_betweenness_sampled": _edge_betweenness_oracle_sql(
             _BC_UNROLL, _BC_SOURCE_MOD
+        ),
+        "densest_subgraph": _densest_oracle_sql(
+            _DENSEST_EPS[0], _DENSEST_EPS[1], _DENSEST_UNROLL
         ),
         "betweenness_sampled": _betweenness_oracle_sql(
             _BC_UNROLL, _BC_SOURCE_MOD

@@ -1550,6 +1550,24 @@ def _q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WL_ROUNDS = 3
+
+
+def _q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement of the co-purchase graph (kernels/wl.py):
+    canonical structural-fingerprint colors after 3 rounds from degree
+    colors. All-integer canonical ids (two-phase distributed dense rank),
+    gated bit-for-bit; the kernel's sound early stop (class count
+    fixpoint ⟹ identity relabeling) keeps it exact vs the fixed unroll."""
+    from paragrapher_spark.kernels.wl import wl_refinement
+
+    edges = copurchase_edges(spark, sf_dir)
+    res = wl_refinement(edges, rounds=_WL_ROUNDS)
+    return res.colors.select(
+        F.col("id").cast("long"), F.col("color").cast("long")
+    )
+
+
 _KATZ_ROUNDS = 6
 _KATZ_BASE = 16
 
@@ -2276,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudo_diameter": _q_pseudo_diameter,
         "edge_betweenness_sampled": _q_edge_betweenness,
         "densest_subgraph": _q_densest_subgraph,
+        "wl_colors": _q_wl_colors,
         "doc_packs": _q_doc_packs,
         "vocab_per_lang": _q_vocab_per_lang,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -4082,6 +4101,56 @@ def _betweenness_oracle_sql(levels: int, source_mod: int) -> str:
     """
 
 
+def _wl_oracle_sql(rounds: int) -> str:
+    """1-WL refinement unrolled (kernels/wl.py): per round the sorted
+    neighbor-color multiset as a comma-joined string (string_agg ORDER BY
+    numeric color ≡ Spark sort_array) and DENSE_RANK() - 1 over the
+    distinct (color, nsig) classes ordered (numeric, binary-string) — the
+    same total order dense_ids ranks by. Over-unrolling past the class-
+    count fixpoint relabels identically (refinement only splits classes,
+    and a stable canonical coloring ranks back to itself)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),",
+        """
+    und AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    sym AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM und UNION ALL SELECT b AS v, a AS u FROM und
+    ),
+    col0 AS MATERIALIZED (
+        SELECT v AS id, COUNT(*) AS color FROM sym GROUP BY v
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    sig{r} AS MATERIALIZED (
+        SELECT s.v AS id,
+               string_agg(CAST(c.color AS VARCHAR), ',' ORDER BY c.color) AS nsig
+        FROM sym s JOIN col{r - 1} c ON c.id = s.u
+        GROUP BY s.v
+    ),
+    cmb{r} AS MATERIALIZED (
+        SELECT c.id, c.color, g.nsig
+        FROM col{r - 1} c JOIN sig{r} g ON g.id = c.id
+    ),
+    map{r} AS MATERIALIZED (
+        SELECT color, nsig,
+               DENSE_RANK() OVER (ORDER BY color, nsig) - 1 AS new_color
+        FROM (SELECT DISTINCT color, nsig FROM cmb{r})
+    ),
+    col{r} AS MATERIALIZED (
+        SELECT cmb.id, m.new_color AS color
+        FROM cmb{r} cmb
+        JOIN map{r} m ON m.color = cmb.color AND m.nsig = cmb.nsig
+    )""")
+    parts.append(f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(color AS BIGINT) AS color
+    FROM col{rounds}""")
+    return "".join(parts)
+
+
 def _densest_oracle_sql(num: int, den: int, rounds: int) -> str:
     """The Bahmani peel unrolled (kernels/densest.py): per round the
     degree table, the (n, 2m) stats, the integer cross-multiplied keep
@@ -4566,6 +4635,7 @@ def oracle_sql() -> dict[str, str]:
         "densest_subgraph": _densest_oracle_sql(
             _DENSEST_EPS[0], _DENSEST_EPS[1], _DENSEST_UNROLL
         ),
+        "wl_colors": _wl_oracle_sql(_WL_ROUNDS),
         "betweenness_sampled": _betweenness_oracle_sql(
             _BC_UNROLL, _BC_SOURCE_MOD
         ),

@@ -1550,6 +1550,31 @@ def _q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MSF_UNROLL = 16
+
+
+def _q_msf_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boruvka minimum spanning forest of the WEIGHTED co-purchase graph
+    (kernels/msf.py): unique under the composite (weight, a, b) order, so
+    the full forest edge set gates bit-for-bit against the unrolled-round
+    oracle (each round: per-component min outgoing edge + hook-graph
+    contraction)."""
+    from paragrapher_spark.kernels.msf import boruvka_msf
+
+    edges = copurchase_weighted_edges(spark, sf_dir)
+    res = boruvka_msf(edges)
+    if res.rounds > _MSF_UNROLL:
+        raise AssertionError(
+            f"Boruvka ran {res.rounds} rounds > the oracle's "
+            f"{_MSF_UNROLL}-round unroll; raise _MSF_UNROLL"
+        )
+    return res.edges.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("weight").cast("long"),
+    )
+
+
 _WL_ROUNDS = 3
 
 
@@ -2295,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness_sampled": _q_edge_betweenness,
         "densest_subgraph": _q_densest_subgraph,
         "wl_colors": _q_wl_colors,
+        "msf_edges": _q_msf_edges,
         "doc_packs": _q_doc_packs,
         "vocab_per_lang": _q_vocab_per_lang,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -4101,6 +4127,72 @@ def _betweenness_oracle_sql(levels: int, source_mod: int) -> str:
     """
 
 
+def _msf_oracle_sql(rounds: int) -> str:
+    """Boruvka unrolled (kernels/msf.py): per round the crossing-edge
+    labeling, the per-component min outgoing edge by (w, a, b) — unique,
+    so ROW_NUMBER()=1 ≡ Spark's min-of-struct — and the hook-graph
+    contraction as a recursive min-label closure (the WCC oracle rule,
+    matching the kernel's connected_components labels). Over-unrolling is
+    safe: once no edge crosses, hooks are empty and labels are fixed."""
+    parts = [
+        f"WITH RECURSIVE edges AS MATERIALIZED ({COPURCHASE_WEIGHTED_EDGES_SQL}),",
+        """
+    e0 AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+               MIN(weight) AS w
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    comp0 AS MATERIALIZED (
+        SELECT id, id AS c
+        FROM (SELECT a AS id FROM e0 UNION SELECT b FROM e0)
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    lab{r} AS MATERIALIZED (
+        SELECT e.a, e.b, e.w, x.c AS ca, y.c AS cb
+        FROM e0 e
+        JOIN comp{r - 1} x ON x.id = e.a
+        JOIN comp{r - 1} y ON y.id = e.b
+        WHERE x.c <> y.c
+    ),
+    sel{r} AS MATERIALIZED (
+        SELECT w, a, b, ca, cb FROM (
+            SELECT c, w, a, b, ca, cb,
+                   ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+            FROM (
+                SELECT ca AS c, w, a, b, ca, cb FROM lab{r}
+                UNION ALL SELECT cb AS c, w, a, b, ca, cb FROM lab{r}
+            )
+        ) WHERE rn = 1
+    ),
+    hooks{r} AS MATERIALIZED (SELECT DISTINCT w, a, b, ca, cb FROM sel{r}),
+    hsym{r} AS MATERIALIZED (
+        SELECT ca AS x, cb AS y FROM hooks{r}
+        UNION SELECT cb AS x, ca AS y FROM hooks{r}
+    ),
+    hreach{r}(x, y) AS (
+        SELECT DISTINCT x, x FROM hsym{r}
+        UNION
+        SELECT h.y, hr.y FROM hreach{r} hr JOIN hsym{r} h ON h.x = hr.x
+    ),
+    hlab{r} AS MATERIALIZED (
+        SELECT x AS c, MIN(y) AS nc FROM hreach{r} GROUP BY x
+    ),
+    comp{r} AS MATERIALIZED (
+        SELECT v.id, COALESCE(l.nc, v.c) AS c
+        FROM comp{r - 1} v LEFT JOIN hlab{r} l ON l.c = v.c
+    )""")
+    forest_union = " UNION ALL ".join(
+        f"SELECT a, b, w FROM hooks{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(w AS BIGINT) AS weight
+    FROM ({forest_union})""")
+    return "".join(parts)
+
+
 def _wl_oracle_sql(rounds: int) -> str:
     """1-WL refinement unrolled (kernels/wl.py): per round the sorted
     neighbor-color multiset as a comma-joined string (string_agg ORDER BY
@@ -4636,6 +4728,7 @@ def oracle_sql() -> dict[str, str]:
             _DENSEST_EPS[0], _DENSEST_EPS[1], _DENSEST_UNROLL
         ),
         "wl_colors": _wl_oracle_sql(_WL_ROUNDS),
+        "msf_edges": _msf_oracle_sql(_MSF_UNROLL),
         "betweenness_sampled": _betweenness_oracle_sql(
             _BC_UNROLL, _BC_SOURCE_MOD
         ),

@@ -1575,6 +1575,24 @@ def _q_msf_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AFFINITY_LEVELS = 2
+
+
+def _q_affinity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affinity clustering at contraction level 2 (Bateni et al.
+    NeurIPS'17): the Boruvka component labels after 2 min-edge-hook
+    rounds over the weighted co-purchase graph — a hierarchical
+    clustering whose level-k cut is exactly round-k contraction
+    (kernels/msf.py boruvka_msf(max_rounds=2).clusters)."""
+    from paragrapher_spark.kernels.msf import boruvka_msf
+
+    edges = copurchase_weighted_edges(spark, sf_dir)
+    res = boruvka_msf(edges, max_rounds=_AFFINITY_LEVELS)
+    return res.clusters.select(
+        F.col("id").cast("long"), F.col("c").cast("long").alias("cluster")
+    )
+
+
 _WL_ROUNDS = 3
 
 
@@ -2321,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": _q_densest_subgraph,
         "wl_colors": _q_wl_colors,
         "msf_edges": _q_msf_edges,
+        "affinity_clusters": _q_affinity_clusters,
         "doc_packs": _q_doc_packs,
         "vocab_per_lang": _q_vocab_per_lang,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -4127,7 +4146,7 @@ def _betweenness_oracle_sql(levels: int, source_mod: int) -> str:
     """
 
 
-def _msf_oracle_sql(rounds: int) -> str:
+def _msf_oracle_sql(rounds: int, select: str = "forest") -> str:
     """Boruvka unrolled (kernels/msf.py): per round the crossing-edge
     labeling, the per-component min outgoing edge by (w, a, b) — unique,
     so ROW_NUMBER()=1 ≡ Spark's min-of-struct — and the hook-graph
@@ -4183,6 +4202,13 @@ def _msf_oracle_sql(rounds: int) -> str:
         SELECT v.id, COALESCE(l.nc, v.c) AS c
         FROM comp{r - 1} v LEFT JOIN hlab{r} l ON l.c = v.c
     )""")
+    if select == "clusters":
+        # affinity clustering level-`rounds`: the component labels ARE
+        # the clusters (Bateni et al. NeurIPS'17 — see kernels/msf.py)
+        parts.append(f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(c AS BIGINT) AS cluster
+    FROM comp{rounds}""")
+        return "".join(parts)
     forest_union = " UNION ALL ".join(
         f"SELECT a, b, w FROM hooks{r}" for r in range(1, rounds + 1)
     )
@@ -4729,6 +4755,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "wl_colors": _wl_oracle_sql(_WL_ROUNDS),
         "msf_edges": _msf_oracle_sql(_MSF_UNROLL),
+        "affinity_clusters": _msf_oracle_sql(_AFFINITY_LEVELS, select="clusters"),
         "betweenness_sampled": _betweenness_oracle_sql(
             _BC_UNROLL, _BC_SOURCE_MOD
         ),

@@ -33,6 +33,10 @@ from paragrapher_spark.kernels.components import connected_components
 @dataclass
 class MSFResult:
     edges: DataFrame  # (a, b, weight) — the forest, a < b
+    clusters: DataFrame  # (id, c) — component labels after the last round:
+    #   the affinity-clustering assignment at that contraction level
+    #   (Bateni et al. NeurIPS 2017 — level-k clusters ARE Boruvka round-k
+    #   components; run with max_rounds=k for the level-k clustering)
     n_edges: int
     total_weight: int
     rounds: int
@@ -116,6 +120,7 @@ def boruvka_msf(
     ).collect()[0]
     return MSFResult(
         edges=msf.select("a", "b", F.col("w").alias("weight")),
+        clusters=comp,
         n_edges=int(stats["n"]),
         total_weight=int(stats["tw"]),
         rounds=rounds,

@@ -81,3 +81,28 @@ def test_empty(spark):
     df = spark.createDataFrame([], "src long, dst long, weight long")
     res = boruvka_msf(df)
     assert res.n_edges == 0 and res.total_weight == 0 and res.rounds == 0
+
+
+def test_affinity_clusters_levels(spark):
+    """Level-k affinity clusters = Boruvka round-k components: at level 1
+    on a path with distinct weights, each vertex hooks through its min
+    incident edge; deeper levels coarsen monotonically (each cluster is a
+    union of previous-level clusters)."""
+    # valley weights: light (2i,2i+1) edges are local minima, heavy odd
+    # edges only bridge — level 1 pairs up, level 2 merges the pairs
+    w = [1, 9, 2, 8, 3, 7, 4]  # path 0-..-7
+    rows = [(i, i + 1, w[i]) for i in range(7)]
+    df = spark.createDataFrame(rows, "src long, dst long, weight long")
+    lvl1 = boruvka_msf(df, max_rounds=1).clusters
+    lvl2 = boruvka_msf(df, max_rounds=2).clusters
+    c1 = {r.id: r.c for r in lvl1.collect()}
+    c2 = {r.id: r.c for r in lvl2.collect()}
+    # level 1: each even vertex pairs with its light neighbor
+    assert c1[0] == c1[1] and c1[2] == c1[3] and c1[4] == c1[5] and c1[6] == c1[7]
+    assert len(set(c1.values())) == 4
+    assert len(set(c1.values())) > len(set(c2.values()))  # coarsening
+    # monotone: same level-1 cluster => same level-2 cluster
+    for i in c1:
+        for j in c1:
+            if c1[i] == c1[j]:
+                assert c2[i] == c2[j]

@@ -1575,6 +1575,25 @@ def _q_msf_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_TAU = 0.3
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py semantic_dedup): embedding-space
+    dedup — fixed-quantizer bucket assignment (the knn_ivf_fixed
+    convention: vectors of the 16 smallest vec_ids), keep-first cosine
+    prune within each bucket. (vec_id, cluster, keep), fully gated."""
+    from paragrapher_spark.operators.dedup import semantic_dedup
+    from paragrapher_spark.operators.similarity import with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = with_norm(emb).orderBy("vec_id").limit(16).collect()
+    cents = [(i, list(r["vec"])) for i, r in enumerate(rows)]
+    return semantic_dedup(emb, cents, threshold=_SEMDEDUP_TAU).select(
+        F.col("vec_id").cast("long"), F.col("cluster").cast("long"), "keep"
+    )
+
+
 _AFFINITY_LEVELS = 2
 
 
@@ -2373,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "span_dedup": _q_span_dedup,
         "token_counts": _q_token_counts,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -3692,6 +3712,61 @@ def _knn_ivf_fixed_oracle_sql(
            CAST(neighbor_id AS BIGINT) AS neighbor_id,
            ROUND(sc, 6) AS score
     FROM ranked WHERE rn <= {k}
+    """
+
+
+def _semantic_dedup_oracle_sql(
+    tau: float, n_centroids: int = 16, dim: int = 64
+) -> str:
+    """operators/dedup.py semantic_dedup mirrored: the knn_ivf_fixed
+    quantizer CTEs (same fixed centroids, same ascending (-dot/|c|, cid)
+    home assignment, same left-fold dot), then the within-bucket
+    keep-first cosine prune."""
+    fold = (
+        "list_reduce(list_transform(range(1, %d), i -> {a}[i] * {b}[i]),"
+        " (acc, x) -> acc + x)" % (dim + 1)
+    )
+    dot_vc = fold.format(a="b.e", b="c.c")
+    dot_ab = fold.format(a="a.e", b="b.e")
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    nv AS MATERIALIZED (
+        SELECT vec_id, e,
+               sqrt(list_reduce(list_transform(e, x -> x * x),
+                    (a, b) -> a + b)) AS norm
+        FROM v
+    ),
+    base AS MATERIALIZED (SELECT * FROM nv WHERE norm > 0),
+    cents AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c,
+               norm AS cn
+        FROM (SELECT * FROM base ORDER BY vec_id LIMIT {n_centroids})
+    ),
+    scored AS MATERIALIZED (
+        SELECT b.vec_id, b.e, b.norm, c.cid,
+               -({dot_vc}) / c.cn AS neg
+        FROM base b CROSS JOIN cents c
+    ),
+    home AS MATERIALIZED (
+        SELECT vec_id, e, norm, cid FROM (
+            SELECT vec_id, e, norm, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY neg, cid
+                   ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    dropped AS MATERIALIZED (
+        SELECT DISTINCT a.vec_id AS ida
+        FROM home a JOIN home b ON b.cid = a.cid AND b.vec_id < a.vec_id
+        WHERE ({dot_ab}) / (a.norm * b.norm) >= {tau}
+    )
+    SELECT CAST(h.vec_id AS BIGINT) AS vec_id,
+           CAST(h.cid AS BIGINT) AS cluster,
+           d.ida IS NULL AS keep
+    FROM home h LEFT JOIN dropped d ON d.ida = h.vec_id
     """
 
 
@@ -5785,6 +5860,7 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 0.0 END AS chars_per_token
     FROM documents
     """,
+        "semantic_dedup": _semantic_dedup_oracle_sql(_SEMDEDUP_TAU),
         # every query carries an oracle since r3: knn_ivf's fixed-point
         # Lloyd trainer (order-free int64 centroid sums) made the last
         # formerly-inexpressible query (iterative float k-means) exactly

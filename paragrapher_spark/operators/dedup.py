@@ -670,3 +670,71 @@ def span_dedup(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — bucket vectors by nearest
+    centroid, then WITHIN each bucket drop every vector that has a
+    lower-id neighbor with cosine >= ``threshold`` (the deterministic
+    keep-first rule, same convention as the C4 span dedup). Cross-bucket
+    near-dups are deliberately not compared — that locality is the
+    paper's own approximation and what makes the op linear-ish instead
+    of all-pairs.
+
+    ``centroids`` is a fixed (cid, vector) quantizer (the knn_ivf_fixed
+    convention), so assignment — ascending (-cos, cid) — and the pair
+    scan are fully deterministic and SQL-reproducible. Zero-norm vectors
+    are excluded (cosine undefined; the with_norm contract).
+
+    Returns (vec_id, cluster, keep). 100 TB shape: broadcast-literal
+    centroid scoring (one projection), one equi-join on the bucket id
+    whose fan-out is bounded by quantizer balance, one anti-join — no
+    all-pairs stage anywhere.
+    """
+    from paragrapher_spark.operators.similarity import (
+        _centroid_scores,
+        cosine,
+        with_norm,
+    )
+
+    base = with_norm(emb, vec_col, id_col)
+    home = base.select(
+        F.col(id_col),
+        "vec",
+        "norm",
+        F.slice(F.array_sort(_centroid_scores(centroids)), 1, 1)
+        .getItem(0)
+        .getField("cid")
+        .alias("cluster"),
+    )
+    a = home.select(
+        F.col(id_col).alias("ida"), F.col("vec").alias("va"),
+        F.col("norm").alias("na"), "cluster",
+    )
+    b = home.select(
+        F.col(id_col).alias("idb"), F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"), "cluster",
+    )
+    dropped = (
+        a.join(b, on="cluster")
+        .where(F.col("idb") < F.col("ida"))
+        .where(cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+               >= F.lit(threshold))
+        .select(F.col("ida").alias(id_col))
+        .distinct()
+    )
+    return (
+        home.join(dropped.withColumn("dropped", F.lit(True)), on=id_col, how="left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -476,3 +476,58 @@ def test_lm_bigram_scores_overflow_guard(spark):
 
     with _pytest.raises(ValueError, match="overflow"):
         lm_bigram_scores(docs, scale=2**61)
+
+
+def test_semantic_dedup_planted(spark):
+    """SemDeDup on a planted fixture: two clusters of near-parallel
+    vectors plus one orthogonal singleton — keep-first inside each
+    bucket, verified against a brute-force python replay."""
+    import math
+
+    from paragrapher_spark.operators.dedup import semantic_dedup
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],   # cluster A seed (kept)
+        1: [0.99, 0.14, 0.0],  # ~cos 0.990 with 0 -> dropped
+        2: [0.0, 1.0, 0.0],   # cluster B seed (kept)
+        3: [0.1, 0.99, 0.0],  # ~cos 0.995 with 2 -> dropped
+        4: [0.0, 0.0, 1.0],   # orthogonal -> own bucket, kept
+        5: [0.7, 0.72, 0.0],  # between A and B, below tau to its seed
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+    tau = 0.97
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semantic_dedup(emb, cents, threshold=tau).collect()
+    }
+
+    # python replay: assign to nearest centroid (ties -> lowest cid),
+    # then keep-first within bucket under cosine >= tau
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    home = {
+        i: min(cents, key=lambda c: (-cos(v, c[1]), c[0]))[0]
+        for i, v in vecs.items()
+    }
+    # drop on ANY lower-id same-bucket neighbor above tau (the
+    # operator's rule — not only kept neighbors)
+    keep = {
+        i: not any(
+            home[j] == home[i] and cos(vecs[i], vecs[j]) >= tau
+            for j in vecs
+            if j < i
+        )
+        for i in sorted(vecs)
+    }
+    expected = {i: (home[i], keep[i]) for i in vecs}
+    assert got == expected
+    # the planted structure actually exercised both branches
+    assert [got[i][1] for i in range(6)] == [True, False, True, False, True, True]

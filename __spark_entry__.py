@@ -193,6 +193,16 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges).select(F.col("triangles").cast("long"))
 
 
+def _q_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global 4-cycle count (kernels/triangles.py square_count —
+    the diagonal identity sum C(lam,2)/2, all-integer) on the
+    copurchase graph; oracle replays the identical identity in SQL."""
+    from paragrapher_spark.kernels.triangles import square_count
+
+    edges = copurchase_edges(spark, sf_dir)
+    return square_count(edges).select(F.col("squares").cast("long"))
+
+
 def _q_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected hop distances from the smallest vertex id, capped at 6
     hops — frontier-superstep BFS vs the DuckDB recursive-CTE oracle."""
@@ -2296,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_labels": _q_wcc_labels,
         "wcc_sizes": _q_wcc_sizes,
         "triangle_count": _q_triangle_count,
+        "square_count": _q_square_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "bfs_depths": _q_bfs_depths,
         "sssp_weighted": _q_sssp_weighted,
@@ -5102,6 +5113,27 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "square_count": f"""
+            WITH edges AS ({COPURCHASE_EDGES_SQL}),
+            und AS (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst
+                GROUP BY 1, 2
+            ),
+            adj AS (
+                SELECT a AS v, b AS n FROM und
+                UNION ALL
+                SELECT b AS v, a AS n FROM und
+            ),
+            lam AS (
+                SELECT l.n AS u, r.n AS w, count(*) AS lam
+                FROM adj l JOIN adj r ON r.v = l.v AND l.n < r.n
+                GROUP BY 1, 2
+            )
+            SELECT CAST(COALESCE(SUM(lam * (lam - 1)) // 4, 0) AS BIGINT)
+                AS squares
+            FROM lam
         """,
         "bfs_depths": f"""
             WITH RECURSIVE e AS ({COPURCHASE_EDGES_SQL}),

@@ -243,3 +243,66 @@ def triangle_count_sampled(
         F.col("triangles").alias("sampled_triangles"),
         (F.col("triangles") * F.lit(float(inv))).alias("triangles_est"),
     )
+
+
+def square_count(
+    edges: DataFrame, max_center_degree: int | None = None
+) -> DataFrame:
+    """Single-row (squares: long[, n_dropped_centers, n_dropped_wedges])
+    — exact global 4-cycle (C4) count via the diagonal identity
+
+        #C4 = (1/2) * sum over unordered vertex pairs {u,w} of C(lam, 2),
+        lam = |common neighbors of u and w|
+
+    (each square a-b-c-d is counted once per diagonal — {a,c} and {b,d} —
+    hence the /2; the sum is provably even and every step is integer, so
+    the result is exact, cf. Chiba & Nishizeki 1985 rectangle counting).
+
+    Shape: wedge enumeration (adjacency self-joined on the center) +
+    one pair aggregation — cost is sum(deg^2), the same last-reducer
+    curse the triangle kernel's orientation dodges, but C4's diagonal
+    pairs have no one-sided orientation trick that stays exact. The
+    100 TB lever is ``max_center_degree``: hub centers above the cap are
+    excluded from wedge generation and LOUDLY counted in the extra
+    ``n_dropped_centers``/``n_dropped_wedges`` columns (never a silent
+    drop — the minhash/knn_lsh metric convention); with the cap unset
+    the count is exact and the extra columns are omitted.
+    """
+    und = _undirected(edges)
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    if max_center_degree is not None:
+        deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+        dropped = deg.where(F.col("deg") > max_center_degree)
+        drop_stats = dropped.agg(
+            F.count(F.lit(1)).alias("n_dropped_centers"),
+            F.coalesce(
+                F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_dropped_wedges"),
+        )
+        adj = adj.join(
+            deg.where(F.col("deg") <= max_center_degree).select("v"), on="v"
+        )
+    left = adj.select("v", F.col("n").alias("u"))
+    right = adj.select("v", F.col("n").alias("w"))
+    lam = (
+        left.join(right, on="v")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("lam"))
+    )
+    # integer-exact: sum(lam*(lam-1)) = 4 * #C4 (two diagonals, each
+    # contributing lam*(lam-1)/2 ordered pairs) — a long sum + one integer
+    # division, never a float (a double sum would silently round past 2^53
+    # wedge pairs, which 100 TB graphs exceed)
+    total = lam.agg(
+        F.expr("coalesce(sum(lam * (lam - 1)) div 4, 0)")
+        .cast("long")
+        .alias("squares")
+    )
+    if max_center_degree is not None:
+        return total.crossJoin(drop_stats)
+    return total

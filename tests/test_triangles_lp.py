@@ -158,3 +158,56 @@ def test_embeddedness_triangle_with_pendant(spark):
 
 def test_embeddedness_powerlaw_vs_oracle(spark):
     _emb_compare(spark, powerlaw_graph(spark, n=300, seed=11))
+
+
+def _squares_oracle(edges: list[tuple[int, int]]) -> int:
+    """Independent replay via the closed-4-walk trace identity
+    (Harary & Manvel 1971): tr(A^4) = 8*C4 + 2*m + 4*p2 where m = #edges
+    and p2 = sum_v C(deg_v, 2) — a different formula than the kernel's
+    diagonal identity, computed densely in numpy."""
+    import numpy as np
+
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    verts = sorted({v for e in und for v in e})
+    if not verts:
+        return 0
+    idx = {v: i for i, v in enumerate(verts)}
+    a = np.zeros((len(verts), len(verts)), dtype=np.int64)
+    for e in und:
+        u, w = tuple(e)
+        a[idx[u], idx[w]] = a[idx[w], idx[u]] = 1
+    deg = a.sum(axis=1)
+    tr4 = int(np.trace(np.linalg.matrix_power(a, 4)))
+    p2 = int((deg * (deg - 1) // 2).sum())
+    return (tr4 - 2 * len(und) - 4 * p2) // 8
+
+
+def test_square_count_fixtures(spark):
+    from paragrapher_spark.fixtures import cycle_graph, k_complete, path_graph
+    from paragrapher_spark.kernels.triangles import square_count
+
+    # K4 has 3 squares, K5 has 15 = C(5,4)*3
+    for df in (k_complete(spark, 4), k_complete(spark, 5),
+               cycle_graph(spark, 4), cycle_graph(spark, 6),
+               path_graph(spark, 6)):
+        edges = [(r.src, r.dst) for r in df.collect()]
+        got = square_count(df).collect()[0]["squares"]
+        assert got == _squares_oracle(edges), edges
+
+
+def test_square_count_powerlaw_and_cap(spark):
+    from paragrapher_spark.fixtures import powerlaw_graph, star_graph
+    from paragrapher_spark.kernels.triangles import square_count
+
+    pl = powerlaw_graph(spark)
+    edges = [(r.src, r.dst) for r in pl.collect()]
+    assert (
+        square_count(pl).collect()[0]["squares"] == _squares_oracle(edges)
+    )
+    # a star has no squares but a huge hub: the cap drops the hub center
+    # and reports it loudly
+    st = star_graph(spark, 50)
+    row = square_count(st, max_center_degree=10).collect()[0]
+    assert row["squares"] == 0
+    assert row["n_dropped_centers"] == 1
+    assert row["n_dropped_wedges"] == 49 * 48 // 2

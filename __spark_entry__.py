@@ -736,6 +736,78 @@ def _vocab_per_lang_sql() -> str:
     """
 
 
+_CMS_D = 4
+_CMS_W = 256
+_CMS_TOPK = 20
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens under a Count-Min sketch
+    (operators/sketches.py cms_sketch/cms_estimate, Cormode &
+    Muthukrishnan 2005): the 20 most frequent whitespace tokens with
+    exact count, the CMS estimate (d=4, w=256, md5 hash family), and the
+    sketch's never-underestimates guarantee as a gated boolean column —
+    an approximate operator under exact-hash correctness evidence, the
+    vocab_per_lang pattern."""
+    from paragrapher_spark.functions.text import tokens
+    from paragrapher_spark.operators.sketches import cms_estimate, cms_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    sketch = cms_sketch(toks, "term", depth=_CMS_D, width=_CMS_W)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+        .limit(_CMS_TOPK)
+    )
+    est = cms_estimate(sketch, top, "term", depth=_CMS_D, width=_CMS_W)
+    return est.select(
+        "term",
+        "exact_cnt",
+        F.col("cms_est").cast("long"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("overestimates"),
+    )
+
+
+def _cms_heavy_hitters_sql() -> str:
+    """_q_cms_heavy_hitters' twin: the d x w counter table rebuilt by
+    GROUP BY, probes replayed with the same 'cms:i' tags, MIN over the
+    depth rows."""
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT unnest({_TOKENS}) AS term FROM documents
+    ),
+    top AS MATERIALIZED (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM toks GROUP BY term
+        ORDER BY exact_cnt DESC, term
+        LIMIT {_CMS_TOPK}
+    ),
+    sk AS MATERIALIZED (
+        SELECT r.i AS row,
+               ('0x' || substr(md5(concat_ws(':',
+                   'cms:' || CAST(r.i AS VARCHAR), '42', term)),
+                   1, 15))::BIGINT % {_CMS_W} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks CROSS JOIN range({_CMS_D}) r(i)
+        GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT t.term, t.exact_cnt, r.i AS row,
+               ('0x' || substr(md5(concat_ws(':',
+                   'cms:' || CAST(r.i AS VARCHAR), '42', t.term)),
+                   1, 15))::BIGINT % {_CMS_W} AS bucket
+        FROM top t CROSS JOIN range({_CMS_D}) r(i)
+    )
+    SELECT p.term, p.exact_cnt,
+           CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS cms_est,
+           MIN(COALESCE(s.cnt, 0)) >= p.exact_cnt AS overestimates
+    FROM probe p LEFT JOIN sk s ON s.row = p.row AND s.bucket = p.bucket
+    GROUP BY p.term, p.exact_cnt
+    """
+
+
 _PACK_BUDGET = 200
 _PACK_BUCKETS = 8
 
@@ -2372,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "affinity_clusters": _q_affinity_clusters,
         "doc_packs": _q_doc_packs,
         "vocab_per_lang": _q_vocab_per_lang,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "corpus_pipeline": _q_corpus_pipeline,
         "katz_fixed": _q_katz_fixed,
         "build_order": _q_build_order,
@@ -4993,6 +5066,7 @@ def oracle_sql() -> dict[str, str]:
     FROM cum
     """,
         "vocab_per_lang": _vocab_per_lang_sql(),
+        "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
         "edge_embeddedness": f"""
     WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),

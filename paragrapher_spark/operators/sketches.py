@@ -105,6 +105,87 @@ def hll_distinct(
     )
 
 
+def cms_sketch(
+    df: DataFrame,
+    value: Column | str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 512,
+    tag: str = "cms",
+    seed: int = 42,
+) -> DataFrame:
+    """(group_cols..., row, bucket, cnt) — Count-Min sketch (Cormode &
+    Muthukrishnan, J. Algorithms 2005) of the frequency of ``value``,
+    optionally per group.
+
+    ``depth`` independent hash rows from the engine-portable md5 family
+    (row ``i`` hashes with tag ``'{tag}:{i}'``), each ``width`` buckets.
+    The point estimate for a key is the MIN over its ``depth`` bucket
+    counters — never an underestimate, overestimate bounded by
+    2m/width with probability 1-2^-depth (m = stream length).
+
+    Scale shape (100 TB): each input row fans out to ``depth`` tiny
+    (row, bucket) rows and ONE count aggregation folds them — partial
+    counts combine map-side, so the shuffle carries at most
+    #groups x depth x width counter rows no matter how many rows flow
+    in, and the finished sketch broadcasts for lookups. Deterministic:
+    the sketch is a pure function of the multiset of values, so it sits
+    under the exact-hash gate like the HLL above (and the same
+    commutative/associative/idempotent-free merge — counters ADD — makes
+    it streaming-foldable in update mode)."""
+    v = F.col(value) if isinstance(value, str) else value
+    probes = F.array(
+        *[
+            F.pmod(_value_hash(v, f"{tag}:{i}", seed), F.lit(width))
+            for i in range(depth)
+        ]
+    )
+    rows = df.select(
+        *group_cols, F.posexplode(probes).alias("row", "bucket")
+    )
+    return rows.groupBy(*group_cols, "row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 512,
+    tag: str = "cms",
+    seed: int = 42,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """keys + (out_col): Count-Min point estimate for each key row —
+    min over the ``depth`` bucket counters the key hashes into, 0 for a
+    never-seen key (absent buckets coalesce to 0 via the left join).
+    ``depth``/``width``/``tag``/``seed`` must match the sketch's. The
+    sketch side is #groups x depth x width rows — broadcast-sized for
+    any sane configuration, so the lookup is a map-side join."""
+    probes = F.array(
+        *[
+            F.pmod(
+                _value_hash(F.col(value_col), f"{tag}:{i}", seed),
+                F.lit(width),
+            )
+            for i in range(depth)
+        ]
+    )
+    probed = keys.select(
+        *keys.columns, F.posexplode(probes).alias("row", "bucket")
+    )
+    joined = probed.join(
+        F.broadcast(sketch), on=[*group_cols, "row", "bucket"], how="left"
+    )
+    return (
+        joined.groupBy(*keys.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )
+
+
 def stream_hll_distinct(
     spark,
     source_dir: str,

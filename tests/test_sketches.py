@@ -123,3 +123,88 @@ def test_stream_hll_matches_batch_and_resumes(spark, tmp_path):
         for r in hll_distinct(df, ["grp"], "term").collect()
     }
     assert got == want and len(got) == 3
+
+
+def _cms_replay(values, keys, depth=4, width=512, tag="cms", seed=42):
+    """Pure-python Count-Min replay: same md5 family, same 'tag:i' row
+    tags — an independent implementation of the same definition."""
+    counters = [[0] * width for _ in range(depth)]
+    for v in values:
+        for i in range(depth):
+            h = int(
+                hashlib.md5(f"{tag}:{i}:{seed}:{v}".encode()).hexdigest()[:15],
+                16,
+            )
+            counters[i][h % width] += 1
+    out = {}
+    for k in keys:
+        out[k] = min(
+            counters[i][
+                int(
+                    hashlib.md5(
+                        f"{tag}:{i}:{seed}:{k}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                % width
+            ]
+            for i in range(depth)
+        )
+    return out
+
+
+def test_cms_matches_python_replay_and_overestimates(spark):
+    from collections import Counter
+
+    from paragrapher_spark.operators.sketches import cms_estimate, cms_sketch
+
+    values = [f"tok{i % 23}" for i in range(600)] + [
+        f"rare{i}" for i in range(150)
+    ]
+    df = spark.createDataFrame([(v,) for v in values], "term string")
+    sketch = cms_sketch(df, "term", depth=3, width=64)
+    keys = sorted({f"tok{i}" for i in range(23)} | {"rare0", "never-seen"})
+    kdf = spark.createDataFrame([(k,) for k in keys], "term string")
+    got = {
+        r.term: r.cms_est
+        for r in cms_estimate(sketch, kdf, "term", depth=3, width=64).collect()
+    }
+    want = _cms_replay(values, keys, depth=3, width=64)
+    assert got == want
+    exact = Counter(values)
+    # the CMS guarantee: never an underestimate (0 for the unseen key
+    # only if no collision landed there — replay already pins the value)
+    for k in keys:
+        assert got[k] >= exact[k]
+
+
+def test_cms_sketch_size_is_bounded(spark):
+    from paragrapher_spark.operators.sketches import cms_sketch
+
+    df = spark.createDataFrame(
+        [(f"v{i % 7}",) for i in range(1000)], "term string"
+    )
+    sk = cms_sketch(df, "term", depth=2, width=16).collect()
+    assert len(sk) <= 2 * 16
+    assert sum(r.cnt for r in sk) == 2 * 1000  # every row counted per hash row
+
+
+def test_cms_grouped(spark):
+    from paragrapher_spark.operators.sketches import cms_estimate, cms_sketch
+
+    rows = [("a", f"t{i % 5}") for i in range(100)] + [
+        ("b", "t0") for _ in range(9)
+    ]
+    df = spark.createDataFrame(rows, "grp string, term string")
+    sk = cms_sketch(df, "term", group_cols=["grp"], depth=3, width=32)
+    kdf = spark.createDataFrame([("a", "t0"), ("b", "t0")], "grp string, term string")
+    got = {
+        (r.grp, r.term): r.cms_est
+        for r in cms_estimate(
+            sk, kdf, "term", group_cols=["grp"], depth=3, width=32
+        ).collect()
+    }
+    a_want = _cms_replay([f"t{i % 5}" for i in range(100)], ["t0"], 3, 32)
+    b_want = _cms_replay(["t0"] * 9, ["t0"], 3, 32)
+    assert got[("a", "t0")] == a_want["t0"]
+    assert got[("b", "t0")] == b_want["t0"]

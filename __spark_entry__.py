@@ -1339,6 +1339,50 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N2V_LEN = 5
+# (alpha_return, alpha_in, alpha_out) integer bias weights — node2vec's
+# rational (1/p, 1, 1/q) scaled to integers; (1, 6, 3) favors
+# triangle-closing 2x over outward steps and penalizes immediate
+# backtracking 6x (an exploratory, backtrack-averse walker)
+_N2V_ALPHAS = (1, 6, 3)
+
+
+def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec corpus (kernels/walks.py node2vec_walks,
+    Grover & Leskovec 2016): 5-step walks with integer bias triple
+    (return=1, in=6, out=3) — a BFS-ish explorer that discourages
+    immediate backtracking — from every vertex divisible by 97 on the
+    undirected co-purchase graph. Step 1 is the first-order index pick;
+    each later step classifies cur's neighbors by distance from prev
+    (returns / triangle-closing / outward) and picks by cumulative
+    integer alpha-weight interval, so the DuckDB oracle replays every
+    walk row for row with unrolled candidate/window CTEs."""
+    from paragrapher_spark.kernels.walks import node2vec_walks
+
+    edges = copurchase_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    starts = verts.where(F.col("id") % _WALK_START_MOD == 0)
+    a_ret, a_in, a_out = _N2V_ALPHAS
+    res = node2vec_walks(
+        edges,
+        starts,
+        length=_N2V_LEN,
+        alpha_return=a_ret,
+        alpha_in=a_in,
+        alpha_out=a_out,
+        directed=False,
+    )
+    return res.steps.select(
+        F.col("walk_id").cast("long"),
+        F.col("step").cast("long"),
+        F.col("id").cast("long"),
+    )
+
+
 def _q_random_walks_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional walks (kernels/walks.py, weight_col set) over
     the arc-labelled co-purchase graph — the reference's WG404 weighted
@@ -2413,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_fixed": _q_knn_ivf_fixed,
         "random_walks": _q_random_walks,
         "random_walks_weighted": _q_random_walks_weighted,
+        "node2vec_walks": _q_node2vec_walks,
         "scc_imports": _q_scc_imports,
         "neighbor_features": _q_neighbor_features,
         "sp_counts": _q_sp_counts,
@@ -4174,6 +4219,71 @@ def _walks_oracle_sql(length: int, start_mod: int, weighted: bool = False) -> st
     """
 
 
+def _n2v_oracle_sql(
+    length: int, start_mod: int, a_ret: int, a_in: int, a_out: int
+) -> str:
+    """Unrolled replay of kernels/walks.py node2vec_walks: step 1 is the
+    first-order index pick; each later step classifies cur's neighbors
+    by distance from prev via one LEFT join against the undirected edge
+    set, builds cumulative integer alpha-weight intervals per walk, and
+    lands the md5 pick value in one interval — identical hash family
+    and arithmetic both sides, so the second-order walks match row for
+    row."""
+    hv = "('0x' || substr(md5('n2v:42:' || walk_id::VARCHAR || ':{t}'), 1, 15))::BIGINT"
+    ctes = []
+    selects = [
+        "SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS id FROM s0",
+        "SELECT walk_id, CAST(1 AS BIGINT) AS step, cur AS id FROM s1",
+    ]
+    prev = "s1"
+    for t in range(2, length + 1):
+        h = hv.format(t=t)
+        ctes.append(f"""c{t} AS MATERIALIZED (
+            SELECT s.walk_id, s.prev, s.cur, a.dst, a.idx,
+                   (CASE WHEN a.dst = s.prev THEN {a_ret}
+                         WHEN e.src IS NOT NULL THEN {a_in}
+                         ELSE {a_out} END) AS aw
+            FROM {prev} s
+            JOIN adj a ON a.src = s.cur
+            LEFT JOIN sym e ON e.src = s.prev AND e.dst = a.dst
+        )""")
+        ctes.append(f"""s{t} AS MATERIALIZED (
+            SELECT walk_id, cur AS prev, dst AS cur FROM (
+                SELECT c.*,
+                       SUM(aw) OVER (PARTITION BY walk_id ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(aw) OVER (PARTITION BY walk_id) AS tot
+                FROM c{t} c)
+            WHERE ({h} % tot) >= cum - aw AND ({h} % tot) < cum
+        )""")
+        selects.append(
+            f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS id FROM s{t}"
+        )
+        prev = f"s{t}"
+    joined_ctes = ",\n        ".join(ctes)
+    h1 = hv.format(t=1)
+    return f"""
+        WITH base AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base),
+        adj AS MATERIALIZED (
+            SELECT src, dst,
+                   CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx,
+                   CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+            FROM sym),
+        s0 AS MATERIALIZED (
+            SELECT DISTINCT src AS walk_id, src AS cur FROM sym
+            WHERE src % {start_mod} = 0),
+        s1 AS MATERIALIZED (
+            SELECT s.walk_id, s.cur AS prev, a.dst AS cur
+            FROM s0 s JOIN adj a ON a.src = s.cur
+             AND a.idx = ({h1} % a.deg)
+        ),
+        {joined_ctes}
+        {' UNION ALL '.join(selects)}
+    """
+
+
 def _scc_oracle_sql(edges_sql: str) -> str:
     """Mutual reachability by transitive closure: scc(v) = min over
     {{v}} ∪ {{u : v →* u AND u →* v}} — the definitional oracle the
@@ -4891,6 +5001,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_ivf_fixed": _knn_ivf_fixed_oracle_sql(),
         "random_walks": _walks_oracle_sql(_WALK_LEN, _WALK_START_MOD),
+        "node2vec_walks": _n2v_oracle_sql(
+            _N2V_LEN, _WALK_START_MOD, *_N2V_ALPHAS
+        ),
         "random_walks_weighted": _walks_oracle_sql(
             _WALK_LEN, _WALK_START_MOD, weighted=True
         ),

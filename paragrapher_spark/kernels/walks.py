@@ -261,3 +261,265 @@ def random_walks(
     if checkpoint is not None:
         checkpoint.save(min(t, length), out, {"final": True}, kind="final")
     return WalksResult(steps=out, length=length, n_walks=n_walks, history=history)
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame | list[int],
+    length: int = 8,
+    alpha_return: int = 1,
+    alpha_in: int = 1,
+    alpha_out: int = 1,
+    seed: int = SEED,
+    directed: bool = False,
+    weight_col: str | None = None,
+    num_partitions: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 4,
+) -> WalksResult:
+    """Second-order biased walks (node2vec, Grover & Leskovec KDD 2016)
+    — the step from ``cur`` with predecessor ``prev`` weights each
+    neighbor ``x`` by ``w(cur,x) * alpha`` where alpha is
+    ``alpha_return`` if ``x == prev``, ``alpha_in`` if ``x`` is adjacent
+    to ``prev`` (distance 1), else ``alpha_out`` (distance 2). The
+    paper's rational (1/p, 1, 1/q) bias is the integer triple
+    ``(q, p*q, p)`` for integer p, q — kept integer so the cumulative
+    intervals and the pick are EXACT and the DuckDB oracle replays the
+    walks row for row (pick ``r = H('n2v', seed, walk_id, t) mod
+    total_alpha_weight`` lands in a neighbor's cumulative interval; step
+    1 has no predecessor and is the first-order ``H mod degree`` index
+    pick of ``random_walks``).
+
+    Execution shape per step: state (walk_id, prev, cur) equi-joins the
+    indexed adjacency on ``cur`` (fanning out to cur's neighbors — the
+    inherent Sum(deg(cur)) cost of second-order sampling without
+    per-vertex alias tables), one LEFT equi-join against the deduped
+    edge table on (prev, dst) classifies each candidate's alpha
+    JVM-side, and a per-walk window (partition by walk_id — unique per
+    state row, so no skew beyond a single hub's candidate list) builds
+    the cumulative intervals. No per-row Python anywhere.
+
+    100 TB shape: candidate volume is walker-count x avg-degree rows per
+    step, independent of |V|; a walker parked on a mega-hub fans out to
+    that hub's full adjacency — cap such hubs upstream (the
+    square_count max_center_degree convention) or accept the scan, the
+    same trade the weighted first-order path documents. Resumable: the
+    emitted steps table IS the snapshot; (prev, cur) state rebuilds from
+    steps t and t-1.
+    """
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for nm, a in (
+        ("alpha_return", alpha_return),
+        ("alpha_in", alpha_in),
+        ("alpha_out", alpha_out),
+    ):
+        if int(a) <= 0:
+            raise ValueError(f"{nm} must be a positive integer, got {a}")
+
+    if weight_col is None:
+        e = edges.select("src", "dst", F.lit(1).cast("long").alias("w"))
+    else:
+        e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    dedup = e.groupBy("src", "dst").agg(F.max("w").alias("w"))
+    if weight_col is not None:
+        n_bad = dedup.where(F.col("w") <= 0).count()
+        if n_bad:
+            raise ValueError(
+                f"weighted walks need positive integer weights; "
+                f"{n_bad} edges have {weight_col} <= 0"
+            )
+    win = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        dedup.select(
+            "src",
+            "dst",
+            "w",
+            (F.row_number().over(win) - F.lit(1)).cast("long").alias("idx"),
+        )
+        .repartition(n_part, "src")
+        .sortWithinPartitions("src", "idx")
+        .persist()
+    )
+    adj.count()
+    degs = (
+        adj.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(n_part, "src")
+        .persist()
+    )
+    degs.count()
+    # the alpha classifier's membership side: one (src, dst) key column
+    # pair of the deduped edge table, reused every step
+    memb = dedup.select(
+        F.col("src").alias("p_src"), F.col("dst").alias("p_dst"), F.lit(True).alias("is_adj")
+    ).repartition(n_part, "p_src", "p_dst").persist()
+    memb.count()
+
+    if isinstance(starts, list):
+        src_df = spark.createDataFrame([(int(s),) for s in starts], "id long")
+    else:
+        src_df = starts.select("id")
+
+    start_step = 0
+    out: DataFrame | None = None
+    if checkpoint is not None:
+        resumed = checkpoint.resume(spark)
+        if resumed is not None:
+            start_step, out = resumed
+            out = out.repartition(n_part, "walk_id").localCheckpoint(eager=True)
+
+    history: list[dict[str, Any]] = []
+    probe = ShuffleProbe(spark)
+
+    if out is None:
+        state0 = (
+            src_df.distinct()
+            .select(F.col("id").alias("walk_id"), F.col("id").alias("cur"))
+            .repartition(n_part, "cur")
+            .localCheckpoint(eager=True)
+        )
+        out = state0.select(
+            "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("id")
+        )
+        n_walks = state0.count()
+        # step 1: first-order index pick (no predecessor yet)
+        if length >= 1:
+            t0 = time.monotonic()
+            picked = state0.select(
+                "walk_id",
+                F.col("cur").alias("src"),
+                _h("n2v", seed, "walk_id", F.lit(1)).alias("hv"),
+            ).join(degs, on="src").select(
+                "walk_id", "src", F.pmod(F.col("hv"), F.col("deg")).alias("idx")
+            )
+            nxt = picked.join(adj, on=["src", "idx"])
+            state = (
+                nxt.select(
+                    "walk_id",
+                    F.col("src").alias("prev"),
+                    F.col("dst").alias("cur"),
+                )
+                .repartition(n_part, "cur")
+                .localCheckpoint(eager=False)
+            )
+            alive = state.count()
+            shuffle_w, shuffle_r = probe.tick()
+            history.append(
+                {
+                    "step": 1,
+                    "alive_walkers": alive,
+                    "duration_s": time.monotonic() - t0,
+                    "shuffle_write_bytes": shuffle_w,
+                    "shuffle_read_bytes": shuffle_r,
+                }
+            )
+            out = out.unionByName(
+                state.select(
+                    "walk_id",
+                    F.lit(1).cast("int").alias("step"),
+                    F.col("cur").alias("id"),
+                )
+            )
+            start_step = 1
+        else:
+            state = None
+            alive = 0
+    else:
+        n_walks = out.where(F.col("step") == 0).count()
+        cur_rows = out.where(F.col("step") == start_step).select(
+            "walk_id", F.col("id").alias("cur")
+        )
+        prev_rows = out.where(F.col("step") == start_step - 1).select(
+            "walk_id", F.col("id").alias("prev")
+        )
+        state = (
+            cur_rows.join(prev_rows, on="walk_id")
+            .select("walk_id", "prev", "cur")
+            .repartition(n_part, "cur")
+            .localCheckpoint(eager=True)
+        )
+        alive = state.count()
+
+    t = start_step
+    for t in range(start_step + 1, length + 1):
+        if state is None or alive == 0:
+            break
+        t0 = time.monotonic()
+        cand = (
+            state.join(adj, state["cur"] == adj["src"])
+            .join(
+                memb,
+                (state["prev"] == F.col("p_src")) & (adj["dst"] == F.col("p_dst")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                "prev",
+                "cur",
+                "dst",
+                "idx",
+                (
+                    F.col("w")
+                    * F.when(F.col("dst") == F.col("prev"), F.lit(alpha_return))
+                    .when(F.col("is_adj"), F.lit(alpha_in))
+                    .otherwise(F.lit(alpha_out))
+                ).cast("long").alias("aw"),
+            )
+        )
+        wwin = Window.partitionBy("walk_id").orderBy("idx")
+        scanned = cand.select(
+            "walk_id",
+            "cur",
+            "dst",
+            "aw",
+            F.sum("aw")
+            .over(wwin.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum"),
+            F.sum("aw").over(Window.partitionBy("walk_id")).alias("tot"),
+            F.pmod(
+                _h("n2v", seed, "walk_id", F.lit(t)), F.col("tot")
+            ).alias("r"),
+        )
+        nxt = scanned.where(
+            (F.col("r") >= F.col("cum") - F.col("aw")) & (F.col("r") < F.col("cum"))
+        )
+        state = (
+            nxt.select(
+                "walk_id", F.col("cur").alias("prev"), F.col("dst").alias("cur")
+            )
+            .repartition(n_part, "cur")
+            .localCheckpoint(eager=False)
+        )
+        alive = state.count()
+        dt = time.monotonic() - t0
+        shuffle_w, shuffle_r = probe.tick()
+        history.append(
+            {
+                "step": t,
+                "alive_walkers": alive,
+                "duration_s": dt,
+                "shuffle_write_bytes": shuffle_w,
+                "shuffle_read_bytes": shuffle_r,
+            }
+        )
+        out = out.unionByName(
+            state.select(
+                "walk_id", F.lit(t).cast("int").alias("step"), F.col("cur").alias("id")
+            )
+        )
+        if checkpoint is not None and alive > 0 and t % checkpoint_every == 0:
+            checkpoint.save(t, out, history[-1])
+        if alive == 0:
+            break
+
+    adj.unpersist()
+    degs.unpersist()
+    memb.unpersist()
+    if checkpoint is not None:
+        checkpoint.save(min(max(t, start_step), length), out, {"final": True}, kind="final")
+    return WalksResult(steps=out, length=length, n_walks=n_walks, history=history)

@@ -379,3 +379,112 @@ def test_weighted_walks_bias_follows_weight(spark):
         step1 = [r.id for r in res.steps.collect() if r.step == 1]
         picks.extend(step1)
     assert picks.count(1) >= 35  # ~99% expected; 40 trials, generous floor
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order walks
+# ---------------------------------------------------------------------------
+
+
+def _n2v_oracle(
+    edges, starts, length, a_ret, a_in, a_out, seed=42, directed=False,
+    weights=None,
+):
+    """Pure-python second-order replay: step 1 first-order index pick,
+    step >=2 alpha-weighted cumulative-interval pick — an independent
+    implementation of the same definition."""
+    wmap: dict[tuple[int, int], int] = {}
+    all_edges = list(edges) + ([] if directed else [(d, s) for s, d in edges])
+    for i, (s, d) in enumerate(all_edges):
+        w = 1 if weights is None else (weights + weights)[i] if not directed else weights[i]
+        wmap[(s, d)] = max(wmap.get((s, d), 0), w)
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for (s, d), w in wmap.items():
+        adj.setdefault(s, []).append((d, w))
+    adjl = {k: sorted(v) for k, v in adj.items()}
+    und = set(wmap)
+    rows = []
+    for wid in starts:
+        cur = wid
+        rows.append((wid, 0, cur))
+        nbrs = adjl.get(cur, [])
+        if not nbrs or length < 1:
+            continue
+        prev, cur = cur, nbrs[_h("n2v", seed, wid, 1) % len(nbrs)][0]
+        rows.append((wid, 1, cur))
+        for t in range(2, length + 1):
+            nbrs = adjl.get(cur, [])
+            if not nbrs:
+                break
+            aws = []
+            for dst, w in nbrs:
+                if dst == prev:
+                    a = a_ret
+                elif (prev, dst) in und:
+                    a = a_in
+                else:
+                    a = a_out
+                aws.append(w * a)
+            r = _h("n2v", seed, wid, t) % sum(aws)
+            cum = 0
+            for (dst, _), aw in zip(nbrs, aws):
+                cum += aw
+                if r < cum:
+                    prev, cur = cur, dst
+                    break
+            rows.append((wid, t, cur))
+    return sorted(rows)
+
+
+def test_node2vec_matches_python_replay(spark):
+    from paragrapher_spark.kernels.walks import node2vec_walks
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0), (2, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for a_ret, a_in, a_out in [(1, 4, 4), (4, 4, 1), (1, 1, 1), (2, 6, 3)]:
+        res = node2vec_walks(
+            df, [0, 2, 5], length=6,
+            alpha_return=a_ret, alpha_in=a_in, alpha_out=a_out,
+        )
+        got = sorted((r.walk_id, r.step, r.id) for r in res.steps.collect())
+        want = _n2v_oracle(edges, [0, 2, 5], 6, a_ret, a_in, a_out)
+        assert got == want, (a_ret, a_in, a_out)
+
+
+def test_node2vec_directed_sink_terminates(spark):
+    from paragrapher_spark.kernels.walks import node2vec_walks
+
+    # 0 -> 1 -> 2 (sink): every walk parks at 2 by step 2
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    res = node2vec_walks(df, [0], length=9, directed=True)
+    got = sorted((r.step, r.id) for r in res.steps.collect())
+    assert got == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_node2vec_weighted_and_bad_weight_loud(spark):
+    from paragrapher_spark.kernels.walks import node2vec_walks
+
+    edges = [(0, 1, 5), (0, 2, 1), (1, 2, 3), (2, 3, 2), (3, 0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    res = node2vec_walks(
+        df, [0, 3], length=5, alpha_return=1, alpha_in=3, alpha_out=2,
+        weight_col="weight",
+    )
+    got = sorted((r.walk_id, r.step, r.id) for r in res.steps.collect())
+    want = _n2v_oracle(
+        [(s, d) for s, d, _ in edges], [0, 3], 5, 1, 3, 2,
+        weights=[w for _, _, w in edges],
+    )
+    assert got == want
+
+    bad = spark.createDataFrame([(0, 1, 0)], "src long, dst long, weight long")
+    with pytest.raises(ValueError, match="positive integer weights"):
+        node2vec_walks(bad, [0], length=2, weight_col="weight")
+
+
+def test_node2vec_alpha_validation(spark):
+    from paragrapher_spark.kernels.walks import node2vec_walks
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="alpha_out"):
+        node2vec_walks(df, [0], length=2, alpha_out=0)

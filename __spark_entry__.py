@@ -736,6 +736,68 @@ def _vocab_per_lang_sql() -> str:
     """
 
 
+_BM25_TERMS = ("spark", "vector", "hash")
+_BM25_K = 10
+_BM25_SCALE = 1_000_000
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shaped retrieval (functions/text.py bm25_topk): top-10 docs
+    for the query terms (spark, vector, hash) with k1=6/5, b=3/4 and the
+    log-free RSJ odds-ratio term weight, every step exact integer fixed
+    point at 1e6 scale — probabilistic ranking under the exact-hash
+    gate, no libm between engines."""
+    from paragrapher_spark.functions.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_BM25_TERMS), k=_BM25_K, scale=_BM25_SCALE).select(
+        F.col("doc_id").cast("long"), "score_fp", "n_hit"
+    )
+
+
+def _bm25_topk_sql() -> str:
+    """_q_bm25_topk's twin: same integer fixed-point pipeline — dl/tf/df
+    aggregates, avgdl = total div N, per-term score one ``//`` division,
+    exact long sum, (score DESC, id) top-k."""
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id AS id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    dl AS MATERIALIZED (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY id
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
+        FROM dl
+    ),
+    tf AS MATERIALIZED (
+        SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        WHERE term IN ({terms_sql}) GROUP BY id, term
+    ),
+    dft AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT t.id,
+               (CAST({_BM25_SCALE} AS BIGINT) * (2*c.n_docs - 2*d.df + 1)
+                    * t.tf * 44 * c.avgdl)
+                   // ((2*d.df + 1)
+                       * (20*c.avgdl*t.tf + 6*c.avgdl + 18*l.dl)) AS term_fp
+        FROM tf t
+        JOIN dft d USING (term)
+        JOIN dl l ON l.id = t.id
+        CROSS JOIN corpus c
+    )
+    SELECT id AS doc_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM scored GROUP BY id
+    ORDER BY score_fp DESC, id
+    LIMIT {_BM25_K}
+    """
+
+
 _CMS_D = 4
 _CMS_W = 256
 _CMS_TOPK = 20
@@ -2490,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packs": _q_doc_packs,
         "vocab_per_lang": _q_vocab_per_lang,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "bm25_topk": _q_bm25_topk,
         "corpus_pipeline": _q_corpus_pipeline,
         "katz_fixed": _q_katz_fixed,
         "build_order": _q_build_order,
@@ -5180,6 +5243,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "vocab_per_lang": _vocab_per_lang_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
+        "bm25_topk": _bm25_topk_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
         "edge_embeddedness": f"""
     WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),

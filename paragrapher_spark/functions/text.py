@@ -13,7 +13,7 @@ form). Each returns a Column (composable) or a DataFrame query.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -362,6 +362,81 @@ def top_terms(
             "df",
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score_fp, n_hit): the ``k`` best documents for the query
+    ``terms`` under BM25-shaped scoring (Robertson & Spärck Jones
+    probabilistic ranking; k1 = 6/5, b = 3/4) kept in EXACT integer
+    fixed point so the ranking sits under the exact-hash gate.
+
+    Per (doc, query term): the BM25 saturation part
+    ``tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))`` multiplied through by
+    20*avgdl becomes the all-integer ratio
+    ``tf*44*A / (20*A*tf + 6*A + 18*dl)`` (A = integer avgdl = total
+    tokens div N). The term weight is the log-free RSJ odds ratio
+    ``(N - df + 0.5)/(df + 0.5) = (2N-2df+1)/(2df+1)`` — textbook BM25
+    logs it; dropping the ln keeps every step an exact integer (the
+    top_terms discipline: no libm between engines) at the cost of
+    weighting rare terms more aggressively than the logged form; for
+    single-term queries the ranking is identical. The per-term score is
+    ONE integer division at ``scale`` fixed point; the doc score is the
+    exact long sum over query terms; ties break on doc id.
+
+    Scale shape (100 TB): one tokenize pass; dl and tf are map-side
+    combinable aggs (tf pre-filtered to the query terms — the filter
+    pushes below the shuffle, so the agg carries |terms| x #docs rows at
+    most); df and the corpus totals are tiny one-row/`|terms|`-row
+    broadcasts; the final top-k is TakeOrderedAndProject (bounded per
+    task). Overflow headroom: scale * 2N * tf * 44 * A must stay under
+    2^63 — at scale 1e6 that holds to ~1e5 docs x 1e4-token docs; shrink
+    ``scale`` for bigger corpora (documented, loud long arithmetic — an
+    overflow raises under ANSI mode rather than wrapping).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ).select("n_docs", F.expr("total_dl div n_docs").alias("avgdl"))
+    tf = (
+        toks.where(F.col("term").isin(list(terms)))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dft), on="term")
+        .join(dl, on="id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "id",
+            F.expr(
+                f"(CAST({int(scale)} AS BIGINT) * (2*n_docs - 2*df + 1) * tf * 44 * avgdl)"
+                f" div ((2*df + 1) * (20*avgdl*tf + 6*avgdl + 18*dl))"
+            ).alias("term_fp"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("term_fp").cast("long").alias("score_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_hit"),
+        )
+        .orderBy(F.desc("score_fp"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score_fp", "n_hit")
     )
 
 

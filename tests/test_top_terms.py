@@ -92,3 +92,74 @@ def test_top_terms_plan_is_bounded(spark):
         .toString()
     )
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+# ---------------------------------------------------------------------------
+# BM25 fixed-point retrieval
+# ---------------------------------------------------------------------------
+
+
+def _bm25_replay(docs, terms, k=10, scale=1_000_000):
+    """Independent python replay of the integer fixed-point BM25:
+    same rationals (k1=6/5, b=3/4 -> tf*44*A / (20*A*tf+6*A+18*dl)),
+    same log-free RSJ idf, same floor divisions."""
+    toksd = {i: [t for t in text.split(" ") if t] for i, text in docs}
+    dl = {i: len(ts) for i, ts in toksd.items()}
+    n = len(dl)
+    avgdl = sum(dl.values()) // n
+    tf = {}
+    for i, ts in toksd.items():
+        for t in ts:
+            if t in terms:
+                tf[(i, t)] = tf.get((i, t), 0) + 1
+    df = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    scores = {}
+    hits = {}
+    for (i, t), f in tf.items():
+        num = scale * (2 * n - 2 * df[t] + 1) * f * 44 * avgdl
+        den = (2 * df[t] + 1) * (20 * avgdl * f + 6 * avgdl + 18 * dl[i])
+        scores[i] = scores.get(i, 0) + num // den
+        hits[i] = hits.get(i, 0) + 1
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(i, s, hits[i]) for i, s in ranked]
+
+
+def test_bm25_matches_python_replay(spark):
+    from paragrapher_spark.functions.text import bm25_topk
+
+    docs = [
+        (0, "spark hash join hash hash filler words here and more"),
+        (1, "vector vector vector spark tiny"),
+        (2, "nothing relevant at all in this one document body"),
+        (3, "hash"),
+        (4, "spark spark spark spark spark long document " + "pad " * 50),
+        (5, "vector hash spark all three terms present once each pad pad"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.score_fp, r.n_hit)
+        for r in bm25_topk(df, ["spark", "vector", "hash"], k=4).collect()
+    ]
+    want = _bm25_replay(docs, {"spark", "vector", "hash"}, k=4)
+    assert got == want
+    # every returned doc matched at least one query term
+    assert all(h >= 1 for _, _, h in got)
+
+
+def test_bm25_single_term_orders_like_textbook(spark):
+    """With one query term the log-free idf is a constant factor, so the
+    ranking must equal textbook BM25's: higher tf wins at equal dl,
+    shorter doc wins at equal tf (b>0 length normalization)."""
+    from paragrapher_spark.functions.text import bm25_topk
+
+    docs = [
+        (0, "x x x y y y y y"),        # tf=3, dl=8
+        (1, "x x y y y y y y"),        # tf=2, dl=8
+        (2, "x x x y y"),              # tf=3, dl=5 (shorter, same tf as 0)
+        (3, "y y y y y y y y"),        # no hit
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [r.doc_id for r in bm25_topk(df, ["x"], k=5).collect()]
+    assert got == [2, 0, 1]  # shorter beats longer at tf=3; tf=3 beats tf=2

@@ -870,6 +870,102 @@ def _cms_heavy_hitters_sql() -> str:
     """
 
 
+_BLOOM_BITS = 1024
+_BLOOM_HASHES = 5
+_BLOOM_PROBE_K = 30
+
+
+def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-pass (operators/sketches.py
+    bloom_build/bloom_probe, Bloom CACM 1970): the filter is built over
+    the vocabulary of 'en' documents (a stand-in benchmark set — the
+    decontamination shape: ship the broadcast-sized filter, not the
+    set), probed with the 30 most frequent global terms; exact
+    membership, the bloom verdict, AND the no-false-negatives guarantee
+    are all gated columns."""
+    from paragrapher_spark.functions.text import tokens
+    from paragrapher_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    members = toks.where(F.col("lang") == "en").select("term").distinct()
+    bloom = bloom_build(
+        members, "term", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES
+    )
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(_BLOOM_PROBE_K)
+        .select("term")
+    )
+    exact = members.withColumn("exact_member", F.lit(True))
+    probed = bloom_probe(
+        bloom, top, "term", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES
+    )
+    return (
+        probed.join(exact, on="term", how="left")
+        .select(
+            "term",
+            F.coalesce(F.col("exact_member"), F.lit(False)).alias("exact_member"),
+            "maybe_member",
+            # Bloom's one-sided guarantee: member => maybe_member
+            (F.col("maybe_member") | ~F.coalesce(
+                F.col("exact_member"), F.lit(False)
+            )).alias("no_false_negative"),
+        )
+    )
+
+
+def _bloom_membership_sql() -> str:
+    """_q_bloom_membership's twin: set-bit relation rebuilt by DISTINCT,
+    probes replayed with the same 'bloom:i' tags, ALL-bits-found
+    verdict."""
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT lang, unnest({_TOKENS}) AS term FROM documents
+    ),
+    members AS MATERIALIZED (
+        SELECT DISTINCT term FROM toks WHERE lang = 'en'
+    ),
+    bits AS MATERIALIZED (
+        SELECT DISTINCT
+               ('0x' || substr(md5(concat_ws(':',
+                   'bloom:' || CAST(r.i AS VARCHAR), '42', term)),
+                   1, 15))::BIGINT % {_BLOOM_BITS} AS bit
+        FROM members CROSS JOIN range({_BLOOM_HASHES}) r(i)
+    ),
+    top AS MATERIALIZED (
+        SELECT term FROM (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY term
+            ORDER BY cnt DESC, term
+            LIMIT {_BLOOM_PROBE_K}
+        )
+    ),
+    probe AS (
+        SELECT t.term, r.i,
+               ('0x' || substr(md5(concat_ws(':',
+                   'bloom:' || CAST(r.i AS VARCHAR), '42', t.term)),
+                   1, 15))::BIGINT % {_BLOOM_BITS} AS bit
+        FROM top t CROSS JOIN range({_BLOOM_HASHES}) r(i)
+    ),
+    verdict AS (
+        SELECT p.term,
+               COUNT(b.bit) = {_BLOOM_HASHES} AS maybe_member
+        FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+        GROUP BY p.term
+    )
+    SELECT v.term,
+           m.term IS NOT NULL AS exact_member,
+           v.maybe_member,
+           (v.maybe_member OR m.term IS NULL) AS no_false_negative
+    FROM verdict v LEFT JOIN members m ON m.term = v.term
+    """
+
+
 _PACK_BUDGET = 200
 _PACK_BUCKETS = 8
 
@@ -2553,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_per_lang": _q_vocab_per_lang,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bm25_topk": _q_bm25_topk,
+        "bloom_membership": _q_bloom_membership,
         "corpus_pipeline": _q_corpus_pipeline,
         "katz_fixed": _q_katz_fixed,
         "build_order": _q_build_order,
@@ -5244,6 +5341,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_per_lang": _vocab_per_lang_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "bm25_topk": _bm25_topk_sql(),
+        "bloom_membership": _bloom_membership_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
         "edge_embeddedness": f"""
     WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),

@@ -186,6 +186,84 @@ def cms_estimate(
     )
 
 
+def bloom_build(
+    df: DataFrame,
+    value: Column | str,
+    n_bits: int = 4096,
+    n_hashes: int = 5,
+    tag: str = "bloom",
+    seed: int = 42,
+) -> DataFrame:
+    """(bit) — Bloom filter (Bloom, CACM 1970) of the value set as a
+    relation of distinct set bit positions: each value sets ``n_hashes``
+    bits from the md5 hash family (hash row ``i`` tags ``'{tag}:{i}'``,
+    the cms_sketch convention). At most ``n_bits`` rows regardless of
+    input size — broadcast-sized for any sane configuration — and the
+    merge is a set union: commutative, associative, idempotent, so
+    shards build independently and union, and a streaming fold
+    converges to the batch filter under any arrival order.
+
+    Scale shape (100 TB): one explode to n_hashes tiny rows per input
+    row + ONE distinct (map-side combinable agg); the finished filter
+    broadcast-joins probes — the explicit form of the runtime bloom
+    pruning Spark injects for joins, available here as a first-class
+    relation you can persist, ship, or diff (e.g. a benchmark-set
+    filter for decontamination pre-passes)."""
+    v = F.col(value) if isinstance(value, str) else value
+    bits = F.array(
+        *[
+            F.pmod(_value_hash(v, f"{tag}:{i}", seed), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    return (
+        df.select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom_bits: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 5,
+    tag: str = "bloom",
+    seed: int = 42,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """keys + (out_col): Bloom membership verdict per key row — true iff
+    ALL ``n_hashes`` probe bits are set. No false negatives ever (a
+    present value's bits were all set at build time); false positives at
+    the standard (1 - e^(-kn/m))^k rate. Parameters must match the
+    build's. The filter side broadcasts, so the probe is a map-side
+    join followed by one counting aggregation."""
+    probes = F.explode(
+        F.array(
+            *[
+                F.pmod(
+                    _value_hash(F.col(value_col), f"{tag}:{i}", seed),
+                    F.lit(n_bits),
+                )
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("bit")
+    probed = keys.select(*keys.columns, probes)
+    hit = F.when(F.col("found"), 1).otherwise(0)
+    joined = probed.join(
+        F.broadcast(bloom_bits.withColumn("found", F.lit(True))),
+        on="bit",
+        how="left",
+    )
+    return (
+        joined.groupBy(*keys.columns)
+        .agg(
+            (F.sum(F.coalesce(hit, F.lit(0))) == F.lit(n_hashes)).alias(out_col)
+        )
+    )
+
+
 def stream_hll_distinct(
     spark,
     source_dir: str,

@@ -208,3 +208,62 @@ def test_cms_grouped(spark):
     b_want = _cms_replay(["t0"] * 9, ["t0"], 3, 32)
     assert got[("a", "t0")] == a_want["t0"]
     assert got[("b", "t0")] == b_want["t0"]
+
+
+def _bloom_replay(values, keys, n_bits=4096, n_hashes=5, tag="bloom", seed=42):
+    bits = set()
+    for v in values:
+        for i in range(n_hashes):
+            h = int(
+                hashlib.md5(f"{tag}:{i}:{seed}:{v}".encode()).hexdigest()[:15],
+                16,
+            )
+            bits.add(h % n_bits)
+    out = {}
+    for k in keys:
+        out[k] = all(
+            int(
+                hashlib.md5(f"{tag}:{i}:{seed}:{k}".encode()).hexdigest()[:15],
+                16,
+            )
+            % n_bits
+            in bits
+            for i in range(n_hashes)
+        )
+    return out
+
+
+def test_bloom_matches_replay_and_no_false_negatives(spark):
+    from paragrapher_spark.operators.sketches import bloom_build, bloom_probe
+
+    values = [f"member{i}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in values], "term string")
+    bloom = bloom_build(df, "term", n_bits=1024, n_hashes=3)
+    keys = values[:20] + [f"absent{i}" for i in range(50)]
+    kdf = spark.createDataFrame([(k,) for k in keys], "term string")
+    got = {
+        r.term: r.maybe_member
+        for r in bloom_probe(bloom, kdf, "term", n_bits=1024, n_hashes=3).collect()
+    }
+    want = _bloom_replay(values, keys, n_bits=1024, n_hashes=3)
+    assert got == want
+    # the contract: every true member answers true
+    assert all(got[k] for k in values[:20])
+
+
+def test_bloom_union_merge_equals_single_build(spark):
+    from paragrapher_spark.operators.sketches import bloom_build
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "term string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "term string")
+    merged = sorted(
+        r.bit
+        for r in bloom_build(a, "term", 512, 4)
+        .unionByName(bloom_build(b, "term", 512, 4))
+        .distinct()
+        .collect()
+    )
+    single = sorted(
+        r.bit for r in bloom_build(a.unionByName(b), "term", 512, 4).collect()
+    )
+    assert merged == single

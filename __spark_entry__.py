@@ -2505,6 +2505,51 @@ def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_last_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-click attribution (streaming/events.py — the deduplicating
+    layer over the stream-stream-joinable pair feed): each error
+    attributed to the latest same-user click strictly before it within
+    10 minutes, ties on click time to the higher click_id. All columns
+    exact epoch-micros longs; the oracle replays the argmax with the
+    same ROW_NUMBER ordering."""
+    from paragrapher_spark.streaming.events import last_click_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_click_attribution(ev, max_gap_minutes=10).select(
+        F.col("error_id").cast("long"),
+        F.col("user_id").cast("long"),
+        "t_err_us",
+        F.col("click_id").cast("long"),
+        "t_click_us",
+        "gap_us",
+    )
+
+
+_LAST_CLICK_SQL = """
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS t_click_us
+        FROM events WHERE event_type = 'click'
+    ),
+    e AS (
+        SELECT user_id, event_id AS error_id, epoch_us(ts) AS t_err_us
+        FROM events WHERE event_type = 'error'
+    ),
+    pairs AS (
+        SELECT e.error_id, e.user_id, e.t_err_us, c.click_id, c.t_click_us,
+               e.t_err_us - c.t_click_us AS gap_us,
+               row_number() OVER (
+                   PARTITION BY e.error_id
+                   ORDER BY c.t_click_us DESC, c.click_id DESC
+               ) AS rn
+        FROM e JOIN c ON c.user_id = e.user_id
+         AND e.t_err_us > c.t_click_us
+         AND e.t_err_us <= c.t_click_us + 600000000
+    )
+    SELECT error_id, user_id, t_err_us, click_id, t_click_us, gap_us
+    FROM pairs WHERE rn = 1
+"""
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-filter battery (functions/text.py gopher_rules — Rae
     et al. 2021 App. A): word count, mean word length, symbol ratio,
@@ -2669,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
+        "last_click_attribution": _q_last_click_attribution,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "eigencentrality_fixed": _q_eigencentrality_fixed,
         "maximal_matching": _q_maximal_matching,
@@ -6094,6 +6140,7 @@ def oracle_sql() -> dict[str, str]:
                AS BIGINT) AS p99
     FROM ranked GROUP BY lang
     """,
+        "last_click_attribution": _LAST_CLICK_SQL,
         "events_range_join": """
     WITH cl AS (
         SELECT user_id, ts, event_id AS click_id FROM events

@@ -259,3 +259,131 @@ def funnel_stages(
         F.col("t1").cast("long").alias("t_first_ms"),
         F.col("t_last").cast("long").alias("t_last_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join — click/error attribution pairs
+# ---------------------------------------------------------------------------
+
+
+def attribution_pairs(
+    clicks: DataFrame,
+    errors: DataFrame,
+    max_gap_minutes: int = 10,
+    watermark: str | None = None,
+) -> DataFrame:
+    """(user_id, click_id, error_id, t_us, t_err_us, gap_us): same-user
+    (click, error) pairs with the error STRICTLY after the click and
+    within ``max_gap_minutes`` — the events_range_join semantics,
+    expressed so the SAME transform runs as a batch join and as a
+    Structured Streaming STREAM-STREAM inner join.
+
+    Streaming contract: pass ``watermark`` and Spark bounds BOTH sides'
+    buffered state from the time-range join predicate (each click can
+    be evicted once the error-side watermark passes click_ts + gap; an
+    inner stream-stream join emits each match immediately, no watermark
+    wait). Batch: the same code plans as a plain join; the driver-gated
+    events_range_join query pins the bucketed-equi-join variant of the
+    identical semantics, and the batch==stream test pins this one.
+
+    100 TB shape: the join key is user_id + the time range, so state and
+    shuffle partition by user — power-law users (bot traffic) are the
+    skew axis; the watermark caps state growth to gap-window x arrival
+    rate per user."""
+    c = clicks.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    e = errors.select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").cast("timestamp").alias("e_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    if watermark is not None:
+        c = c.withWatermark("c_ts", watermark)
+        e = e.withWatermark("e_ts", watermark)
+    joined = c.join(
+        e,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("e_ts") > F.col("c_ts"))
+        & (
+            F.col("e_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {int(max_gap_minutes)} MINUTES")
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "error_id",
+        F.unix_micros(F.col("c_ts")).alias("t_us"),
+        F.unix_micros(F.col("e_ts")).alias("t_err_us"),
+        (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))).alias(
+            "gap_us"
+        ),
+    )
+
+
+def stream_attribution_pairs(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "attribution_pairs",
+    max_gap_minutes: int = 10,
+):
+    """File-source stream-stream join: two filtered branches of ONE
+    parquet event stream joined on (user, time range) — the canonical
+    Structured Streaming stream-stream inner join with watermarked
+    state eviction on both sides, append output (matches emit as they
+    happen). Returns the StreamingQuery (availableNow; caller awaits)."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    clicks = stream.where(F.col("event_type") == "click")
+    errors = stream.where(F.col("event_type") == "error")
+    pairs = attribution_pairs(
+        clicks, errors, max_gap_minutes=max_gap_minutes, watermark="1 hour"
+    )
+    return (
+        pairs.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def last_click_attribution(
+    events: DataFrame, max_gap_minutes: int = 10
+) -> DataFrame:
+    """(error_id, user_id, t_err_us, click_id, t_click_us, gap_us): each
+    error attributed to the LATEST same-user click strictly before it
+    within ``max_gap_minutes`` — the deduplicating marketing-attribution
+    semantics on top of the pair join (ties on click time break on the
+    higher click_id; unattributed errors are dropped). Batch-only: the
+    argmax window needs the full candidate set per error; the streaming
+    path keeps the raw pair feed and attributes downstream.
+
+    Shape: the bounded pair join (Sum of per-user pair counts) + ONE
+    row_number window partitioned by error_id — WindowGroupLimit keeps
+    a single buffered row per error per task."""
+    from pyspark.sql import Window
+
+    clicks = events.where(F.col("event_type") == "click")
+    errors = events.where(F.col("event_type") == "error")
+    pairs = attribution_pairs(clicks, errors, max_gap_minutes=max_gap_minutes)
+    w = Window.partitionBy("error_id").orderBy(
+        F.desc("t_us"), F.desc("click_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "error_id",
+            "user_id",
+            "t_err_us",
+            "click_id",
+            F.col("t_us").alias("t_click_us"),
+            "gap_us",
+        )
+    )

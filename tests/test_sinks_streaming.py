@@ -445,3 +445,86 @@ def test_stream_degrees_matches_batch_and_resumes(spark, tmp_path):
         for r in incremental_degrees(g.select("src", "dst")).collect()
     }
     assert got2 == want2
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream inner join over two branches of one
+    file stream must emit exactly the batch join's pairs — including
+    across a file boundary that separates a click from its error."""
+    from paragrapher_spark.streaming.events import (
+        attribution_pairs,
+        stream_attribution_pairs,
+    )
+
+    rows = [
+        # user 1: click then error 3 min later (pair), error 20 min later (no)
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 10:03:00", 1, "error"),
+        (3, "2024-01-01 10:25:00", 1, "error"),
+        # user 2: two clicks before one error — both pair
+        (4, "2024-01-01 11:00:00", 2, "click"),
+        (5, "2024-01-01 11:05:00", 2, "click"),
+        (6, "2024-01-01 11:08:00", 2, "error"),
+        # user 3: error before any click — no pair
+        (7, "2024-01-01 12:00:00", 3, "error"),
+        (8, "2024-01-01 12:01:00", 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t) for i, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    src = str(tmp_path / "ev_src")
+    ckpt = str(tmp_path / "ev_ckpt")
+    # file 1: everything up to user 2's first click; file 2: the rest —
+    # the cross-file (4, 6) pair only emerges from buffered join state
+    df.where("event_id <= 4").coalesce(1).write.mode("overwrite").parquet(src)
+    df.where("event_id > 4").coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_attribution_pairs(spark, src, ckpt, "attr_t1")
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.click_id, r.error_id, r.gap_us)
+        for r in spark.sql("SELECT * FROM attr_t1").collect()
+    )
+    want = sorted(
+        (r.user_id, r.click_id, r.error_id, r.gap_us)
+        for r in attribution_pairs(
+            df.where("event_type = 'click'"),
+            df.where("event_type = 'error'"),
+        ).collect()
+    )
+    assert got == want
+    assert (1, 1, 2, 180_000_000) in got
+    assert (2, 4, 6, 480_000_000) in got  # the cross-file pair
+    assert all(u != 3 for u, _, _, _ in got)
+
+
+def test_last_click_attribution_picks_latest(spark):
+    from paragrapher_spark.streaming.events import last_click_attribution
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 10:04:00", 1, "click"),   # latest before the error
+        (3, "2024-01-01 10:05:00", 1, "error"),
+        (4, "2024-01-01 10:05:00", 2, "click"),
+        (5, "2024-01-01 10:05:00", 2, "click"),   # same ts: higher id wins
+        (6, "2024-01-01 10:06:00", 2, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    got = {
+        r.error_id: (r.click_id, r.gap_us)
+        for r in last_click_attribution(df).collect()
+    }
+    assert got == {3: (2, 60_000_000), 6: (5, 60_000_000)}

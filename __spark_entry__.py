@@ -2505,6 +2505,45 @@ def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_BITS = 21
+_ZORDER_TILE_SHIFT = 30  # 42-bit z >> 30 = 4096 quad tiles of 2^15 x 2^15
+
+
+def _q_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values (operators/layout.py — the Delta/Iceberg ZORDER
+    BY technique; the relational image of WebGraph's locality-preserving
+    vertex orders) for a deterministic sample of co-purchase edges: the
+    exact interleaved-bit value plus its quad-tile id, the unit
+    `write_zordered` clusters files by so subgraph reads prune on BOTH
+    endpoints. Pure JVM shift/mask/or tree, replayed bit for bit by the
+    oracle."""
+    from paragrapher_spark.operators.layout import zvalue
+
+    edges = copurchase_edges(spark, sf_dir)
+    sample = edges.where((F.col("src") + F.col("dst")) % 17 == 0)
+    z = zvalue(F.col("src"), F.col("dst"), _ZORDER_BITS)
+    return sample.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        z.alias("zval"),
+        F.shiftright(z, _ZORDER_TILE_SHIFT).cast("long").alias("tile"),
+    )
+
+
+def _zorder_tiles_sql() -> str:
+    from paragrapher_spark.operators.layout import zvalue_sql
+
+    zx = zvalue_sql("src", "dst", _ZORDER_BITS)
+    return f"""
+    WITH edges AS ({COPURCHASE_EDGES_SQL})
+    SELECT src, dst,
+           CAST({zx} AS BIGINT) AS zval,
+           CAST(({zx} >> {_ZORDER_TILE_SHIFT}) AS BIGINT) AS tile
+    FROM edges
+    WHERE (src + dst) % 17 = 0
+    """
+
+
 def _q_last_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-click attribution (streaming/events.py — the deduplicating
     layer over the stream-stream-joinable pair feed): each error
@@ -2715,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
         "last_click_attribution": _q_last_click_attribution,
+        "zorder_tiles": _q_zorder_tiles,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "eigencentrality_fixed": _q_eigencentrality_fixed,
         "maximal_matching": _q_maximal_matching,
@@ -6141,6 +6181,7 @@ def oracle_sql() -> dict[str, str]:
     FROM ranked GROUP BY lang
     """,
         "last_click_attribution": _LAST_CLICK_SQL,
+        "zorder_tiles": _zorder_tiles_sql(),
         "events_range_join": """
     WITH cl AS (
         SELECT user_id, ts, event_id AS click_id FROM events

@@ -2544,6 +2544,79 @@ def _zorder_tiles_sql() -> str:
     """
 
 
+def _q_gap_bits_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BVGraph-style compression analytic (operators/layout.py): the
+    Elias-gamma gap-encoding cost of every adjacency list under the
+    natural labeling vs the relabel_by_degree renumbering — two exact
+    integer rows answering 'what would the WebGraph-family reorder buy'
+    (Boldi-Vigna WWW'04 gap coding; the reference's BVGraph substrate
+    consumes graphs in such orders). Bit lengths via base-2 string
+    length — never float log2."""
+    from paragrapher_spark.operators.layout import (
+        adjacency_gap_bits,
+        relabel_by_degree,
+        relabel_edges,
+    )
+
+    edges = (
+        copurchase_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nat = adjacency_gap_bits(edges, "natural")
+    rel = relabel_edges(edges, relabel_by_degree(edges))
+    return nat.unionByName(adjacency_gap_bits(rel, "degree"))
+
+
+def _gap_bits_orders_sql() -> str:
+    def gamma(x: str) -> str:
+        return f"(2*(length(bin(CAST({x} AS BIGINT)))-1)+1)"
+
+    first = "(CASE WHEN dst >= src THEN 2*(dst-src) ELSE -2*(dst-src)-1 END + 1)"
+
+    def cost_cte(src_rel: str, name: str) -> str:
+        return f"""{name}b AS (
+        SELECT src,
+               CASE WHEN prevd IS NULL THEN {gamma(first)}
+                    ELSE {gamma('dst - prevd')} END AS bits
+        FROM (SELECT src, dst,
+                     lag(dst) OVER (PARTITION BY src ORDER BY dst) AS prevd
+              FROM {src_rel})
+    ),
+    {name}row AS (
+        SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_lists,
+               CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST((1000 * SUM(bits)) // COUNT(*) AS BIGINT) AS bits_per_edge_fp
+        FROM {name}b
+    )"""
+
+    return f"""
+    WITH e0 AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+    ded AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+    ),
+    deg AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT src AS id FROM ded UNION ALL SELECT dst AS id FROM ded)
+        GROUP BY id
+    ),
+    vmap AS MATERIALIZED (
+        SELECT id, row_number() OVER (ORDER BY degree DESC, id) - 1 AS new_id
+        FROM deg
+    ),
+    rel AS MATERIALIZED (
+        SELECT ms.new_id AS src, md.new_id AS dst
+        FROM ded e JOIN vmap ms ON ms.id = e.src JOIN vmap md ON md.id = e.dst
+    ),
+    {cost_cte('ded', 'nat')},
+    {cost_cte('rel', 'dg')}
+    SELECT 'natural' AS ordering, * FROM natrow
+    UNION ALL
+    SELECT 'degree' AS ordering, * FROM dgrow
+    """
+
+
 def _q_last_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-click attribution (streaming/events.py — the deduplicating
     layer over the stream-stream-joinable pair feed): each error
@@ -2755,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         "last_click_attribution": _q_last_click_attribution,
         "zorder_tiles": _q_zorder_tiles,
+        "gap_bits_orders": _q_gap_bits_orders,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "eigencentrality_fixed": _q_eigencentrality_fixed,
         "maximal_matching": _q_maximal_matching,
@@ -6182,6 +6256,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "last_click_attribution": _LAST_CLICK_SQL,
         "zorder_tiles": _zorder_tiles_sql(),
+        "gap_bits_orders": _gap_bits_orders_sql(),
         "events_range_join": """
     WITH cl AS (
         SELECT user_id, ts, event_id AS click_id FROM events

@@ -104,3 +104,100 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _bitlen(col: Column) -> Column:
+    """Exact integer bit length of a positive long — length of the
+    minimal base-2 string (no libm log2: a float log is off-by-one
+    exactly at the power-of-two boundaries that matter here). DuckDB
+    twin: ``length(bin(x))``."""
+    return F.length(F.conv(col.cast("string"), 10, 2)).cast("long")
+
+
+def _gamma_bits(col: Column) -> Column:
+    """Elias gamma code length of x >= 1: 2*floor(log2 x) + 1."""
+    return 2 * (_bitlen(col) - 1) + 1
+
+
+def relabel_by_degree(edges: DataFrame) -> DataFrame:
+    """(old_id, degree, new_id): dense 0..N-1 vertex ids ranked by
+    (total degree DESC, old id ASC) — the locality-preserving
+    renumbering WebGraph-family compressors apply before encoding
+    (high-degree vertices get small ids, so the hubs every adjacency
+    list references cost few gap bits; cf. the reference's BVGraph
+    substrate, `src/webgraph.c:84-390` reads graphs already in such an
+    order). Distributed rank via operators/indexing.dense_ids (range
+    partition + per-partition bases — no single-partition window)."""
+    from paragrapher_spark.operators.indexing import dense_ids
+
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+    )
+    deg = verts.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    keyed = deg.select((-F.col("degree")).alias("negdeg"), "id")
+    return (
+        dense_ids(keyed, ["negdeg", "id"], id_col="new_id")
+        .select(
+            F.col("id").alias("old_id"),
+            (-F.col("negdeg")).cast("long").alias("degree"),
+            F.col("new_id").cast("long"),
+        )
+    )
+
+
+def relabel_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """edges with both endpoints rewritten through mapping(old_id ->
+    new_id) — two equi-joins; the mapping is |V|-sized, so they shuffle
+    rather than broadcast at scale."""
+    m_src = mapping.select(
+        F.col("old_id").alias("src"), F.col("new_id").alias("__new_src")
+    )
+    m_dst = mapping.select(
+        F.col("old_id").alias("dst"), F.col("new_id").alias("__new_dst")
+    )
+    return (
+        edges.join(m_src, on="src")
+        .join(m_dst, on="dst")
+        .select(
+            F.col("__new_src").alias("src"), F.col("__new_dst").alias("dst")
+        )
+    )
+
+
+def adjacency_gap_bits(edges: DataFrame, label: str = "natural") -> DataFrame:
+    """One row (ordering, n_lists, n_edges, total_bits,
+    bits_per_edge_fp): the Elias-gamma cost of gap-encoding every
+    adjacency list under the CURRENT vertex labeling — the layout
+    analytic behind BVGraph-style compression (Boldi-Vigna WWW'04
+    encode successor lists as gaps; a labeling that keeps neighbors
+    near their source shrinks every gap). First successor costs
+    gamma(zigzag(dst_0 - src) + 1) (sign-folded — it may precede its
+    source), later successors gamma(dst_i - dst_{i-1}) over the
+    dst-sorted distinct list. All integer (bit lengths via base-2
+    string length, never float log2); bits_per_edge_fp is milli-bits
+    as ONE integer division. One window + one aggregation; compare the
+    row for the natural labeling against relabel_by_degree's to measure
+    what the renumbering buys before paying for a rewrite."""
+    from pyspark.sql import Window
+
+    dedup = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    win = Window.partitionBy("src").orderBy("dst")
+    lagd = F.lag("dst").over(win)
+    delta = F.col("dst") - F.col("src")
+    zig = F.when(delta >= 0, 2 * delta).otherwise(-2 * delta - 1)
+    code_val = F.when(lagd.isNull(), zig + 1).otherwise(F.col("dst") - lagd)
+    costed = dedup.select(
+        "src", _gamma_bits(code_val).alias("bits")
+    )
+    return costed.agg(
+        F.lit(label).alias("ordering"),
+        F.countDistinct("src").cast("long").alias("n_lists"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("(1000 * sum(bits)) div count(1)").cast("long").alias(
+            "bits_per_edge_fp"
+        ),
+    )

@@ -117,3 +117,82 @@ def test_zordered_write_prunes_both_dims(spark, tmp_path):
     assert files_hit(as_, "a", 24, 31) <= 2
     # round-trip integrity
     assert spark.read.parquet(zpath).count() == 64 * 64
+
+
+# ---------------------------------------------------------------------------
+# degree renumbering + gap-bits compression analytic
+# ---------------------------------------------------------------------------
+
+
+def _gap_bits_py(edges):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+    total = 0
+    m = 0
+    for s, ds in adj.items():
+        prev = None
+        for d in sorted(ds):
+            if prev is None:
+                delta = d - s
+                z = 2 * delta if delta >= 0 else -2 * delta - 1
+                x = z + 1
+            else:
+                x = d - prev
+            total += 2 * (x.bit_length() - 1) + 1
+            m += 1
+            prev = d
+    return len(adj), m, total
+
+
+def test_relabel_by_degree_rank_and_consistency(spark):
+    from paragrapher_spark.operators.layout import relabel_by_degree, relabel_edges
+
+    edges = [(10, 20), (10, 30), (10, 40), (20, 30), (50, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    mapping = {r.old_id: (r.degree, r.new_id) for r in relabel_by_degree(df).collect()}
+    # python replay: total endpoint occurrences, rank by (-deg, id)
+    from collections import Counter
+
+    cnt = Counter([v for e in edges for v in e])
+    order = sorted(cnt, key=lambda v: (-cnt[v], v))
+    assert mapping == {v: (cnt[v], i) for i, v in enumerate(order)}
+    assert mapping[10][1] == 0  # highest degree -> id 0
+    rel = sorted(
+        (r.src, r.dst)
+        for r in relabel_edges(df, relabel_by_degree(df)).collect()
+    )
+    want = sorted((mapping[s][1], mapping[d][1]) for s, d in edges)
+    assert rel == want
+
+
+def test_adjacency_gap_bits_exact(spark):
+    from paragrapher_spark.fixtures import powerlaw_graph
+    from paragrapher_spark.operators.layout import (
+        adjacency_gap_bits,
+        relabel_by_degree,
+        relabel_edges,
+    )
+
+    # hand-checked fixture: 0 -> {1, 3, 10}: first gamma(zigzag(1)+1=3)=3,
+    # then gamma(2)=3, gamma(7)=5; 5 -> {2}: delta=-3, zig=5, gamma(6)=5
+    df = spark.createDataFrame(
+        [(0, 1), (0, 3), (0, 10), (5, 2)], "src long, dst long"
+    )
+    row = adjacency_gap_bits(df).collect()[0]
+    assert (row.n_lists, row.n_edges, row.total_bits) == (2, 4, 16)
+    assert row.bits_per_edge_fp == 16_000 // 4
+
+    pl = powerlaw_graph(spark, n=300, seed=7)
+    edges = [(r.src, r.dst) for r in pl.collect()]
+    got = adjacency_gap_bits(pl).collect()[0]
+    assert (got.n_lists, got.n_edges, got.total_bits) == _gap_bits_py(edges)
+
+    relabeled = relabel_edges(pl, relabel_by_degree(pl))
+    redges = [(r.src, r.dst) for r in relabeled.collect()]
+    got2 = adjacency_gap_bits(relabeled, "degree").collect()[0]
+    assert (got2.n_lists, got2.n_edges, got2.total_bits) == _gap_bits_py(redges)
+    assert got2.ordering == "degree"

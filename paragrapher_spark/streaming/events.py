@@ -387,3 +387,57 @@ def last_click_attribution(
             "gap_us",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming stateful dedup — first-seen exact dedup over a document feed
+# ---------------------------------------------------------------------------
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+):
+    """Streaming twin of operators/dedup.dedup_exact: a parquet document
+    feed deduplicated on content md5 with Spark's stateful
+    ``dropDuplicates`` operator — the FIRST arrival of each content hash
+    passes, every later duplicate is suppressed, across microbatches and
+    restarts (the hash-seen state lives in the checkpoint, so a
+    restarted query keeps suppressing what it already emitted — the
+    batch keep-first policy becomes keep-first-ARRIVAL under event
+    order). Sink is an append-mode parquet directory (``out_dir``) —
+    the memory sink cannot recover a checkpoint, and the survivors of a
+    dedup feed are exactly what a pipeline persists anyway.
+
+    State: one row per distinct content hash, forever — the honest cost
+    of exact streaming dedup. Pass ``watermark`` (with an event-time
+    ``ts_col``) to switch to ``dropDuplicatesWithinWatermark``, which
+    expires hash-state older than the watermark: bounded state, dedup
+    guaranteed only within the watermark horizon (the 100 TB trade;
+    near-dup pipes upstream of this make the same horizon call).
+    Returns the StreamingQuery (availableNow; caller awaits)."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    if watermark is not None:
+        hashed = hashed.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        ).withWatermark(ts_col, watermark)
+        uniq = hashed.dropDuplicatesWithinWatermark(["content_hash"])
+    else:
+        uniq = hashed.dropDuplicates(["content_hash"])
+    return (
+        uniq.select(id_col, "content_hash")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -528,3 +528,41 @@ def test_last_click_attribution_picks_latest(spark):
         for r in last_click_attribution(df).collect()
     }
     assert got == {3: (2, 60_000_000), 6: (5, 60_000_000)}
+
+
+def test_stream_exact_dedup_first_seen_across_restart(spark, tmp_path):
+    """Stateful streaming dedup: first arrival of each content hash
+    passes; duplicates are suppressed across microbatches AND across a
+    checkpointed restart folding in new files."""
+    from paragrapher_spark.streaming.events import stream_exact_dedup
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "docs_ckpt")
+    batch1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],  # 3 duplicates 1
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "docs_out")
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+    q = stream_exact_dedup(spark, src, ckpt, out)
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert len(got1) == 2 and 2 in got1 and len(got1 & {1, 3}) == 1
+
+    # restart over new files: old hashes stay suppressed, new pass
+    batch2 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], "doc_id long, text string"
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_exact_dedup(spark, src, ckpt, out)
+    q2.awaitTermination(120)
+    got_all = {r.doc_id for r in spark.read.parquet(out).collect()}
+    got2 = got_all - got1
+    assert 5 in got2 and 4 not in got2 and 1 not in got2 and 3 not in got2
+
+    # batch equivalence: the union of emitted ids is one rep per content
+    from paragrapher_spark.operators.dedup import dedup_exact
+
+    all_docs = batch1.unionByName(batch2)
+    n_contents = dedup_exact(all_docs).count()
+    assert len(got_all) == n_contents

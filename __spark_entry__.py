@@ -2544,6 +2544,53 @@ def _zorder_tiles_sql() -> str:
     """
 
 
+_SKEW_NPART = 32
+_SKEW_TOPK = 15
+
+
+def _q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew diagnostic (operators/salting.py skew_report): the 15
+    heaviest src keys of the co-purchase edge table with milli-share,
+    even-partitioning fair share at 32 partitions, and the salting
+    prescription the PageRank kernel's n_salts='auto' would apply —
+    skew measured as a first-class query, before it becomes a
+    straggler. All exact integers."""
+    from paragrapher_spark.operators.salting import skew_report
+
+    edges = copurchase_edges(spark, sf_dir)
+    return skew_report(edges, "src", n_partitions=_SKEW_NPART, k=_SKEW_TOPK).select(
+        F.col("src").cast("long"),
+        "cnt",
+        "share_fp",
+        "fair_share",
+        "rec_salts",
+    )
+
+
+def _join_skew_report_sql() -> str:
+    return f"""
+    WITH edges AS ({COPURCHASE_EDGES_SQL}),
+    cnts AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS cnt FROM edges GROUP BY src
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               GREATEST(CAST(1 AS BIGINT),
+                        CAST(SUM(cnt) AS BIGINT) // {_SKEW_NPART}) AS fair_share
+        FROM cnts
+    )
+    SELECT c.src, c.cnt,
+           CAST((1000 * c.cnt) // t.total AS BIGINT) AS share_fp,
+           t.fair_share,
+           CAST(CASE WHEN c.cnt > 2 * t.fair_share
+                     THEN (c.cnt + t.fair_share - 1) // t.fair_share
+                     ELSE 0 END AS BIGINT) AS rec_salts
+    FROM cnts c CROSS JOIN tot t
+    ORDER BY c.cnt DESC, c.src
+    LIMIT {_SKEW_TOPK}
+    """
+
+
 def _q_gap_bits_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BVGraph-style compression analytic (operators/layout.py): the
     Elias-gamma gap-encoding cost of every adjacency list under the
@@ -2829,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_click_attribution": _q_last_click_attribution,
         "zorder_tiles": _q_zorder_tiles,
         "gap_bits_orders": _q_gap_bits_orders,
+        "join_skew_report": _q_join_skew_report,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "eigencentrality_fixed": _q_eigencentrality_fixed,
         "maximal_matching": _q_maximal_matching,
@@ -6257,6 +6305,7 @@ def oracle_sql() -> dict[str, str]:
         "last_click_attribution": _LAST_CLICK_SQL,
         "zorder_tiles": _zorder_tiles_sql(),
         "gap_bits_orders": _gap_bits_orders_sql(),
+        "join_skew_report": _join_skew_report_sql(),
         "events_range_join": """
     WITH cl AS (
         SELECT user_id, ts, event_id AS click_id FROM events

@@ -58,3 +58,55 @@ def salted_join(
     s = explode_salts(small, n_salts)
     out = b.join(s, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key: str,
+    n_partitions: int,
+    k: int = 20,
+) -> DataFrame:
+    """(key, cnt, share_fp, fair_share, rec_salts): the ``k`` heaviest
+    join keys with the salting prescription the PageRank kernel's
+    ``n_salts="auto"`` applies (kernels/pagerank.py:146-156) — surfaced
+    as a first-class diagnostic so skew is measured before it becomes a
+    straggler, not after.
+
+    Exact integers throughout: ``share_fp`` is the key's milli-share of
+    all rows (ONE integer division), ``fair_share`` = max(1,
+    rows // n_partitions) (what an even partitioning would hand each
+    task), ``rec_salts`` = ceil(cnt / fair_share) when the key exceeds
+    2x fair share, else 0 (not worth the replication) — the same
+    threshold the kernel uses. One map-side-combinable count + a
+    single-row total broadcast + a bounded top-k
+    (TakeOrderedAndProject); ties break on the key."""
+    cnts = df.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = cnts.agg(
+        F.sum("cnt").cast("long").alias("__total")
+    ).select(
+        "__total",
+        F.greatest(
+            F.lit(1), F.expr(f"__total div {int(n_partitions)}")
+        ).cast("long").alias("fair_share"),
+    )
+    return (
+        cnts.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "cnt",
+            F.expr("(1000 * cnt) div __total").cast("long").alias("share_fp"),
+            "fair_share",
+            # ceil(cnt / fair_share) via (a+b-1) div b — positive-operand
+            # form; a negate-divide-negate ceil would diverge between
+            # Spark (div truncates toward zero) and DuckDB (// floors)
+            F.when(
+                F.col("cnt") > 2 * F.col("fair_share"),
+                F.expr("(cnt + fair_share - 1) div fair_share"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rec_salts"),
+        )
+        .orderBy(F.desc("cnt"), F.asc(key))
+        .limit(k)
+    )

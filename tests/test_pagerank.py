@@ -231,3 +231,34 @@ def test_cached_edge_sort_order_reused_by_smj(spark):
         assert sorts[False] == 2 and sorts[True] == 1, sorts
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_skew_report_matches_python_replay(spark):
+    """skew_report replays exactly: counts, milli-shares, fair share,
+    and the kernel's auto-salt prescription (ceil over 2x threshold)."""
+    from paragrapher_spark.operators.salting import skew_report
+
+    # one mega-hub (key 7: 70 rows), one warm key (3: 12), cold rest
+    rows = (
+        [(7, i) for i in range(70)]
+        + [(3, i) for i in range(12)]
+        + [(i % 5 + 10, i) for i in range(18)]
+    )
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = [
+        (r.src, r.cnt, r.share_fp, r.fair_share, r.rec_salts)
+        for r in skew_report(df, "src", n_partitions=8, k=3).collect()
+    ]
+    from collections import Counter
+
+    cnt = Counter(s for s, _ in rows)
+    total = sum(cnt.values())
+    fair = max(1, total // 8)
+    exp = []
+    for key in sorted(cnt, key=lambda s: (-cnt[s], s))[:3]:
+        c = cnt[key]
+        rec = (c + fair - 1) // fair if c > 2 * fair else 0
+        exp.append((key, c, (1000 * c) // total, fair, rec))
+    assert got == exp
+    assert got[0][0] == 7 and got[0][4] >= 6  # the hub needs real salting
+    assert got[1][4] == 0                     # warm key: below 2x threshold

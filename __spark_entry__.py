@@ -1541,6 +1541,70 @@ def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NSAMP_FANOUTS = (4, 3)
+
+
+def _q_neighbor_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE minibatch sampler (kernels/walks.py neighbor_sampling):
+    2-hop deterministic fan-out sample (4 then 3 neighbors, md5-ranked)
+    from every vertex divisible by 97 on the undirected co-purchase
+    graph — a mega-hub contributes fanout edges, not its adjacency. The
+    oracle replays both hops with the same hash rank."""
+    from paragrapher_spark.kernels.walks import neighbor_sampling
+
+    edges = copurchase_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % _WALK_START_MOD == 0)
+    return neighbor_sampling(
+        edges, seeds, fanouts=list(_NSAMP_FANOUTS), directed=False
+    ).select(
+        F.col("hop").cast("long"),
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+    )
+
+
+def _nsamp_oracle_sql(fanouts: tuple, start_mod: int) -> str:
+    hv = (
+        "('0x' || substr(md5('nsamp:42:{hop}:' || src::VARCHAR || ':' || "
+        "dst::VARCHAR), 1, 15))::BIGINT"
+    )
+    ctes = []
+    selects = []
+    for hop, fanout in enumerate(fanouts):
+        h = hv.format(hop=hop)
+        ctes.append(f"""h{hop} AS MATERIALIZED (
+            SELECT {hop} AS hop, src, dst FROM (
+                SELECT a.src, a.dst,
+                       row_number() OVER (PARTITION BY a.src
+                           ORDER BY {h}, a.dst) AS rn
+                FROM f{hop} f JOIN adj a ON a.src = f.id
+            ) WHERE rn <= {int(fanout)}
+        )""")
+        ctes.append(
+            f"f{hop + 1} AS (SELECT DISTINCT dst AS id FROM h{hop})"
+        )
+        selects.append(
+            f"SELECT CAST(hop AS BIGINT) AS hop, src, dst FROM h{hop}"
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH base AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base),
+        adj AS MATERIALIZED (
+            SELECT src, dst FROM sym WHERE src <> dst),
+        f0 AS MATERIALIZED (
+            SELECT DISTINCT src AS id FROM sym WHERE src % {start_mod} = 0),
+        {joined}
+        {' UNION ALL '.join(selects)}
+    """
+
+
 def _q_random_walks_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional walks (kernels/walks.py, weight_col set) over
     the arc-labelled co-purchase graph — the reference's WG404 weighted
@@ -2820,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "random_walks_weighted": _q_random_walks_weighted,
         "node2vec_walks": _q_node2vec_walks,
+        "neighbor_sampling": _q_neighbor_sampling,
         "scc_imports": _q_scc_imports,
         "neighbor_features": _q_neighbor_features,
         "sp_counts": _q_sp_counts,
@@ -5371,6 +5436,9 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _walks_oracle_sql(_WALK_LEN, _WALK_START_MOD),
         "node2vec_walks": _n2v_oracle_sql(
             _N2V_LEN, _WALK_START_MOD, *_N2V_ALPHAS
+        ),
+        "neighbor_sampling": _nsamp_oracle_sql(
+            _NSAMP_FANOUTS, _WALK_START_MOD
         ),
         "random_walks_weighted": _walks_oracle_sql(
             _WALK_LEN, _WALK_START_MOD, weighted=True

@@ -523,3 +523,66 @@ def node2vec_walks(
     if checkpoint is not None:
         checkpoint.save(min(max(t, start_step), length), out, {"final": True}, kind="final")
     return WalksResult(steps=out, length=length, n_walks=n_walks, history=history)
+
+
+def neighbor_sampling(
+    edges: DataFrame,
+    seeds: DataFrame | list[int],
+    fanouts: "list[int]" = (3, 2),
+    seed: int = SEED,
+    directed: bool = False,
+) -> DataFrame:
+    """(hop, src, dst): GraphSAGE-style bounded neighbor fan-out
+    sampling (Hamilton et al. NeurIPS 2017) — hop ``h`` keeps at most
+    ``fanouts[h]`` neighbors of every frontier vertex, ranked by the
+    deterministic md5 hash ``H('nsamp', seed, hop, src, dst)`` with a
+    dst tie-break. The union of sampled edges over all hops is the
+    minibatch computation graph a GNN trainer consumes; determinism
+    makes the sample a pure function of (edges, seeds, fanouts, seed),
+    so the DuckDB oracle replays it hop for hop (ROW_NUMBER over the
+    same hash) and a retried task resamples identically.
+
+    Execution shape per hop: frontier ⋈ adjacency equi-join on the
+    vertex, then a per-src window rank with rank <= fanout — Spark
+    plans the filter as WindowGroupLimit below AND above the shuffle,
+    so each task buffers at most ``fanout`` rows per vertex (the
+    knn_bruteforce discipline); the next frontier is the DISTINCT dst
+    set. Work per hop is bounded by |frontier| x fanout rows OUT
+    regardless of hub degree IN — the whole point of fan-out sampling
+    at 100 TB: a mega-hub contributes ``fanout`` edges, not its full
+    adjacency."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    adj = e.where(F.col("src") != F.col("dst")).distinct()
+
+    if isinstance(seeds, list):
+        frontier = spark.createDataFrame([(int(s),) for s in seeds], "id long")
+    else:
+        frontier = seeds.select("id")
+    frontier = frontier.distinct()
+
+    out: DataFrame | None = None
+    for hop, fanout in enumerate(fanouts):
+        cand = frontier.join(adj, frontier["id"] == adj["src"]).select(
+            "src", "dst"
+        )
+        w = Window.partitionBy("src").orderBy(
+            _h("nsamp", seed, F.lit(hop), "src", "dst").asc(), F.col("dst").asc()
+        )
+        picked = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= int(fanout))
+            .select(
+                F.lit(hop).cast("int").alias("hop"), "src", "dst"
+            )
+        )
+        picked = picked.localCheckpoint(eager=True)
+        out = picked if out is None else out.unionByName(picked)
+        frontier = picked.select(F.col("dst").alias("id")).distinct()
+    if out is None:
+        return spark.createDataFrame([], "hop int, src long, dst long")
+    return out

@@ -488,3 +488,58 @@ def test_node2vec_alpha_validation(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="alpha_out"):
         node2vec_walks(df, [0], length=2, alpha_out=0)
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE neighbor fan-out sampling
+# ---------------------------------------------------------------------------
+
+
+def _nsamp_oracle(edges, seeds, fanouts, seed=42, directed=False):
+    adj: dict[int, set[int]] = {}
+    all_edges = list(edges) + ([] if directed else [(d, s) for s, d in edges])
+    for s, d in all_edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    rows = []
+    frontier = sorted(set(seeds))
+    for hop, fanout in enumerate(fanouts):
+        nxt = set()
+        for v in frontier:
+            ranked = sorted(
+                adj.get(v, ()),
+                key=lambda d: (_h("nsamp", seed, hop, v, d), d),
+            )[:fanout]
+            for d in ranked:
+                rows.append((hop, v, d))
+                nxt.add(d)
+        frontier = sorted(nxt)
+    return sorted(rows)
+
+
+def test_neighbor_sampling_matches_python_replay(spark):
+    from paragrapher_spark.kernels.walks import neighbor_sampling
+
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r.hop, r.src, r.dst)
+        for r in neighbor_sampling(df, [0], fanouts=[2, 2]).collect()
+    )
+    assert got == _nsamp_oracle(edges, [0], [2, 2])
+
+
+def test_neighbor_sampling_bounds_hub_fanout(spark):
+    from paragrapher_spark.fixtures import star_graph
+    from paragrapher_spark.kernels.walks import neighbor_sampling
+
+    st = star_graph(spark, 100)  # center 0, leaves 1..100
+    rows = neighbor_sampling(st, [0], fanouts=[5, 5]).collect()
+    hop0 = [r for r in rows if r.hop == 0]
+    assert len(hop0) == 5  # a 100-degree hub contributes exactly fanout
+    # hop 1: each sampled leaf has only the center back-edge
+    hop1 = [r for r in rows if r.hop == 1]
+    assert all(r.dst == 0 for r in hop1) and len(hop1) == 5
+    # determinism: same call, same sample
+    again = neighbor_sampling(st, [0], fanouts=[5, 5]).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

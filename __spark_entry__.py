@@ -1383,6 +1383,60 @@ def _q_binary_csr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus interchange (sources/sinks.py write_jsonl/read_jsonl
+    — the format LLM pipelines exchange corpora in): the documents table
+    roundtrips through JSON Lines and comes back with per-lang doc
+    counts, an md5 content digest over (doc_id, lang, text), and total
+    chars; the oracle computes the same digests straight from parquet,
+    so any write/read lossiness (escaping, unicode, empty strings)
+    hash-mismatches."""
+    import hashlib
+    import os
+    import tempfile
+
+    from paragrapher_spark.sources.sinks import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pg_jsonl_docs_{tag}")
+    write_jsonl(docs, path, num_files=8)
+    back = read_jsonl(spark, path)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), "lang", "text"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # fold each 60-bit hash to 32 bits before summing: the digest sum
+    # stays a valid long to ~2^31 docs per group (the raw sum overflows
+    # at ~8 rows)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.pmod(h, F.lit(2**32))).cast("long").alias("content_digest"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+_JSONL_ROUNDTRIP_SQL = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(('0x' || substr(md5(concat_ws(':',
+               CAST(doc_id AS VARCHAR), lang, text)), 1, 15))::BIGINT
+               % 4294967296) AS BIGINT) AS content_digest,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+"""
+
+
 def _q_matrix_market_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MatrixMarket coordinate COO end-to-end — the graph kind the
     reference DECLARED (`PARAGRAPHER_COO_MM_400_SS`/`_404_SS`,
@@ -2880,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webgraph_weighted_roundtrip": _q_webgraph_weighted_roundtrip,
         "binary_csr_roundtrip": _q_binary_csr_roundtrip,
         "matrix_market_roundtrip": _q_matrix_market_roundtrip,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "knn_ivf_fixed": _q_knn_ivf_fixed,
         "random_walks": _q_random_walks,
         "random_walks_weighted": _q_random_walks_weighted,
@@ -5428,6 +5483,7 @@ def oracle_sql() -> dict[str, str]:
         "webgraph_roundtrip": _FORMAT_FIXTURE_SQL,
         "binary_csr_roundtrip": _FORMAT_FIXTURE_SQL,
         "matrix_market_roundtrip": _FORMAT_FIXTURE_SQL,
+        "jsonl_roundtrip": _JSONL_ROUNDTRIP_SQL,
         "webgraph_weighted_roundtrip": f"""
             SELECT src, dst, (src + dst) % 9 + 1 AS weight
             FROM ({_FORMAT_FIXTURE_SQL})

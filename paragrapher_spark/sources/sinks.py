@@ -572,3 +572,52 @@ def edge_checksum(edges: DataFrame) -> int:
         F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h")
     ).collect()[0]
     return int(row["h"])
+
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus interchange — the LLM-data pipeline lingua franca
+# ---------------------------------------------------------------------------
+
+
+def write_jsonl(docs: DataFrame, path: str, num_files: int | None = None) -> None:
+    """Write a document table as JSON Lines (one JSON object per line) —
+    the interchange format LLM data pipelines exchange corpora in.
+    Distributed: ``num_files`` part files (default parallelism when
+    unset), each written by its own task; Spark's JSON writer escapes
+    text losslessly, so read_jsonl(write_jsonl(df)) == df."""
+    n = num_files or docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(n).write.mode("overwrite").json(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    tolerate_corrupt: bool = False,
+):
+    """Read a JSONL corpus with the repo's loud-malformed-input contract:
+    by default ANY unparseable line raises (FAILFAST), because a corrupt
+    line silently dropped at 100 TB is a dataset bug nobody ever finds.
+    With ``tolerate_corrupt=True`` returns ``(docs, n_corrupt)`` instead:
+    PERMISSIVE parse routing bad lines to a corrupt-record column that is
+    COUNTED before being dropped (the minhash dropped-bucket convention —
+    tolerated loss is always measured, never silent).
+
+    Schema: pass the DDL string (recommended — schema inference scans the
+    data twice and infers wider types than the writer meant); default
+    matches the documents table (doc_id, lang, text)."""
+    ddl = schema or "doc_id long, lang string, text string"
+    if not tolerate_corrupt:
+        docs = spark.read.schema(ddl).option("mode", "FAILFAST").json(path)
+        return docs
+    full = (
+        spark.read.schema(ddl + ", _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .cache()
+    )
+    n_corrupt = full.where(F.col("_corrupt").isNotNull()).count()
+    docs = full.where(F.col("_corrupt").isNull()).drop("_corrupt")
+    return docs, n_corrupt

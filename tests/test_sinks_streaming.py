@@ -566,3 +566,32 @@ def test_stream_exact_dedup_first_seen_across_restart(spark, tmp_path):
     all_docs = batch1.unionByName(batch2)
     n_contents = dedup_exact(all_docs).count()
     assert len(got_all) == n_contents
+
+
+def test_jsonl_roundtrip_and_loud_corrupt(spark, tmp_path):
+    from paragrapher_spark.sources.sinks import read_jsonl, write_jsonl
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", 'plain text'),
+            (2, "de", 'quotes "and" backslash \\ tab\tnewline\nunicode é中'),
+            (3, "es", ""),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, path, num_files=2)
+    back = read_jsonl(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+    # corrupt line: FAILFAST raises; tolerate_corrupt counts and drops
+    with open(f"{path}/zz_bad.json", "w") as f:
+        f.write('{"doc_id": 9, "lang": "en", "text": "ok"}\n')
+        f.write("{not json at all\n")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="FAILFAST|Malformed|corrupt|MALFORMED"):
+        read_jsonl(spark, path).count()
+    good, n_corrupt = read_jsonl(spark, path, tolerate_corrupt=True)
+    assert n_corrupt == 1
+    assert good.count() == 4  # 3 originals + the good injected line

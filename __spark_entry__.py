@@ -2782,6 +2782,54 @@ def _gap_bits_orders_sql() -> str:
     """
 
 
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup (the grouping-sets operator class): event counts and
+    exact value cents at (event_type, day), (event_type), and grand
+    total levels in ONE pass — Spark plans rollup as a single Expand +
+    aggregation, the map-side-combinable form of the 100 TB cube.
+    grouping_id disambiguates levels; value summed in exact integer
+    cents (round half-even per row, the double is data not arithmetic);
+    NULL grouping placeholders surfaced as 'ALL' literals so the
+    column-sorted gate compares cleanly."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        base.rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            "n_events",
+            "total_cents",
+            "gid",
+        )
+    )
+
+
+_EVENTS_ROLLUP_SQL = """
+    WITH base AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(day, 'ALL') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid
+    FROM base
+    GROUP BY ROLLUP (event_type, day)
+"""
+
+
 def _q_last_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-click attribution (streaming/events.py — the deduplicating
     layer over the stream-stream-joinable pair feed): each error
@@ -2994,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
         "last_click_attribution": _q_last_click_attribution,
+        "events_rollup": _q_events_rollup,
         "zorder_tiles": _q_zorder_tiles,
         "gap_bits_orders": _q_gap_bits_orders,
         "join_skew_report": _q_join_skew_report,
@@ -6427,6 +6476,7 @@ def oracle_sql() -> dict[str, str]:
     FROM ranked GROUP BY lang
     """,
         "last_click_attribution": _LAST_CLICK_SQL,
+        "events_rollup": _EVENTS_ROLLUP_SQL,
         "zorder_tiles": _zorder_tiles_sql(),
         "gap_bits_orders": _gap_bits_orders_sql(),
         "join_skew_report": _join_skew_report_sql(),

@@ -2830,6 +2830,48 @@ _EVENTS_ROLLUP_SQL = """
 """
 
 
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab) with an EXPLICIT value list — the schema-stable
+    form (a values-less pivot collects the distinct set to the driver
+    and bakes data into the schema; at 100 TB that is both a scan and a
+    schema-drift hazard, so the value list is pinned). One groupBy +
+    per-type conditional counts; the oracle is the same conditional
+    aggregation spelled out."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    )
+    return (
+        base.groupBy("day")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in _PIVOT_TYPES
+            ],
+        )
+    )
+
+
+def _events_pivot_sql() -> str:
+    cols = ",\n           ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+    return f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           {cols}
+    FROM events
+    GROUP BY 1
+    """
+
+
 def _q_last_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-click attribution (streaming/events.py — the deduplicating
     layer over the stream-stream-joinable pair feed): each error
@@ -3043,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         "last_click_attribution": _q_last_click_attribution,
         "events_rollup": _q_events_rollup,
+        "events_pivot": _q_events_pivot,
         "zorder_tiles": _q_zorder_tiles,
         "gap_bits_orders": _q_gap_bits_orders,
         "join_skew_report": _q_join_skew_report,
@@ -6477,6 +6520,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "last_click_attribution": _LAST_CLICK_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
+        "events_pivot": _events_pivot_sql(),
         "zorder_tiles": _zorder_tiles_sql(),
         "gap_bits_orders": _gap_bits_orders_sql(),
         "join_skew_report": _join_skew_report_sql(),

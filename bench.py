@@ -557,8 +557,18 @@ def main() -> None:
     }
     line = json.dumps(out)
     if len(line) > 1900:  # never let the tail cut truncate the JSON
-        out.pop("queries_sf001", None)
+        # keep sweep EVIDENCE in the driver record even when the full
+        # per-query map is too long: count, failures, slowest five
+        ok_items = [(k, v) for k, v in (allq or {}).items() if v >= 0]
+        out["queries_sf001"] = {
+            "n": len(allq or {}),
+            "failed": [k for k, v in (allq or {}).items() if v < 0],
+            "slowest": sorted(ok_items, key=lambda kv: -kv[1])[:5],
+        }
         line = json.dumps(out)
+        if len(line) > 1900:
+            out.pop("queries_sf001", None)
+            line = json.dumps(out)
     print(line)
 
 

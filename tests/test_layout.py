@@ -5,8 +5,6 @@ sort."""
 
 from __future__ import annotations
 
-import glob
-
 import pytest
 from pyspark.sql import functions as F
 

@@ -2782,6 +2782,58 @@ def _gap_bits_orders_sql() -> str:
     """
 
 
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/dedup.py corpus_diff): two corpus
+    versions derived deterministically from the documents table (v1
+    misses doc_id % 10 == 3; v2 revises text of doc_id % 7 == 0),
+    diffed by content md5 in one skinny full-outer join — per-status
+    doc counts and exact id-sum digests, the added+changed set being
+    what an incremental pipeline reprocesses."""
+    from paragrapher_spark.operators.dedup import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 10 != 3)
+    v2 = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        corpus_diff(v1, v2)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("id").cast("long").alias("id_digest"),
+        )
+    )
+
+
+_CORPUS_DIFF_SQL = """
+    WITH v1 AS (
+        SELECT doc_id AS id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 3
+    ),
+    v2 AS (
+        SELECT doc_id AS id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS h
+        FROM documents
+    ),
+    d AS (
+        SELECT COALESCE(v1.id, v2.id) AS id,
+               CASE WHEN v1.id IS NULL THEN 'added'
+                    WHEN v2.id IS NULL THEN 'removed'
+                    WHEN v1.h <> v2.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v2.id = v1.id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(id) AS BIGINT) AS id_digest
+    FROM d GROUP BY status
+"""
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP rollup (the grouping-sets operator class): event counts and
     exact value cents at (event_type, day), (event_type), and grand
@@ -3086,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_click_attribution": _q_last_click_attribution,
         "events_rollup": _q_events_rollup,
         "events_pivot": _q_events_pivot,
+        "corpus_diff": _q_corpus_diff,
         "zorder_tiles": _q_zorder_tiles,
         "gap_bits_orders": _q_gap_bits_orders,
         "join_skew_report": _q_join_skew_report,
@@ -6521,6 +6574,7 @@ def oracle_sql() -> dict[str, str]:
         "last_click_attribution": _LAST_CLICK_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "events_pivot": _events_pivot_sql(),
+        "corpus_diff": _CORPUS_DIFF_SQL,
         "zorder_tiles": _zorder_tiles_sql(),
         "gap_bits_orders": _gap_bits_orders_sql(),
         "join_skew_report": _join_skew_report_sql(),

@@ -738,3 +738,34 @@ def semantic_dedup(
             F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, status): snapshot diff of two corpus versions by content
+    hash — status in added / removed / changed / unchanged. ONE
+    full-outer equi-join of two (id, md5) projections; at 100 TB the
+    hash projection means the join carries 2 skinny columns per side,
+    never the text, and incremental-ingest pipelines diff snapshots
+    exactly this way before reprocessing only added+changed."""
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__oh")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__nh")
+    )
+    return (
+        o.join(n, on="id", how="full_outer")
+        .select(
+            "id",
+            F.when(F.col("__oh").isNull(), F.lit("added"))
+            .when(F.col("__nh").isNull(), F.lit("removed"))
+            .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

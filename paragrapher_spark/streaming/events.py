@@ -441,3 +441,30 @@ def stream_exact_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_enriched_events(
+    spark: SparkSession,
+    source_dir: str,
+    dim: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "enriched_stream",
+    key: str = "user_id",
+):
+    """Stream-static enrichment join: a parquet event stream joined with
+    a STATIC dimension table on ``key`` — the third join class next to
+    batch and stream-stream. The static side is planned per microbatch
+    (broadcast when small), needs no watermark and holds no state; the
+    stream side stays append-only. Returns the StreamingQuery (memory
+    sink, availableNow)."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    joined = stream.join(F.broadcast(dim), on=key, how="inner")
+    return (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

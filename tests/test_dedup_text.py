@@ -531,3 +531,16 @@ def test_semantic_dedup_planted(spark):
     assert got == expected
     # the planted structure actually exercised both branches
     assert [got[i][1] for i in range(6)] == [True, False, True, False, True, True]
+
+
+def test_corpus_diff_statuses(spark):
+    from paragrapher_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r.id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

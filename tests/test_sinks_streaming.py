@@ -595,3 +595,28 @@ def test_jsonl_roundtrip_and_loud_corrupt(spark, tmp_path):
     good, n_corrupt = read_jsonl(spark, path, tolerate_corrupt=True)
     assert n_corrupt == 1
     assert good.count() == 4  # 3 originals + the good injected line
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    from paragrapher_spark.streaming.events import stream_enriched_events
+
+    ev = spark.createDataFrame(
+        [(1, 10, "click"), (2, 11, "view"), (3, 12, "click")],
+        "event_id long, user_id long, event_type string",
+    )
+    dim = spark.createDataFrame(
+        [(10, "free"), (11, "pro")], "user_id long, tier string"
+    )  # user 12 has no dim row -> inner join drops it
+    src = str(tmp_path / "enr_src")
+    ckpt = str(tmp_path / "enr_ckpt")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    q = stream_enriched_events(spark, src, dim, ckpt, "enr_t1")
+    q.awaitTermination(120)
+    got = sorted(
+        (r.event_id, r.tier)
+        for r in spark.sql("SELECT * FROM enr_t1").collect()
+    )
+    want = sorted(
+        (r.event_id, r.tier) for r in ev.join(dim, on="user_id").collect()
+    )
+    assert got == want == [(1, "free"), (2, "pro")]

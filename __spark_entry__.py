@@ -2782,6 +2782,59 @@ def _gap_bits_orders_sql() -> str:
     """
 
 
+def _q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table time travel (sources/table_format.py — the Iceberg
+    contract from scratch: manifest snapshots, atomic pointer commits,
+    O(1) planning without directory listings): the documents table lands
+    as v1 (doc_id % 10 != 3) then an append brings the rest; BOTH
+    versions are read back — v1 via time travel AFTER the append — and
+    digested. The oracle derives the same two membership sets straight
+    from parquet, so a time-travel read that leaks or loses rows
+    hash-mismatches."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from paragrapher_spark.sources.table_format import read_table, write_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pg_snap_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_table(
+        docs.where(F.col("doc_id") % 10 != 3), path,
+        stat_cols=["doc_id"], num_files=4,
+    )
+    write_table(
+        docs.where(F.col("doc_id") % 10 == 3), path,
+        stat_cols=["doc_id"], num_files=2,
+    )
+    out = None
+    for v in (1, 2):
+        digest = read_table(spark, path, version=v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_digest"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        out = digest if out is None else out.unionByName(digest)
+    return out
+
+
+_TABLE_TIME_TRAVEL_SQL = """
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_digest,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 10 <> 3
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT), CAST(SUM(length(text)) AS BIGINT)
+    FROM documents
+"""
+
+
 def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/dedup.py corpus_diff): two corpus
     versions derived deterministically from the documents table (v1
@@ -3139,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         "events_pivot": _q_events_pivot,
         "corpus_diff": _q_corpus_diff,
+        "table_time_travel": _q_table_time_travel,
         "zorder_tiles": _q_zorder_tiles,
         "gap_bits_orders": _q_gap_bits_orders,
         "join_skew_report": _q_join_skew_report,
@@ -6575,6 +6629,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "events_pivot": _events_pivot_sql(),
         "corpus_diff": _CORPUS_DIFF_SQL,
+        "table_time_travel": _TABLE_TIME_TRAVEL_SQL,
         "zorder_tiles": _zorder_tiles_sql(),
         "gap_bits_orders": _gap_bits_orders_sql(),
         "join_skew_report": _join_skew_report_sql(),

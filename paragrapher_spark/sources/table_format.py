@@ -1,0 +1,221 @@
+"""Snapshot-versioned table format — the Iceberg contract from scratch.
+
+The north rule's input is "an Iceberg table of source-code repositories".
+This sandbox has no Iceberg runtime jar, and SURVEY §2 maps the engine's
+storage to plain parquet — but the parts of the Iceberg contract the
+engine actually leans on are implementable from scratch over parquet plus
+JSON manifests, and this module does exactly that (same public design as
+the Iceberg spec, re-expressed minimally):
+
+- **snapshots**: every commit writes an immutable manifest
+  ``_manifests/v{N}.json`` listing the table's data files with row counts
+  and per-column min/max stats; readers never list directories (the
+  listing problem Iceberg exists to kill at 100 TB — a directory listing
+  of millions of objects is O(files) metadata RPCs, a manifest read is
+  O(1)).
+- **atomic commits**: the current version lives in one ``_current``
+  pointer file swapped with ``os.replace`` (atomic on POSIX); a commit
+  re-reads the pointer and FAILS LOUDLY if another writer advanced it
+  (optimistic concurrency, the Iceberg commit protocol).
+- **time travel**: ``read_table(path, version=N)`` reproduces any
+  snapshot exactly — appends never rewrite old files, so old manifests
+  stay valid (what makes incremental reprocessing + corpus_diff replays
+  auditable).
+- **scan pruning**: ``read_table(..., filters=[(col, lo, hi)])`` skips
+  whole files by manifest min/max before Spark ever opens them — the
+  manifest-level twin of the parquet row-group pruning `write_zordered`
+  arranges (compose them: z-order the data, prune files by manifest, then
+  row groups by footer).
+
+What is deliberately NOT here: schema evolution, hidden partitioning,
+row-level deletes — the engine's corpus tables are append/overwrite-only
+(SURVEY §2.5), so those would be dead code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+_POINTER = "_current"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer advanced the table between read and commit."""
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version}.json")
+
+
+def _read_pointer(path: str) -> int:
+    ptr = os.path.join(path, _POINTER)
+    if not os.path.exists(ptr):
+        return 0
+    with open(ptr) as f:
+        return int(f.read().strip())
+
+
+def _swap_pointer(path: str, expect: int, new: int) -> None:
+    """Atomic optimistic pointer swap: re-check, write temp, os.replace."""
+    cur = _read_pointer(path)
+    if cur != expect:
+        raise CommitConflict(
+            f"table {path!r}: expected version {expect} but found {cur} — "
+            "another writer committed; re-read and retry"
+        )
+    tmp = os.path.join(path, f"{_POINTER}.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(new))
+    os.replace(tmp, os.path.join(path, _POINTER))
+
+
+def _stat_files(df_reader, files: list[str], stat_cols: list[str]):
+    """Per-file row counts and min/max stats in ONE Spark pass over the
+    new files (grouped by input_file_name — no driver-side row data)."""
+    if not files:
+        return []
+    df = df_reader(files)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    out = []
+    for r in rows:
+        ent = {
+            "path": r["__f"].removeprefix("file:"),
+            "rows": r["__rows"],
+            "stats": {
+                c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stat_cols
+            },
+        }
+        out.append(ent)
+    return out
+
+
+def _commit(
+    path: str,
+    base_version: int,
+    file_entries: list[dict],
+    operation: str,
+) -> int:
+    new_version = base_version + 1
+    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+    manifest = {
+        "version": new_version,
+        "operation": operation,
+        "committed_at": time.time(),
+        "files": file_entries,
+    }
+    mpath = _manifest_path(path, new_version)
+    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, mpath)
+    _swap_pointer(path, base_version, new_version)
+    return new_version
+
+
+def _write_data_files(
+    df: DataFrame, path: str, num_files: int | None
+) -> list[str]:
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    sub = os.path.join(path, "data", uuid.uuid4().hex)
+    df.repartition(n).write.mode("overwrite").parquet(sub)
+    return [
+        os.path.join(sub, f)
+        for f in sorted(os.listdir(sub))
+        if f.endswith(".parquet")
+    ]
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    stat_cols: list[str] | None = None,
+    num_files: int | None = None,
+) -> int:
+    """Commit ``df`` to the snapshot table at ``path`` and return the new
+    version. ``mode='append'`` adds files to the current snapshot's set;
+    ``'overwrite'`` starts a fresh file set (old files stay on disk so
+    old snapshots remain readable — expiry is a separate, explicit act).
+    ``stat_cols`` picks the columns whose min/max go into the manifest
+    for file pruning (default: none — stats cost one aggregation over
+    the new files only)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    spark = df.sparkSession
+    base = _read_pointer(path)
+    new_files = _write_data_files(df, path, num_files)
+    entries = _stat_files(
+        lambda fs: spark.read.parquet(*fs), new_files, stat_cols or []
+    )
+    if mode == "append" and base > 0:
+        with open(_manifest_path(path, base)) as f:
+            entries = json.load(f)["files"] + entries
+    return _commit(path, base, entries, mode)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    filters: list[tuple] | None = None,
+) -> DataFrame:
+    """Read a snapshot (default: current). ``filters`` is a list of
+    ``(col, lo, hi)`` closed ranges applied at the MANIFEST level: a file
+    whose recorded [min, max] misses the range is never handed to Spark
+    (and the same predicate should still be applied relationally for
+    row-level filtering — manifest pruning is a superset guarantee, like
+    every stats-based skip). Raises loudly for a missing version or a
+    filter column without manifest stats."""
+    v = version if version is not None else _read_pointer(path)
+    mpath = _manifest_path(path, v)
+    if v <= 0 or not os.path.exists(mpath):
+        raise ValueError(f"table {path!r} has no snapshot v{v}")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    files = manifest["files"]
+    for col, lo, hi in filters or []:
+        kept = []
+        for ent in files:
+            if col not in ent["stats"]:
+                raise ValueError(
+                    f"no manifest stats for {col!r} (stat_cols at write "
+                    "time decides what can prune)"
+                )
+            mn, mx = ent["stats"][col]
+            if mn is None or mx is None or (mx >= lo and mn <= hi):
+                kept.append(ent)
+        files = kept
+    if not files:
+        # preserve schema for empty scans via an empty frame on v's first file set
+        all_files = [e["path"] for e in manifest["files"]]
+        return spark.read.parquet(*all_files).limit(0)
+    return spark.read.parquet(*[e["path"] for e in files])
+
+
+def table_history(path: str) -> list[dict]:
+    """[{version, operation, n_files, n_rows}] oldest→newest."""
+    out = []
+    v = 1
+    while os.path.exists(_manifest_path(path, v)):
+        with open(_manifest_path(path, v)) as f:
+            m = json.load(f)
+        out.append(
+            {
+                "version": m["version"],
+                "operation": m["operation"],
+                "n_files": len(m["files"]),
+                "n_rows": sum(e["rows"] for e in m["files"]),
+            }
+        )
+        v += 1
+    return out

@@ -1,0 +1,71 @@
+"""Snapshot table format: atomic versioned commits, time travel,
+manifest-level file pruning, optimistic-concurrency conflict."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from paragrapher_spark.sources.table_format import (
+    CommitConflict,
+    read_table,
+    table_history,
+    write_table,
+)
+
+
+def test_append_time_travel_and_history(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    a = spark.createDataFrame([(i, f"d{i}") for i in range(10)], "id long, t string")
+    b = spark.createDataFrame([(i, f"d{i}") for i in range(10, 25)], "id long, t string")
+    v1 = write_table(a, path, mode="append", stat_cols=["id"], num_files=2)
+    v2 = write_table(b, path, mode="append", stat_cols=["id"], num_files=2)
+    assert (v1, v2) == (1, 2)
+    assert read_table(spark, path).count() == 25            # current
+    assert read_table(spark, path, version=1).count() == 10  # time travel
+    assert sorted(r.id for r in read_table(spark, path, version=1).collect()) == list(range(10))
+    hist = table_history(path)
+    assert [(h["version"], h["n_rows"]) for h in hist] == [(1, 10), (2, 25)]
+
+    # overwrite starts fresh but v2 stays readable
+    c = spark.createDataFrame([(99, "x")], "id long, t string")
+    v3 = write_table(c, path, mode="overwrite", stat_cols=["id"], num_files=1)
+    assert v3 == 3
+    assert read_table(spark, path).count() == 1
+    assert read_table(spark, path, version=2).count() == 25
+
+
+def test_manifest_pruning_skips_files(spark, tmp_path):
+    path = str(tmp_path / "tblp")
+    # two disjoint id ranges in separate commits -> separate files
+    lo = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    hi = spark.createDataFrame([(i,) for i in range(1000, 1100)], "id long")
+    write_table(lo, path, stat_cols=["id"], num_files=1)
+    write_table(hi, path, stat_cols=["id"], num_files=1)
+    pruned = read_table(spark, path, filters=[("id", 1000, 1050)])
+    # only the hi file survives the manifest prune
+    assert pruned.count() == 100
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files == 1
+    # empty prune keeps the schema
+    empty = read_table(spark, path, filters=[("id", 5000, 6000)])
+    assert empty.count() == 0 and empty.columns == ["id"]
+    # filtering on a column without stats is loud
+    with pytest.raises(ValueError, match="no manifest stats"):
+        read_table(spark, path, filters=[("t", 0, 1)])
+
+
+def test_commit_conflict_is_loud(spark, tmp_path):
+    from paragrapher_spark.sources.table_format import _swap_pointer
+
+    path = str(tmp_path / "tblc")
+    df = spark.createDataFrame([(1,)], "id long")
+    write_table(df, path, num_files=1)
+    with pytest.raises(CommitConflict):
+        _swap_pointer(path, expect=0, new=9)  # stale base version
+    # version guard: reading a never-written snapshot is loud
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_table(spark, path, version=7)

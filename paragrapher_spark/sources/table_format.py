@@ -219,3 +219,46 @@ def table_history(path: str) -> list[dict]:
         )
         v += 1
     return out
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Garbage-collect snapshots older than the newest ``keep_last``:
+    their manifests are deleted and any data file referenced by NO kept
+    manifest is removed from disk. Returns {'expired_versions': [...],
+    'deleted_files': n, 'kept_files': n} — the explicit, loud form of
+    retention (time travel works exactly as far back as you chose to
+    pay for). The current pointer never moves; expiring the current
+    version is refused."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    current = _read_pointer(path)
+    versions = []
+    v = 1
+    while os.path.exists(_manifest_path(path, v)):
+        versions.append(v)
+        v += 1
+    keep = set(versions[-keep_last:])
+    keep.add(current)
+    expired = [v for v in versions if v not in keep]
+    kept_files: set[str] = set()
+    for v in keep:
+        with open(_manifest_path(path, v)) as f:
+            kept_files.update(e["path"] for e in json.load(f)["files"])
+    doomed: set[str] = set()
+    for v in expired:
+        with open(_manifest_path(path, v)) as f:
+            doomed.update(
+                e["path"]
+                for e in json.load(f)["files"]
+                if e["path"] not in kept_files
+            )
+    for p in sorted(doomed):
+        if os.path.exists(p):
+            os.remove(p)
+    for v in expired:
+        os.remove(_manifest_path(path, v))
+    return {
+        "expired_versions": expired,
+        "deleted_files": len(doomed),
+        "kept_files": len(kept_files),
+    }

@@ -69,3 +69,29 @@ def test_commit_conflict_is_loud(spark, tmp_path):
     # version guard: reading a never-written snapshot is loud
     with pytest.raises(ValueError, match="no snapshot"):
         read_table(spark, path, version=7)
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    from paragrapher_spark.sources.table_format import expire_snapshots
+
+    path = str(tmp_path / "tble")
+    a = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    b = spark.createDataFrame([(i,) for i in range(5, 9)], "id long")
+    write_table(a, path, num_files=1)                      # v1
+    write_table(b, path, mode="append", num_files=1)       # v2 (reuses v1 files)
+    write_table(b, path, mode="overwrite", num_files=1)    # v3 (fresh set)
+    res = expire_snapshots(path, keep_last=1)
+    assert res["expired_versions"] == [1, 2]
+    # v1/v2's files are gone (v3 doesn't reference them), v3 intact
+    assert read_table(spark, path).count() == 4
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_table(spark, path, version=1)
+    # shared-file safety: append-only chains share files with the kept
+    # snapshot, so expiry must delete manifests but NOT shared data
+    path2 = str(tmp_path / "tble2")
+    write_table(a, path2, num_files=1)                     # v1
+    write_table(b, path2, mode="append", num_files=1)      # v2 shares v1 files
+    res2 = expire_snapshots(path2, keep_last=1)
+    assert res2["expired_versions"] == [1]
+    assert res2["deleted_files"] == 0                      # all shared
+    assert read_table(spark, path2).count() == 9

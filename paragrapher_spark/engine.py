@@ -83,7 +83,10 @@ class Engine:
         interchange files (test4 / test3 layouts).
         kind='mtx': MatrixMarket coordinate file — the COO graph kinds the
         reference declared but never shipped (PARAGRAPHER_COO_MM_400_SS /
-        _404_SS, `include/paragrapher.h:28-29`, `src/paragrapher.c:56-57`)."""
+        _404_SS, `include/paragrapher.h:28-29`, `src/paragrapher.c:56-57`).
+        kind='snapshot': a sources/table_format snapshot table of the
+        corpus (append ':vN' to the path to time-travel) -> import-graph
+        extraction over exactly that version's rows."""
         if kind == "csr":
             g = read_csr(self.spark, source)  # type: ignore[arg-type]
         elif kind == "corpus":
@@ -105,6 +108,14 @@ class Engine:
             g = read_binary_csr(self.spark, source, fmt=kind)  # type: ignore[arg-type]
         elif kind == "mtx":
             g = read_matrix_market(self.spark, source)  # type: ignore[arg-type]
+        elif kind == "snapshot":
+            from paragrapher_spark.sources.table_format import read_table
+
+            path, _, ver = str(source).partition(":v")
+            df = read_table(
+                self.spark, path, version=int(ver) if ver else None
+            )
+            g = edges_from_corpus(df)
         else:
             raise ValueError(f"unknown graph kind: {kind}")
         self._graphs.append(g)

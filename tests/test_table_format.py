@@ -95,3 +95,29 @@ def test_expire_snapshots_gc(spark, tmp_path):
     assert res2["expired_versions"] == [1]
     assert res2["deleted_files"] == 0                      # all shared
     assert read_table(spark, path2).count() == 9
+
+
+def test_engine_open_graph_snapshot_kind(spark, tmp_path):
+    """Engine facade over the snapshot table: open_graph(kind='snapshot')
+    extracts the import graph from the CURRENT version, and ':vN' time
+    travel opens exactly the old corpus."""
+    from paragrapher_spark.engine import Engine
+    from paragrapher_spark.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(spark, n_files=200, n_repos=4)
+    path = str(tmp_path / "corpus_snap")
+    half = corpus.where(F.col("path") < "pkg2")
+    write_table(half, path, num_files=2)                       # v1
+    write_table(corpus.subtract(half), path, num_files=2)      # v2 = full
+    eng = Engine(spark)
+    g_old = eng.open_graph(f"{path}:v1", kind="snapshot")
+    g_cur = eng.open_graph(path, kind="snapshot")
+    from paragrapher_spark.graph import edges_from_corpus
+
+    want_old = edges_from_corpus(half)
+    want_cur = edges_from_corpus(corpus)
+    assert sorted(map(tuple, g_old.edges.select("src", "dst").collect())) == \
+        sorted(map(tuple, want_old.edges.select("src", "dst").collect()))
+    assert sorted(map(tuple, g_cur.edges.select("src", "dst").collect())) == \
+        sorted(map(tuple, want_cur.edges.select("src", "dst").collect()))
+    assert g_cur.num_edges >= g_old.num_edges

@@ -262,3 +262,28 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
         "deleted_files": len(doomed),
         "kept_files": len(kept_files),
     }
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    stat_cols: list[str] | None = None,
+) -> int:
+    """Rewrite the CURRENT snapshot's file set into ``target_files``
+    files and commit the result as a new snapshot (operation
+    'compact') — the small-files maintenance pass every long-lived
+    append table needs (a 100 TB table fed by thousands of incremental
+    appends decays into millions of KB-files; scan cost is per-file
+    open + per-file manifest entry, so compaction is a scan-cost
+    investment exactly like write_zordered). Old snapshots stay
+    readable until expire_snapshots; the commit is optimistic like any
+    other (a concurrent append raises CommitConflict and nothing is
+    lost — the rewrite directory just becomes garbage for expiry)."""
+    base = _read_pointer(path)
+    df = read_table(spark, path)
+    new_files = _write_data_files(df, path, target_files)
+    entries = _stat_files(
+        lambda fs: spark.read.parquet(*fs), new_files, stat_cols or []
+    )
+    return _commit(path, base, entries, "compact")

@@ -121,3 +121,20 @@ def test_engine_open_graph_snapshot_kind(spark, tmp_path):
     assert sorted(map(tuple, g_cur.edges.select("src", "dst").collect())) == \
         sorted(map(tuple, want_cur.edges.select("src", "dst").collect()))
     assert g_cur.num_edges >= g_old.num_edges
+
+
+def test_compact_table(spark, tmp_path):
+    from paragrapher_spark.sources.table_format import compact_table
+
+    path = str(tmp_path / "tblcmp")
+    for lo in range(0, 40, 10):  # 4 appends x 2 files = 8 small files
+        df = spark.createDataFrame([(i,) for i in range(lo, lo + 10)], "id long")
+        write_table(df, path, stat_cols=["id"], num_files=2)
+    assert table_history(path)[-1]["n_files"] == 8
+    v = compact_table(spark, path, target_files=2, stat_cols=["id"])
+    hist = table_history(path)
+    assert hist[-1] == {"version": v, "operation": "compact", "n_files": 2,
+                        "n_rows": 40}
+    assert sorted(r.id for r in read_table(spark, path).collect()) == list(range(40))
+    # pre-compaction snapshot still readable (time travel)
+    assert read_table(spark, path, version=v - 1).count() == 40

@@ -741,6 +741,44 @@ _BM25_K = 10
 _BM25_SCALE = 1_000_000
 
 
+_INVIDX_TOPK = 20
+_INVIDX_MIN_DF = 2
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index (functions/text.py inverted_index):
+    the 20 highest-df terms with their full ascending posting lists
+    (comma-joined — strings survive every engine's value compare) — the
+    batch index bm25_topk-style retrieval serves from; an inverted
+    index is a bipartite adjacency, so the gap-bits analytic prices its
+    compression."""
+    from paragrapher_spark.functions.text import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        inverted_index(docs, min_df=_INVIDX_MIN_DF)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_INVIDX_TOPK)
+    )
+
+
+def _inverted_index_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id AS id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    idx AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               array_to_string(list_sort(list(id)), ',') AS postings
+        FROM toks GROUP BY term
+        HAVING COUNT(*) >= {_INVIDX_MIN_DF}
+    )
+    SELECT term, df, postings FROM idx
+    ORDER BY df DESC, term
+    LIMIT {_INVIDX_TOPK}
+"""
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25-shaped retrieval (functions/text.py bm25_topk): top-10 docs
     for the query terms (spark, vector, hash) with k1=6/5, b=3/4 and the
@@ -3168,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_per_lang": _q_vocab_per_lang,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bm25_topk": _q_bm25_topk,
+        "inverted_index": _q_inverted_index,
         "bloom_membership": _q_bloom_membership,
         "corpus_pipeline": _q_corpus_pipeline,
         "katz_fixed": _q_katz_fixed,
@@ -5872,6 +5911,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_per_lang": _vocab_per_lang_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "bm25_topk": _bm25_topk_sql(),
+        "inverted_index": _inverted_index_sql(),
         "bloom_membership": _bloom_membership_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
         "edge_embeddedness": f"""

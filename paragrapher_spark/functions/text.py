@@ -737,3 +737,38 @@ def bpe_token_count(text: Column) -> Column:
     standard cheap lower-bound proxy for tokenizer cost). Pure JVM regex —
     one codegen projection, no shuffle, no Python."""
     return F.size(bpe_tokens(text))
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, df, postings): the materialized inverted index — one row
+    per term with its document frequency and the ascending posting list
+    (distinct doc ids as a comma-joined string: a string survives every
+    engine's value-compare intact, and a downstream join explodes it
+    back with split/explode). The batch-built index is what serves
+    bm25_topk-style retrieval without rescanning the corpus.
+
+    Scale shape (100 TB): one tokenize pass, one distinct, ONE
+    aggregation with sort_array(collect_set(...)) — map-side combinable
+    set semantics; per-term state is the posting list itself, which IS
+    the output (no blow-up beyond it). Terms below ``min_df`` drop as
+    hapax noise. A production posting list would be delta+gamma coded —
+    exactly what operators/layout.adjacency_gap_bits prices, because an
+    inverted index IS a bipartite adjacency."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).distinct()
+    idx = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("id").cast("long"))), ","
+        ).alias("postings"),
+    )
+    if min_df > 1:
+        idx = idx.where(F.col("df") >= min_df)
+    return idx

@@ -163,3 +163,22 @@ def test_bm25_single_term_orders_like_textbook(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = [r.doc_id for r in bm25_topk(df, ["x"], k=5).collect()]
     assert got == [2, 0, 1]  # shorter beats longer at tf=3; tf=3 beats tf=2
+
+
+def test_inverted_index_postings(spark):
+    from paragrapher_spark.functions.text import inverted_index
+
+    docs = [
+        (10, "x y"),
+        (2, "x"),
+        (1, "x x x"),   # duplicate occurrences collapse in postings
+        (3, "z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.term: (r.df, r.postings) for r in inverted_index(df).collect()
+    }
+    # numeric posting order, not lexicographic ("1,2,10" not "1,10,2")
+    assert got == {"x": (3, "1,2,10"), "y": (1, "10"), "z": (1, "3")}
+    got2 = {r.term for r in inverted_index(df, min_df=2).collect()}
+    assert got2 == {"x"}

@@ -3122,6 +3122,109 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events (streaming/events.py
+    cohort_retention): users bucketed by first-seen week, counted per
+    (cohort_week, week_offset) cell. Week index is Monday-anchored
+    integer division of epoch days, so every column is an exact long."""
+    from paragrapher_spark.streaming.events import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+_COHORT_RETENTION_SQL = """
+    WITH ev AS (
+        SELECT user_id,
+               (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) - 4) // 7
+                   AS week
+        FROM events
+    ),
+    first AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT ev.user_id, f.cohort_week,
+               ev.week - f.cohort_week AS week_offset
+        FROM ev JOIN first f ON f.user_id = ev.user_id
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act GROUP BY 1, 2
+"""
+
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between consecutive event
+    types per user (streaming/events.py event_transitions). Order key
+    (ts, event_id) is total, and the probability is integer floor
+    division in 1e-6 fixed point — every column gates bit-exactly."""
+    from paragrapher_spark.streaming.events import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+_EVENT_TRANSITIONS_SQL = """
+    WITH ordered AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS to_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ordered WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type, p.n, t.n_from,
+           CAST(p.n * 1000000 // t.n_from AS BIGINT) AS p_fp
+    FROM pairs p JOIN tot t ON t.from_type = p.from_type
+"""
+
+
+def _q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-day detection (streaming/events.py event_bursts): days where
+    a user's event count strictly exceeds 3× their median daily count —
+    integer-only robust outlier rule (type-1 median, (n_events, day_idx)
+    rank order), every column an exact long."""
+    from paragrapher_spark.streaming.events import event_bursts
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_bursts(ev, factor=3)
+
+
+_EVENT_BURSTS_SQL = """
+    WITH daily AS (
+        SELECT user_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                   AS day_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT user_id, n_events,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events, day_idx
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_days
+        FROM daily
+    ),
+    med AS (
+        SELECT user_id, n_events AS median_n FROM ranked
+        WHERE rn = CAST(ceil(n_days / 2.0) AS BIGINT)
+    )
+    SELECT d.user_id, d.day_idx, d.n_events, CAST(m.median_n AS BIGINT) AS median_n
+    FROM daily d JOIN med m ON m.user_id = d.user_id
+    WHERE d.n_events > 3 * m.median_n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -3229,6 +3332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         "last_click_attribution": _q_last_click_attribution,
         "events_rollup": _q_events_rollup,
+        "cohort_retention": _q_cohort_retention,
+        "event_transitions": _q_event_transitions,
+        "event_bursts": _q_event_bursts,
         "events_pivot": _q_events_pivot,
         "corpus_diff": _q_corpus_diff,
         "table_time_travel": _q_table_time_travel,
@@ -6667,6 +6773,9 @@ def oracle_sql() -> dict[str, str]:
     """,
         "last_click_attribution": _LAST_CLICK_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "event_bursts": _EVENT_BURSTS_SQL,
         "events_pivot": _events_pivot_sql(),
         "corpus_diff": _CORPUS_DIFF_SQL,
         "table_time_travel": _TABLE_TIME_TRAVEL_SQL,

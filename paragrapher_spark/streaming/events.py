@@ -17,7 +17,7 @@ time. State stays per-(window, type) — tiny, no skew concern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -467,4 +467,144 @@ def stream_enriched_events(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch event analytics: cohort retention, Markov transitions, burst days
+# ---------------------------------------------------------------------------
+
+# Monday 1970-01-05 anchors the week index so weeks are ISO-style
+# Mon..Sun; an integer week index (not a DATE) keeps every output column
+# an exact long for the cross-engine gate.
+_EPOCH_MONDAY_DAYS = 4  # days from 1970-01-01 (Thu) to 1970-01-05 (Mon)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention — the canonical product-analytics rollup
+    (the reference's client programs stop at graph descriptives; this is
+    the events-table analogue of its degree-distribution battery,
+    `test/test1_deg_dist_WG400.c`, over time instead of degree).
+
+    Cohort of a user = week index of their FIRST event; a (cohort_week,
+    week_offset) cell counts the cohort's users active offset weeks
+    later. All columns are exact longs: week index = (epoch_days − 4)
+    DIV 7 (Monday-anchored integer division — no timezone/DATE types in
+    the gate surface).
+
+    Plan shape (100 TB): one min-agg per user (map-side combinable), one
+    equi-join back on the user key, one distinct-agg on (cohort, offset,
+    user) collapsed into the final groupBy — two shuffles total, both on
+    keys with event-table cardinality, no window over the raw stream.
+    """
+    # epoch days are positive for any ts >= 1970-01-05, so truncating DIV
+    # and the oracle's flooring // agree; floor() keeps the IEEE division
+    # exact regardless (operands < 2^53)
+    wk = lambda c: F.floor((F.datediff(F.col(c).cast("date"), F.lit("1970-01-01")) - F.lit(_EPOCH_MONDAY_DAYS)) / 7).cast("long")  # noqa: E731
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        wk(ts_col).alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.col("cohort_week").cast("long"), F.col("week_offset").cast("long"), "n_users")
+    )
+
+
+TRANSITION_FIXED_POINT = 1_000_000  # 1e-6 probability resolution
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types within each user's totally-ordered event stream (order key
+    (ts, event_id) — the unique id breaks timestamp ties, so the
+    successor of every event is deterministic).
+
+    Returns (from_type, to_type, n, n_from, p_fp): exact transition
+    count, exact row-total, and the transition probability in 1e-6
+    fixed point via integer floor division — summation-order-free, so
+    a DuckDB oracle gates every column bit-exactly.
+
+    Plan shape: one window (lead over user partitions — a single
+    shuffle on user_id, the same key sessionization uses) + one
+    grouped count + one broadcast-sized self-agg join on from_type.
+    State per task is one partition's rows; nothing driver-side.
+    """
+    w = Window.partitionBy("user_id").orderBy("t_ms", "eid")
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("from_type"),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("t_ms"),
+        F.col(id_col).alias("eid"),
+    )
+    pairs = (
+        ev.withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.col("n_from").cast("long"),
+        F.expr(f"(n * {TRANSITION_FIXED_POINT}) DIV n_from").alias("p_fp"),
+    )
+
+
+def event_bursts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    factor: int = 3,
+) -> DataFrame:
+    """Burst-day detection: a user's day is a burst when its event count
+    strictly exceeds ``factor`` × the user's MEDIAN daily count — an
+    integer-only outlier rule (the float z-score alternative needs a
+    stddev/sqrt and cannot gate bit-exactly; a median multiple is the
+    robust-statistics standard anyway).
+
+    Median = type-1 (lower) quantile: the ceil(n/2)-th smallest daily
+    count, ties broken by day index — the same integer-rank selection
+    contract as functions/stats.py. Returns (user_id, day_idx, n_events,
+    median_n) for burst days only; day_idx = exact epoch-day long.
+
+    Plan shape: per-(user, day) count (one shuffle), per-user median by
+    row_number over a user-partitioned window (second shuffle, |users·
+    days| rows), equi-join and filter. No driver-side work.
+    """
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01")).cast("long").alias("day_idx"),
+    )
+    daily = ev.groupBy("user_id", "day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy("n_events", "day_idx")
+    med = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_days", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .where(F.col("rn") == F.ceil(F.col("n_days") / 2))
+        .select("user_id", F.col("n_events").alias("median_n"))
+    )
+    return (
+        daily.join(med, "user_id")
+        .where(F.col("n_events") > F.lit(factor) * F.col("median_n"))
+        .select("user_id", "day_idx", "n_events", F.col("median_n").cast("long"))
     )

@@ -3225,6 +3225,75 @@ _EVENT_BURSTS_SQL = """
 """
 
 
+_CENSUS_N = 2000
+_CENSUS_OUT_DEG = 4
+
+
+def _q_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland–Leinhardt dyad census (kernels/census.py) of the md5
+    directed vertex graph: mutual / asymmetric / null unordered pairs,
+    null closed-form from the declared vertex universe. One exact-long
+    row; the oracle regenerates the identical edge set by hash."""
+    from paragrapher_spark.kernels.census import dyad_census
+
+    g = md5_vertex_graph(spark, _CENSUS_N, out_deg=_CENSUS_OUT_DEG)
+    return dyad_census(g, n_vertices=_CENSUS_N)
+
+
+def _dyad_census_oracle_sql() -> str:
+    n = _CENSUS_N
+    return f"""
+        WITH e AS MATERIALIZED ({md5_vertex_graph_sql(n, _CENSUS_OUT_DEG)}),
+        pair AS (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                   count(*) AS k
+            FROM e GROUP BY 1, 2
+        )
+        SELECT CAST({n} AS BIGINT) AS n_vertices,
+               CAST(COALESCE(SUM(CASE WHEN k = 2 THEN 1 END), 0) AS BIGINT)
+                   AS mutual,
+               CAST(COALESCE(SUM(CASE WHEN k = 1 THEN 1 END), 0) AS BIGINT)
+                   AS asym,
+               CAST({n * (n - 1) // 2}
+                    - COALESCE(SUM(CASE WHEN k = 2 THEN 1 END), 0)
+                    - COALESCE(SUM(CASE WHEN k = 1 THEN 1 END), 0) AS BIGINT)
+                   AS null_dyads
+        FROM pair
+    """
+
+
+def _q_triad_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triad motifs (kernels/census.py): ordered length-2 paths,
+    transitive closures, and directed 3-cycles (closing triples DIV 3 —
+    exact) on the md5 vertex graph. One exact-long row."""
+    from paragrapher_spark.kernels.census import triad_motifs
+
+    g = md5_vertex_graph(spark, _CENSUS_N, out_deg=_CENSUS_OUT_DEG)
+    return triad_motifs(g).motifs
+
+
+def _triad_motifs_oracle_sql() -> str:
+    return f"""
+        WITH e AS MATERIALIZED (
+            {md5_vertex_graph_sql(_CENSUS_N, _CENSUS_OUT_DEG)}
+        ),
+        p AS MATERIALIZED (
+            SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+            FROM e e1 JOIN e e2 ON e2.src = e1.dst
+            WHERE e1.src <> e2.dst
+        )
+        SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_paths2,
+               CAST((SELECT count(*) FROM p
+                     WHERE EXISTS (SELECT 1 FROM e
+                                   WHERE e.src = p.u AND e.dst = p.w))
+                    AS BIGINT) AS n_transitive,
+               CAST((SELECT count(*) FROM p
+                     WHERE EXISTS (SELECT 1 FROM e
+                                   WHERE e.src = p.w AND e.dst = p.u)) // 3
+                    AS BIGINT) AS n_cyclic
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -3335,6 +3404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "event_transitions": _q_event_transitions,
         "event_bursts": _q_event_bursts,
+        "dyad_census": _q_dyad_census,
+        "triad_motifs": _q_triad_motifs,
         "events_pivot": _q_events_pivot,
         "corpus_diff": _q_corpus_diff,
         "table_time_travel": _q_table_time_travel,
@@ -6776,6 +6847,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_RETENTION_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "event_bursts": _EVENT_BURSTS_SQL,
+        "dyad_census": _dyad_census_oracle_sql(),
+        "triad_motifs": _triad_motifs_oracle_sql(),
         "events_pivot": _events_pivot_sql(),
         "corpus_diff": _CORPUS_DIFF_SQL,
         "table_time_travel": _TABLE_TIME_TRAVEL_SQL,

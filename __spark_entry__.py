@@ -3294,6 +3294,58 @@ def _triad_motifs_oracle_sql() -> str:
     """
 
 
+_SALSA_ROUNDS = 4
+
+
+def _q_salsa_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated SALSA (kernels/hits.py salsa — Lempel & Moran 2000) on
+    the md5 vertex graph: 4 synchronous rounds in 1e-12 fixed point,
+    every per-edge term an integer DIV — all columns exact longs, the
+    oracle unrolls the identical recurrence."""
+    from paragrapher_spark.kernels.hits import salsa
+
+    g = md5_vertex_graph(spark, _CENSUS_N, out_deg=_CENSUS_OUT_DEG)
+    return salsa(g, iterations=_SALSA_ROUNDS).scores
+
+
+def _salsa_oracle_sql(rounds: int) -> str:
+    """SALSA unroll: auth0 ≡ SCALE; per round hub = Σ auth//indeg over
+    out-edges, auth = Σ hub//outdeg over in-edges (DuckDB // floors on
+    positive BIGINTs exactly like Spark DIV)."""
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+            {md5_vertex_graph_sql(_CENSUS_N, _CENSUS_OUT_DEG)}
+        ),
+        ind AS MATERIALIZED (SELECT dst, count(*) AS c FROM e GROUP BY dst),
+        outd AS MATERIALIZED (SELECT src, count(*) AS c FROM e GROUP BY src),
+        v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        a0 AS MATERIALIZED (
+            SELECT id, CAST(1000000000000 AS BIGINT) AS a FROM v
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        h{r} AS MATERIALIZED (
+            SELECT e.src AS id, CAST(SUM(a.a // i.c) AS BIGINT) AS h
+            FROM e JOIN a{r - 1} a ON a.id = e.dst
+                   JOIN ind i ON i.dst = e.dst
+            GROUP BY e.src
+        ),
+        a{r} AS MATERIALIZED (
+            SELECT e.dst AS id, CAST(SUM(h.h // o.c) AS BIGINT) AS a
+            FROM e JOIN h{r} h ON h.id = e.src
+                   JOIN outd o ON o.src = e.src
+            GROUP BY e.dst
+        )""")
+    parts.append(f"""
+        SELECT v.id,
+               CAST(COALESCE(a{rounds}.a, 0) AS BIGINT) AS auth_fp,
+               CAST(COALESCE(h{rounds}.h, 0) AS BIGINT) AS hub_fp
+        FROM v LEFT JOIN a{rounds} ON a{rounds}.id = v.id
+               LEFT JOIN h{rounds} ON h{rounds}.id = v.id""")
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -3406,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_bursts": _q_event_bursts,
         "dyad_census": _q_dyad_census,
         "triad_motifs": _q_triad_motifs,
+        "salsa_fixed": _q_salsa_fixed,
         "events_pivot": _q_events_pivot,
         "corpus_diff": _q_corpus_diff,
         "table_time_travel": _q_table_time_travel,
@@ -6849,6 +6902,7 @@ def oracle_sql() -> dict[str, str]:
         "event_bursts": _EVENT_BURSTS_SQL,
         "dyad_census": _dyad_census_oracle_sql(),
         "triad_motifs": _triad_motifs_oracle_sql(),
+        "salsa_fixed": _salsa_oracle_sql(_SALSA_ROUNDS),
         "events_pivot": _events_pivot_sql(),
         "corpus_diff": _CORPUS_DIFF_SQL,
         "table_time_travel": _TABLE_TIME_TRAVEL_SQL,

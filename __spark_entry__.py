@@ -3346,6 +3346,139 @@ def _salsa_oracle_sql(rounds: int) -> str:
     return "".join(parts)
 
 
+_LOUVAIN_ROUNDS = 3
+
+
+def _q_louvain_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain synchronous local-moving phase (kernels/louvain.py),
+    3 rounds on the co-purchase graph: all-integer modularity-gain
+    scores (2m·k_vc − k_v·Σtot(c∖v)), min-community tie-break, strict
+    improvement to move — the oracle replays every round bit-exactly."""
+    from paragrapher_spark.kernels.louvain import louvain_level
+
+    edges = copurchase_edges(spark, sf_dir)
+    return louvain_level(edges, rounds=_LOUVAIN_ROUNDS).labels
+
+
+def _louvain_oracle_sql(rounds: int) -> str:
+    """Louvain local-moving unroll mirroring kernels/louvain.py: per
+    round Σtot, k_{v,c} (adjacency×labels), own-community seed via FULL
+    OUTER merge, exact-long gain scores, grouped argmax with min-comm
+    tie, strict-improvement move rule."""
+    parts = [
+        f"""WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+        und AS MATERIALIZED (
+            SELECT src AS v, dst AS u FROM edges
+            UNION ALL SELECT dst AS v, src AS u FROM edges
+        ),
+        deg AS MATERIALIZED (
+            SELECT v AS id, CAST(count(*) AS BIGINT) AS deg
+            FROM und GROUP BY v
+        ),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM und),
+        c0 AS MATERIALIZED (SELECT id, id AS c FROM deg)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        tot{r} AS MATERIALIZED (
+            SELECT l.c AS comm, CAST(SUM(d.deg) AS BIGINT) AS tot
+            FROM c{r - 1} l JOIN deg d ON d.id = l.id GROUP BY 1
+        ),
+        kvc{r} AS MATERIALIZED (
+            SELECT a.v, l.c AS comm, CAST(count(*) AS BIGINT) AS kv
+            FROM und a JOIN c{r - 1} l ON l.id = a.u GROUP BY 1, 2
+        ),
+        cand{r} AS MATERIALIZED (
+            SELECT COALESCE(k.v, l.id) AS v,
+                   COALESCE(k.comm, l.c) AS comm,
+                   COALESCE(k.kv, 0) AS kv
+            FROM kvc{r} k FULL OUTER JOIN c{r - 1} l
+              ON l.id = k.v AND l.c = k.comm
+        ),
+        sc{r} AS MATERIALIZED (
+            SELECT cd.v, cd.comm,
+                   (SELECT two_m FROM mm) * cd.kv
+                   - d.deg * (t.tot - CASE WHEN cd.comm = cu.c
+                                           THEN d.deg ELSE 0 END) AS score
+            FROM cand{r} cd
+            JOIN deg d ON d.id = cd.v
+            JOIN tot{r} t ON t.comm = cd.comm
+            JOIN c{r - 1} cu ON cu.id = cd.v
+        ),
+        mx{r} AS (SELECT v, MAX(score) AS smax FROM sc{r} GROUP BY v),
+        bst{r} AS (
+            SELECT s.v, m.smax, MIN(s.comm) AS bcomm
+            FROM sc{r} s JOIN mx{r} m ON m.v = s.v AND s.score = m.smax
+            GROUP BY 1, 2
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT cu.id,
+                   CASE WHEN b.smax > st.score AND cu.id % 2 = {r % 2}
+                        THEN b.bcomm ELSE cu.c END AS c
+            FROM c{r - 1} cu
+            JOIN bst{r} b ON b.v = cu.id
+            JOIN sc{r} st ON st.v = cu.id AND st.comm = cu.c
+        )""")
+    parts.append(f"""
+        SELECT CAST(id AS BIGINT) AS id, CAST(c AS BIGINT) AS community
+        FROM c{rounds}""")
+    return "".join(parts)
+
+
+def _q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the 3-round Louvain partition
+    (kernels/labelprop.py community_conductance over kernels/louvain.py
+    labels — detect-then-score, the community-pipeline shape): exact-long
+    cut and volume per community, φ as one IEEE division; min(vol,
+    2m−vol)=0 communities get φ=0.0 by documented convention. (LP labels
+    would collapse to ONE community at small SF — a 1-row gate; Louvain's
+    partition keeps the gate surface wide.)"""
+    from paragrapher_spark.kernels.labelprop import community_conductance
+    from paragrapher_spark.kernels.louvain import louvain_level
+
+    edges = copurchase_edges(spark, sf_dir)
+    res = louvain_level(edges, rounds=_LOUVAIN_ROUNDS)
+    return community_conductance(edges, res.labels)
+
+
+def _conductance_oracle_sql(rounds: int) -> str:
+    return f"""
+        WITH labels AS MATERIALIZED (
+            SELECT id, community AS label FROM ({_louvain_oracle_sql(rounds)})
+        ),
+        edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+        tagged AS MATERIALIZED (
+            SELECT l1.label AS ls, l2.label AS ld
+            FROM edges e
+            JOIN labels l1 ON l1.id = e.src
+            JOIN labels l2 ON l2.id = e.dst
+        ),
+        cut AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS cut FROM (
+                SELECT ls AS label FROM tagged WHERE ls <> ld
+                UNION ALL SELECT ld AS label FROM tagged WHERE ls <> ld
+            ) GROUP BY 1
+        ),
+        ud AS (
+            SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+        ),
+        deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM ud GROUP BY id),
+        vol AS (
+            SELECT l.label, CAST(count(*) AS BIGINT) AS n_vertices,
+                   CAST(SUM(d.d) AS BIGINT) AS vol
+            FROM deg d JOIN labels l ON l.id = d.id GROUP BY 1
+        )
+        SELECT CAST(v.label AS BIGINT) AS label, v.n_vertices, v.vol,
+               CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
+               CASE WHEN LEAST(v.vol, 2 * (SELECT m FROM mm) - v.vol) > 0
+                    THEN CAST(COALESCE(c.cut, 0) AS DOUBLE)
+                         / LEAST(v.vol, 2 * (SELECT m FROM mm) - v.vol)
+                    ELSE 0.0 END AS phi
+        FROM vol v LEFT JOIN cut c ON c.label = v.label
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -3459,6 +3592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyad_census": _q_dyad_census,
         "triad_motifs": _q_triad_motifs,
         "salsa_fixed": _q_salsa_fixed,
+        "louvain_labels": _q_louvain_labels,
+        "community_conductance": _q_community_conductance,
         "events_pivot": _q_events_pivot,
         "corpus_diff": _q_corpus_diff,
         "table_time_travel": _q_table_time_travel,
@@ -6903,6 +7038,8 @@ def oracle_sql() -> dict[str, str]:
         "dyad_census": _dyad_census_oracle_sql(),
         "triad_motifs": _triad_motifs_oracle_sql(),
         "salsa_fixed": _salsa_oracle_sql(_SALSA_ROUNDS),
+        "louvain_labels": _louvain_oracle_sql(_LOUVAIN_ROUNDS),
+        "community_conductance": _conductance_oracle_sql(_LOUVAIN_ROUNDS),
         "events_pivot": _events_pivot_sql(),
         "corpus_diff": _CORPUS_DIFF_SQL,
         "table_time_travel": _TABLE_TIME_TRAVEL_SQL,

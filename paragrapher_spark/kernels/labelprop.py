@@ -202,3 +202,64 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("q"),
         )
     )
+
+
+def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over UNDIRECTED canonical edges(src, dst)
+    — the standard cut-quality score next to modularity (Kannan, Vempala,
+    Vetta, "On clusterings: good, bad and spectral", JACM 2004):
+
+        φ(C) = cut(C) / min(vol(C), 2m − vol(C))
+
+    Returns one row per community: (label, n_vertices, vol, cut, phi)
+    where n_vertices/vol/cut are exact longs (vol = Σ degree, cut = edges
+    with exactly one endpoint inside) and phi is ONE IEEE division of two
+    exact longs — bit-identical across engines. Communities covering the
+    whole volume (min = 0) get phi = 0.0 by convention (documented, the
+    undefined case).
+
+    100 TB shape: two label-attach equi-joins on the edge table + grouped
+    sums keyed by community — the same cost class as modularity; nothing
+    iterative, nothing driver-side.
+    """
+    e = edges.select("src", "dst")
+    lab = labels.select("id", F.col(labels.columns[1]).alias("label"))
+    m = e.count()  # one action; 2m is the total volume
+    tagged = e.join(
+        lab.select(F.col("id").alias("src"), F.col("label").alias("ls")), "src"
+    ).join(lab.select(F.col("id").alias("dst"), F.col("label").alias("ld")), "dst")
+    # internal edges count toward their community; cut edges toward BOTH
+    cut = (
+        tagged.where(F.col("ls") != F.col("ld"))
+        .select(F.col("ls").alias("label"))
+        .unionByName(
+            tagged.where(F.col("ls") != F.col("ld")).select(
+                F.col("ld").alias("label")
+            )
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut"))
+    )
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    vol = (
+        deg.join(lab, "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.sum("d").cast("long").alias("vol"),
+        )
+    )
+    denom = F.least(F.col("vol"), F.lit(2 * m) - F.col("vol"))
+    return (
+        vol.join(cut, "label", "left")
+        .select(
+            F.col("label").cast("long"),
+            "n_vertices",
+            "vol",
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+            F.when(denom > 0, F.coalesce("cut", F.lit(0)) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("phi"),
+        )
+    )

@@ -3479,6 +3479,44 @@ def _conductance_oracle_sql(rounds: int) -> str:
     """
 
 
+_BPE_MERGE_TOP_K = 50
+
+
+def _q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training step (functions/text.py bpe_merge_pairs —
+    Sennrich et al. 2016): adjacent character-pair counts within
+    BPE_TOKEN_PATTERN pre-tokens, aggregated at the distinct-token level
+    and weighted by token frequency; top-50 merge candidates under the
+    total order (n DESC, left, right)."""
+    from paragrapher_spark.functions.text import bpe_merge_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_pairs(docs, top_k=_BPE_MERGE_TOP_K)
+
+
+def _bpe_merge_pairs_oracle_sql(top_k: int) -> str:
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT unnest(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'))
+                AS tok
+            FROM documents
+        ),
+        vocab AS MATERIALIZED (
+            SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY tok
+        ),
+        pos AS (
+            SELECT tok, cnt, unnest(range(1, length(tok))) AS i
+            FROM vocab WHERE length(tok) >= 2
+        )
+        SELECT substr(tok, CAST(i AS INTEGER), 1) AS "left",
+               substr(tok, CAST(i AS INTEGER) + 1, 1) AS "right",
+               CAST(SUM(cnt) AS BIGINT) AS n
+        FROM pos GROUP BY 1, 2
+        ORDER BY n DESC, "left", "right" LIMIT {top_k}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -3594,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_fixed": _q_salsa_fixed,
         "louvain_labels": _q_louvain_labels,
         "community_conductance": _q_community_conductance,
+        "bpe_merge_pairs": _q_bpe_merge_pairs,
         "events_pivot": _q_events_pivot,
         "corpus_diff": _q_corpus_diff,
         "table_time_travel": _q_table_time_travel,
@@ -7040,6 +7079,7 @@ def oracle_sql() -> dict[str, str]:
         "salsa_fixed": _salsa_oracle_sql(_SALSA_ROUNDS),
         "louvain_labels": _louvain_oracle_sql(_LOUVAIN_ROUNDS),
         "community_conductance": _conductance_oracle_sql(_LOUVAIN_ROUNDS),
+        "bpe_merge_pairs": _bpe_merge_pairs_oracle_sql(_BPE_MERGE_TOP_K),
         "events_pivot": _events_pivot_sql(),
         "corpus_diff": _CORPUS_DIFF_SQL,
         "table_time_travel": _TABLE_TIME_TRAVEL_SQL,

@@ -772,3 +772,49 @@ def inverted_index(
     if min_df > 1:
         idx = idx.where(F.col("df") >= min_df)
     return idx
+
+
+def bpe_merge_pairs(
+    docs: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """The first BPE TRAINING step (Sennrich, Haddow, Birch, "Neural
+    machine translation of rare words with subword units", ACL 2016):
+    count adjacent symbol-pair frequencies within pre-tokens across the
+    corpus and rank merge candidates. Symbols start as single characters;
+    pre-token boundaries come from BPE_TOKEN_PATTERN (single-sourced with
+    bpe_token_count, so Spark and the oracle walk the same token stream).
+
+    Returns the top-``top_k`` rows (left, right, n) by the TOTAL order
+    (n DESC, left, right) — exact counts, deterministic cutoff set.
+
+    Scale shape (100 TB): tokenize → ONE group to the distinct-token
+    level FIRST (the classic BPE-training optimization: the pair scan
+    runs over the vocabulary weighted by token frequency, not the raw
+    token stream — orders of magnitude fewer rows), then per distinct
+    token an in-row position explode + substring (pure JVM), one
+    map-side-combinable weighted sum, and a TakeOrderedAndProject top-k.
+    Tokens shorter than 2 chars are filtered BEFORE the position explode
+    (Spark's sequence(1, 0) would count descending — documented guard).
+    """
+    toks = docs.select(
+        F.explode(bpe_tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    pairs = (
+        vocab.where(F.length("tok") >= 2)
+        .select(
+            "tok",
+            "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("substring(tok, i, 1)").alias("left"),
+            F.expr("substring(tok, i + 1, 1)").alias("right"),
+            "cnt",
+        )
+        .groupBy("left", "right")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+    return pairs.orderBy(F.desc("n"), "left", "right").limit(top_k)

@@ -182,3 +182,24 @@ def test_inverted_index_postings(spark):
     assert got == {"x": (3, "1,2,10"), "y": (1, "10"), "z": (1, "3")}
     got2 = {r.term for r in inverted_index(df, min_df=2).collect()}
     assert got2 == {"x"}
+
+
+def test_bpe_merge_pairs_hand_counts(spark):
+    from paragrapher_spark.functions.text import bpe_merge_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab")], "doc_id long, text string"
+    )
+    # pre-tokens: 'aaab' x1, ' aaab' x1, 'ab' x1
+    # pairs: aaab -> aa,aa,ab ; ' aaab' -> ' a',aa,aa,ab ; ab -> ab
+    got = {(r.left, r.right): r.n for r in bpe_merge_pairs(docs).collect()}
+    assert got == {("a", "a"): 4, ("a", "b"): 3, (" ", "a"): 1}
+
+
+def test_bpe_merge_pairs_single_char_tokens_excluded(spark):
+    from paragrapher_spark.functions.text import bpe_merge_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # tokens 'a', ' b', ' c' -> only length-2 tokens contribute one pair each
+    got = {(r.left, r.right): r.n for r in bpe_merge_pairs(docs).collect()}
+    assert got == {(" ", "b"): 1, (" ", "c"): 1}

@@ -3517,6 +3517,85 @@ def _bpe_merge_pairs_oracle_sql(top_k: int) -> str:
     """
 
 
+_WINNOW_K = 8
+_WINNOW_W = 4
+# the synthetic docs share heavy template boilerplate: at min_shared=2
+# nearly every doc pair matches (92k rows); >=20 shared fingerprints is
+# where genuine clones separate (~1k pairs, stable across SFs)
+_WINNOW_MIN_SHARED = 20
+_WINNOW_MAX_DF = 64
+
+
+def _q_winnow_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing clone pairs (operators/dedup.py winnow_clone_pairs
+    — Schleimer et al. SIGMOD 2003): k=8 char-gram md5-prefix hashes,
+    window w=4 min selection (rightmost tie), pair score = distinct
+    shared fingerprints, boilerplate hashes over df=64 dropped loudly."""
+    from paragrapher_spark.operators.dedup import winnow_clone_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs, _metrics = winnow_clone_pairs(
+        docs,
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED,
+        max_df=_WINNOW_MAX_DF,
+    )
+    return pairs
+
+
+def _winnow_oracle_sql() -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+        WITH d AS MATERIALIZED (
+            SELECT doc_id AS id, text AS t FROM documents
+            WHERE length(text) >= {k}
+        ),
+        grams AS MATERIALIZED (
+            SELECT id, CAST(i AS BIGINT) AS pos,
+                   ('0x' || substr(md5(substr(t, CAST(i AS INTEGER), {k})),
+                                   1, 15))::BIGINT AS h
+            FROM (SELECT id, t,
+                         unnest(range(1, length(t) - {k} + 2)) AS i
+                  FROM d)
+        ),
+        lim AS MATERIALIZED (
+            SELECT id, length(t) - {k + w - 2} AS max_wpos FROM d
+            WHERE length(t) - {k + w - 2} >= 1
+        ),
+        win AS MATERIALIZED (
+            SELECT gw.id, gw.pos, gw.h, gw.wpos
+            FROM (SELECT id, pos, h,
+                         unnest(range(greatest(1, pos - {w - 1}), pos + 1))
+                             AS wpos
+                  FROM grams) gw
+            JOIN lim l ON l.id = gw.id
+            WHERE gw.wpos <= l.max_wpos
+        ),
+        mn AS MATERIALIZED (
+            SELECT id, wpos, MIN(h) AS mh FROM win GROUP BY 1, 2
+        ),
+        sel AS MATERIALIZED (
+            SELECT w.id, w.wpos, m.mh, MAX(w.pos) AS spos
+            FROM win w JOIN mn m
+              ON m.id = w.id AND m.wpos = w.wpos AND w.h = m.mh
+            GROUP BY 1, 2, 3
+        ),
+        fp AS MATERIALIZED (SELECT DISTINCT id, mh AS h FROM sel),
+        keeph AS (
+            SELECT h FROM (SELECT h, count(*) AS c FROM fp GROUP BY h)
+            WHERE c <= {_WINNOW_MAX_DF}
+        ),
+        fpk AS MATERIALIZED (
+            SELECT fp.id, fp.h FROM fp JOIN keeph USING (h)
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fpk a JOIN fpk b ON a.h = b.h AND a.id < b.id
+        GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -3633,6 +3712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_labels": _q_louvain_labels,
         "community_conductance": _q_community_conductance,
         "bpe_merge_pairs": _q_bpe_merge_pairs,
+        "winnow_clones": _q_winnow_clones,
         "events_pivot": _q_events_pivot,
         "corpus_diff": _q_corpus_diff,
         "table_time_travel": _q_table_time_travel,
@@ -7080,6 +7160,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain_labels": _louvain_oracle_sql(_LOUVAIN_ROUNDS),
         "community_conductance": _conductance_oracle_sql(_LOUVAIN_ROUNDS),
         "bpe_merge_pairs": _bpe_merge_pairs_oracle_sql(_BPE_MERGE_TOP_K),
+        "winnow_clones": _winnow_oracle_sql(),
         "events_pivot": _events_pivot_sql(),
         "corpus_diff": _CORPUS_DIFF_SQL,
         "table_time_travel": _TABLE_TIME_TRAVEL_SQL,

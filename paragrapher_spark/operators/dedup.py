@@ -769,3 +769,127 @@ def corpus_diff(
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing — MOSS document fingerprinting (Schleimer et al., SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection ("Winnowing: local algorithms for
+    document fingerprinting", Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    the MOSS algorithm): hash every character ``k``-gram, slide a window
+    of ``w`` consecutive hashes, and in each window select the minimum
+    hash (RIGHTMOST position on ties, the paper's robust-winnowing rule);
+    the distinct selected (hash, pos) set is the document's fingerprint.
+    Guarantees every shared substring of length >= k + w - 1 contributes
+    at least one shared fingerprint.
+
+    Determinism/portability: the k-gram hash is the repo's engine-portable
+    md5-prefix (first 15 hex chars base-16 — the corpus.py hash family),
+    NOT a Karp-Rabin rolling hash: rolling saves nothing here (the hash
+    runs JVM-side either way) and md5 is what the DuckDB oracle can
+    replay byte-identically.
+
+    Returns (id, pos, h) — exact longs (pos is the k-gram start, 1-based).
+
+    Scale shape (100 TB): position explode is in-row (sequence + substring,
+    whole-stage codegen); the window-min runs as a w-fan-out self-join on
+    (id, window-start) — w is config (~4), so the blow-up is a constant
+    factor, grouped twice (min hash, then rightmost pos at the min) on
+    keys with document cardinality. No Python anywhere.
+    """
+    grams = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .where(F.length("t") >= k)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - F.lit(k - 1))
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "id",
+            "pos",
+            F.conv(
+                F.substring(F.md5(F.expr(f"substring(t, pos, {k})")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    # window wpos covers gram positions wpos .. wpos+w-1; a gram at pos
+    # belongs to windows max(1, pos-w+1) .. pos — emitted by one more
+    # in-row explode (fan-out exactly w for interior grams)
+    win = grams.select(
+        "id",
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(F.greatest(F.lit(1), F.col("pos") - F.lit(w - 1)), F.col("pos"))
+        ).alias("wpos"),
+    )
+    # drop windows that would run past the end (incomplete trailing windows)
+    n_win = docs.select(
+        F.col(id_col).alias("id"),
+        (F.length(text_col) - F.lit(k + w - 2)).alias("max_wpos"),
+    ).where(F.col("max_wpos") >= 1)
+    win = win.join(n_win, "id").where(F.col("wpos") <= F.col("max_wpos"))
+    mn = win.groupBy("id", "wpos").agg(F.min("h").alias("mh"))
+    sel = (
+        win.join(mn, ["id", "wpos"])
+        .where(F.col("h") == F.col("mh"))
+        .groupBy("id", "wpos", "mh")
+        .agg(F.max("pos").alias("spos"))
+    )
+    return (
+        sel.select("id", F.col("spos").alias("pos"), F.col("mh").alias("h"))
+        .distinct()
+        .select(F.col("id").cast("long"), F.col("pos").cast("long"), F.col("h"))
+    )
+
+
+def winnow_clone_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict]:
+    """Clone-pair candidates from shared winnowing fingerprints — the
+    MOSS match step: pair score = number of DISTINCT shared fingerprint
+    hashes. Hashes selected by more than ``max_df`` documents are
+    boilerplate (the M² blow-up guard, same loud contract as the n-gram
+    and LSH caps): excluded and COUNTED in the returned metrics dict
+    (``n_dropped_hashes``). Returns (pairs(id_a, id_b, n_shared),
+    metrics)."""
+    fp = winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+    byhash = fp.select("id", "h").distinct()
+    metrics: dict = {"n_dropped_hashes": 0}
+    if max_df is not None:
+        df_counts = byhash.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        hot = df_counts.where(F.col("df") > max_df)
+        metrics["n_dropped_hashes"] = hot.count()
+        byhash = byhash.join(hot.select("h"), "h", "left_anti")
+    a = byhash.select(F.col("id").alias("id_a"), "h")
+    b = byhash.select(F.col("id").alias("id_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs, metrics

@@ -3596,6 +3596,92 @@ def _winnow_oracle_sql() -> str:
     """
 
 
+_PPR_SEEDS = [0, 1, 2, 3]
+_PPR_ROUNDS = 6
+
+
+def _q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-seed personalized PageRank (kernels/pagerank.py
+    ppr_batch): 4 seeds ride the same 6 supersteps in 1e-12 fixed point,
+    every per-edge term an integer DIV — bit-exact, oracle-unrollable.
+    The production PPR-serving shape: marginal seed cost is rows, not
+    stages."""
+    from paragrapher_spark.kernels.pagerank import ppr_batch
+
+    g = md5_vertex_graph(spark, _CENSUS_N, out_deg=_CENSUS_OUT_DEG)
+    return ppr_batch(g, seeds=_PPR_SEEDS, rounds=_PPR_ROUNDS)
+
+
+def _ppr_batch_oracle_sql(rounds: int) -> str:
+    S = 1_000_000_000_000
+    t = S - 85 * S // 100
+    seed_rows = ", ".join(f"({s}, {s})" for s in _PPR_SEEDS)
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+            {md5_vertex_graph_sql(_CENSUS_N, _CENSUS_OUT_DEG)}
+        ),
+        outd AS MATERIALIZED (SELECT src, count(*) AS c FROM e GROUP BY src),
+        tel AS (SELECT seed, id, CAST({t} AS BIGINT) AS t
+                FROM (VALUES {seed_rows}) v(seed, id)),
+        s0 AS (SELECT seed, id, CAST({S} AS BIGINT) AS r
+               FROM (VALUES {seed_rows}) v(seed, id))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        p{r} AS MATERIALIZED (
+            SELECT e.dst AS id, s.seed,
+                   CAST(SUM((85 * s.r) // (100 * o.c)) AS BIGINT) AS p
+            FROM e JOIN s{r - 1} s ON s.id = e.src
+                   JOIN outd o ON o.src = e.src
+            GROUP BY 1, 2
+        ),
+        s{r} AS MATERIALIZED (
+            SELECT COALESCE(p.seed, t.seed) AS seed,
+                   COALESCE(p.id, t.id) AS id,
+                   CAST(COALESCE(p.p, 0) + COALESCE(t.t, 0) AS BIGINT) AS r
+            FROM p{r} p FULL OUTER JOIN tel t
+              ON t.seed = p.seed AND t.id = p.id
+        )""")
+    parts.append(f"""
+        SELECT seed, id, r AS ppr_fp FROM s{rounds} WHERE r > 0""")
+    return "".join(parts)
+
+
+_RMAT_SCALE = 10
+_RMAT_EDGE_FACTOR = 8
+
+
+def _q_rmat_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution of the deterministic R-MAT scale-10 graph
+    (sources/edges.py rmat_edges — Chakrabarti et al. 2004, Graph500
+    .57/.19/.19/.05 quadrants as integer-percent hash thresholds): the
+    heavy-tailed counterpart of the uniform md5 graph, exercising the
+    skew path. The oracle regenerates the identical edge set by hash."""
+    from paragrapher_spark.sources.edges import rmat_edges
+
+    g = rmat_edges(spark, scale=_RMAT_SCALE, edge_factor=_RMAT_EDGE_FACTOR)
+    return (
+        g.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .groupBy(F.col("d").cast("long").alias("out_degree"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    )
+
+
+def _rmat_degree_dist_oracle_sql() -> str:
+    from paragrapher_spark.sources.edges import rmat_edges_sql
+
+    return f"""
+        WITH e AS MATERIALIZED (
+            {rmat_edges_sql(_RMAT_SCALE, _RMAT_EDGE_FACTOR)}
+        ),
+        outd AS (SELECT src, count(*) AS d FROM e GROUP BY src)
+        SELECT CAST(d AS BIGINT) AS out_degree,
+               CAST(count(*) AS BIGINT) AS n_vertices
+        FROM outd GROUP BY 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -3713,6 +3799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_conductance": _q_community_conductance,
         "bpe_merge_pairs": _q_bpe_merge_pairs,
         "winnow_clones": _q_winnow_clones,
+        "ppr_batch": _q_ppr_batch,
+        "rmat_degree_dist": _q_rmat_degree_dist,
         "events_pivot": _q_events_pivot,
         "corpus_diff": _q_corpus_diff,
         "table_time_travel": _q_table_time_travel,
@@ -7161,6 +7249,8 @@ def oracle_sql() -> dict[str, str]:
         "community_conductance": _conductance_oracle_sql(_LOUVAIN_ROUNDS),
         "bpe_merge_pairs": _bpe_merge_pairs_oracle_sql(_BPE_MERGE_TOP_K),
         "winnow_clones": _winnow_oracle_sql(),
+        "ppr_batch": _ppr_batch_oracle_sql(_PPR_ROUNDS),
+        "rmat_degree_dist": _rmat_degree_dist_oracle_sql(),
         "events_pivot": _events_pivot_sql(),
         "corpus_diff": _CORPUS_DIFF_SQL,
         "table_time_travel": _TABLE_TIME_TRAVEL_SQL,

@@ -55,6 +55,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.checkpoint import CheckpointManager
+
 
 @dataclass
 class LouvainResult:
@@ -67,11 +69,20 @@ def louvain_level(
     edges: DataFrame,
     rounds: int = 3,
     num_partitions: int | None = None,
+    checkpoint: "CheckpointManager | None" = None,
+    checkpoint_every: int = 1,
 ) -> LouvainResult:
     """Run ``rounds`` synchronous local-moving rounds over canonical
     undirected edges(src, dst) (one row per unordered pair, src < dst,
     no self-loops — the modularity kernel's input contract). Initial
-    assignment: every vertex its own community."""
+    assignment: every vertex its own community.
+
+    Resumable (the north rule's mid-iteration contract, same pattern as
+    pagerank/bfs/labelprop): with a ``checkpoint``, each saved round
+    snapshots the (id, c) assignment with per-partition lineage; resume
+    restarts at the NEXT round, and because the round index drives the
+    parity-move rule, the manifest's iteration number keeps the
+    alternation phase exact across restarts."""
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -91,10 +102,18 @@ def louvain_level(
         .repartition(n_part, "id")
         .localCheckpoint(eager=True)
     )
-    labels = deg.select("id", F.col("id").alias("c"))
+    start_round = 0
+    labels = None
+    if checkpoint is not None:
+        resumed = checkpoint.resume(spark)
+        if resumed is not None:
+            start_round, labels = resumed
+            labels = labels.repartition(n_part, "id").localCheckpoint(eager=True)
+    if labels is None:
+        labels = deg.select("id", F.col("id").alias("c"))
 
     history: list[dict[str, Any]] = []
-    for r in range(1, rounds + 1):
+    for r in range(start_round + 1, rounds + 1):
         lab = labels.select("id", "c")
         tot = (
             lab.join(deg, "id")
@@ -166,6 +185,11 @@ def louvain_level(
         )
         n_comms = labels.select("c").distinct().count()
         history.append({"round": r, "n_communities": n_comms})
+        if checkpoint is not None:
+            if r % checkpoint_every == 0:
+                checkpoint.save(r, labels, {"n_communities": n_comms})
+            else:
+                checkpoint.log_metrics(r, {"n_communities": n_comms})
 
     und.unpersist()
     return LouvainResult(

@@ -169,3 +169,127 @@ COPURCHASE_WEIGHTED_EDGES_SQL = """
     WHERE a.l_partkey < b.l_partkey
     GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# R-MAT — deterministic recursive-matrix power-law graph generator
+# ---------------------------------------------------------------------------
+
+# Graph500 defaults (Chakrabarti, Zhan, Faloutsos, "R-MAT: a recursive
+# model for graph mining", SDM 2004): P(a,b,c,d) = .57/.19/.19/.05 —
+# expressed as integer percent thresholds so every quadrant draw is an
+# exact modular-hash comparison, never a float.
+RMAT_A, RMAT_AB, RMAT_ABC = 57, 76, 95
+
+
+def rmat_edges(
+    spark: SparkSession,
+    scale: int,
+    edge_factor: int = 8,
+    seed: int = 42,
+    tag: str = "rmat",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic R-MAT edge table over 2^scale vertices with
+    edge_factor·2^scale edge DRAWS (self-loops dropped, parallel edges
+    deduped — the simple-graph convention every kernel here expects).
+
+    Per draw k and bit level l the quadrant comes from the engine-portable
+    md5 hash family (corpus.py contract): u = H(tag:seed:k:l) mod 100,
+    compared against the integer thresholds above — so a DuckDB oracle
+    regenerates the IDENTICAL power-law graph (rmat_edges_sql). This is
+    the deliberately-skewed counterpart of ``md5_vertex_graph`` (uniform
+    in-degrees): R-MAT's recursive quadrant bias yields the heavy-tailed
+    degree distribution that exercises salting/AQE skew paths honestly.
+
+    Plan shape: spark.range(m) → one in-row explode over ``scale`` bit
+    levels → md5 + bit arithmetic (whole-stage codegen) → one groupBy(k)
+    to assemble vertex ids → distinct. No data movement besides the
+    assembly shuffle; embarrassingly parallel at any scale.
+    """
+    n_draws = edge_factor << scale
+    df = spark.range(0, n_draws, 1, partitions or spark.sparkContext.defaultParallelism)
+    k = F.col("id").alias("k")
+    lvl = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("l")
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(tag),
+                        F.lit(str(seed)),
+                        F.col("k").cast("string"),
+                        F.col("l").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    bits = (
+        df.select(k, lvl)
+        .select(
+            "k",
+            "l",
+            u.alias("u"),
+        )
+        .select(
+            "k",
+            "l",
+            F.when(F.col("u") >= RMAT_AB, F.lit(1)).otherwise(F.lit(0)).alias("sb"),
+            F.when(
+                ((F.col("u") >= RMAT_A) & (F.col("u") < RMAT_AB))
+                | (F.col("u") >= RMAT_ABC),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("db"),
+        )
+    )
+    return (
+        bits.groupBy("k")
+        # Python-API shiftleft takes only a LITERAL shift; the SQL form
+        # accepts a column, so the per-level weight goes through expr
+        .agg(
+            F.sum(
+                F.expr("CAST(sb AS BIGINT) * shiftleft(CAST(1 AS BIGINT), CAST(l AS INT))")
+            ).alias("src"),
+            F.sum(
+                F.expr("CAST(db AS BIGINT) * shiftleft(CAST(1 AS BIGINT), CAST(l AS INT))")
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def rmat_edges_sql(
+    scale: int, edge_factor: int = 8, seed: int = 42, tag: str = "rmat"
+) -> str:
+    """DuckDB twin of ``rmat_edges`` — byte-identical edge set."""
+    n_draws = edge_factor << scale
+    return f"""
+        SELECT DISTINCT src, dst FROM (
+            SELECT k,
+                   CAST(SUM(CASE WHEN u >= {RMAT_AB} THEN 1 ELSE 0 END
+                            * (1::BIGINT << l)) AS BIGINT) AS src,
+                   CAST(SUM(CASE WHEN (u >= {RMAT_A} AND u < {RMAT_AB})
+                                   OR u >= {RMAT_ABC} THEN 1 ELSE 0 END
+                            * (1::BIGINT << l)) AS BIGINT) AS dst
+            FROM (
+                SELECT t.k, u.l,
+                       ('0x' || substr(md5('{tag}:{seed}:' || t.k::VARCHAR
+                                           || ':' || u.l::VARCHAR), 1, 15))
+                           ::BIGINT % 100 AS u
+                FROM range({n_draws}) t(k),
+                     (SELECT unnest(range(0, {scale})) AS l) u
+            )
+            GROUP BY k
+        ) WHERE src != dst
+    """

@@ -190,3 +190,44 @@ def test_mis_resume_identical(spark, tmp_path):
     assert resumed.history[0]["round"] == 2
     got = {r.id: r.round for r in resumed.members.collect()}
     assert got == want  # member set AND per-member deciding round
+
+
+def test_louvain_resume_identical(spark, tmp_path):
+    from paragrapher_spark.kernels.louvain import louvain_level
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3), (5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    want = sorted(map(tuple, louvain_level(edges, rounds=4).labels.collect()))
+
+    cm = CheckpointManager(str(tmp_path), "louvain")
+    louvain_level(edges, rounds=2, checkpoint=cm, checkpoint_every=1)
+    assert cm.last_complete()["iteration"] == 2
+
+    # resume continues at round 3 — the parity-move phase must carry over
+    cm2 = CheckpointManager(str(tmp_path), "louvain")
+    resumed = louvain_level(edges, rounds=4, checkpoint=cm2, checkpoint_every=1)
+    assert resumed.history[0]["round"] == 3
+    assert sorted(map(tuple, resumed.labels.collect())) == want
+
+
+def test_ppr_batch_resume_identical(spark, tmp_path):
+    from paragrapher_spark.kernels.pagerank import ppr_batch
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (1, 3), (3, 1), (3, 0)], "src long, dst long"
+    )
+    want = sorted(
+        map(tuple, ppr_batch(edges, seeds=[0, 2], rounds=6).collect())
+    )
+
+    cm = CheckpointManager(str(tmp_path), "ppr")
+    ppr_batch(edges, seeds=[0, 2], rounds=3, checkpoint=cm, checkpoint_every=3)
+    assert cm.last_complete()["iteration"] == 3
+
+    cm2 = CheckpointManager(str(tmp_path), "ppr")
+    got = ppr_batch(
+        edges, seeds=[0, 2], rounds=6, checkpoint=cm2, checkpoint_every=3
+    )
+    assert sorted(map(tuple, got.collect())) == want

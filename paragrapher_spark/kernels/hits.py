@@ -29,6 +29,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.checkpoint import CheckpointManager
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
@@ -139,6 +140,8 @@ def salsa(
     edges: DataFrame,
     iterations: int = 4,
     num_partitions: int | None = None,
+    checkpoint: "CheckpointManager | None" = None,
+    checkpoint_every: int = 2,
 ) -> SALSAResult:
     """Truncated SALSA ("Stochastic Approach for Link-Structure
     Analysis", Lempel & Moran 2000): HITS's mutual recursion with each
@@ -193,8 +196,19 @@ def salsa(
     )
     auth = vertices.select("id", F.lit(SALSA_FIXED_POINT).cast("long").alias("a"))
 
+    # resumable (north-rule contract): the snapshot carries BOTH vectors
+    # (id, a, h) so a restart needs no recomputation of the interleave
+    start_round = 0
     hub = None
-    for _ in range(iterations):
+    if checkpoint is not None:
+        resumed = checkpoint.resume(spark)
+        if resumed is not None:
+            start_round, snap = resumed
+            snap = snap.repartition(n_part, "id").localCheckpoint(eager=True)
+            auth = snap.where(F.col("a").isNotNull()).select("id", "a")
+            hub = snap.where(F.col("h").isNotNull()).select("id", "h")
+
+    for rnd in range(start_round + 1, iterations + 1):
         hub = (
             ed.join(auth.select(F.col("id").alias("dst"), "a"), on="dst")
             .groupBy(F.col("src").alias("id"))
@@ -207,6 +221,11 @@ def salsa(
             .repartition(n_part, "id")
             .localCheckpoint(eager=True)  # one action per round, cuts lineage
         )
+        if checkpoint is not None and (
+            rnd % checkpoint_every == 0 or rnd == iterations
+        ):
+            snap = auth.join(hub, "id", "full_outer").select("id", "a", "h")
+            checkpoint.save(rnd, snap, {})
 
     scores = (
         vertices.join(auth, on="id", how="left")

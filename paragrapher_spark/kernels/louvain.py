@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
 @dataclass
@@ -113,6 +114,7 @@ def louvain_level(
         labels = deg.select("id", F.col("id").alias("c"))
 
     history: list[dict[str, Any]] = []
+    probe = ShuffleProbe(spark)
     for r in range(start_round + 1, rounds + 1):
         lab = labels.select("id", "c")
         tot = (
@@ -184,12 +186,18 @@ def louvain_level(
             .localCheckpoint(eager=True)  # one action per round
         )
         n_comms = labels.select("c").distinct().count()
-        history.append({"round": r, "n_communities": n_comms})
+        shuffle_w, shuffle_r = probe.tick()
+        metrics = {
+            "n_communities": n_comms,
+            "shuffle_write_bytes": shuffle_w,
+            "shuffle_read_bytes": shuffle_r,
+        }
+        history.append({"round": r, **metrics})
         if checkpoint is not None:
             if r % checkpoint_every == 0:
-                checkpoint.save(r, labels, {"n_communities": n_comms})
+                checkpoint.save(r, labels, metrics)
             else:
-                checkpoint.log_metrics(r, {"n_communities": n_comms})
+                checkpoint.log_metrics(r, metrics)
 
     und.unpersist()
     return LouvainResult(

@@ -231,3 +231,20 @@ def test_ppr_batch_resume_identical(spark, tmp_path):
         edges, seeds=[0, 2], rounds=6, checkpoint=cm2, checkpoint_every=3
     )
     assert sorted(map(tuple, got.collect())) == want
+
+
+def test_salsa_resume_identical(spark, tmp_path):
+    from paragrapher_spark.kernels.hits import salsa
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0)], "src long, dst long"
+    )
+    want = sorted(map(tuple, salsa(edges, iterations=4).scores.collect()))
+
+    cm = CheckpointManager(str(tmp_path), "salsa")
+    salsa(edges, iterations=2, checkpoint=cm, checkpoint_every=2)
+    assert cm.last_complete()["iteration"] == 2
+
+    cm2 = CheckpointManager(str(tmp_path), "salsa")
+    got = salsa(edges, iterations=4, checkpoint=cm2, checkpoint_every=2)
+    assert sorted(map(tuple, got.scores.collect())) == want

@@ -3682,6 +3682,101 @@ def _rmat_degree_dist_oracle_sql() -> str:
     """
 
 
+_SWEEP_ROUNDS = 6
+
+
+def _q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACL PPR sweep cut (kernels/localcluster.py — Andersen-Chung-Lang
+    FOCS 2006) around the smallest co-purchase vertex: degree-normalized
+    PPR order, exact prefix volume/cut via cumulative sums, argmin
+    conductance in 1e-9 integer fixed point. Every column exact."""
+    from paragrapher_spark.kernels.localcluster import ppr_sweep_cut
+
+    edges = copurchase_edges(spark, sf_dir)
+    seed = edges.agg(F.min("src")).collect()[0][0]  # src<dst ⇒ min vertex
+    return ppr_sweep_cut(edges, seed=int(seed), rounds=_SWEEP_ROUNDS)
+
+
+def _ppr_sweep_oracle_sql(rounds: int) -> str:
+    S = 1_000_000_000_000
+    t = S - 85 * S // 100
+    parts = [
+        f"""WITH ced AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+        und AS MATERIALIZED (
+            SELECT src, dst FROM ced
+            UNION ALL SELECT dst AS src, src AS dst FROM ced
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+            FROM und GROUP BY 1
+        ),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM und),
+        sd AS (SELECT MIN(src) AS sid FROM ced),
+        tel AS (SELECT sid AS id, CAST({t} AS BIGINT) AS t FROM sd),
+        s0 AS (SELECT sid AS id, CAST({S} AS BIGINT) AS r FROM sd)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        p{r} AS MATERIALIZED (
+            SELECT e.dst AS id,
+                   CAST(SUM((85 * s.r) // (100 * o.deg)) AS BIGINT) AS p
+            FROM und e JOIN s{r - 1} s ON s.id = e.src
+                       JOIN deg o ON o.id = e.src
+            GROUP BY 1
+        ),
+        s{r} AS MATERIALIZED (
+            SELECT COALESCE(p.id, t.id) AS id,
+                   CAST(COALESCE(p.p, 0) + COALESCE(t.t, 0) AS BIGINT) AS r
+            FROM p{r} p FULL OUTER JOIN tel t ON t.id = p.id
+        )""")
+    parts.append(f""",
+        pprv AS MATERIALIZED (
+            SELECT id, r AS ppr_fp FROM s{rounds} WHERE r > 0
+        ),
+        ranked AS MATERIALIZED (
+            SELECT p.id, d.deg, p.ppr_fp,
+                   CAST(row_number() OVER (
+                       ORDER BY (p.ppr_fp * 1000) // d.deg DESC, p.id
+                   ) AS BIGINT) AS rank
+            FROM pprv p JOIN deg d ON d.id = p.id
+        ),
+        vols AS (
+            SELECT rank, id, ppr_fp,
+                   CAST(SUM(deg) OVER (ORDER BY rank) AS BIGINT) AS vol
+            FROM ranked
+        ),
+        mrk AS (
+            SELECT GREATEST(ra.rank, rb.rank) AS mr,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM ced e JOIN ranked ra ON ra.id = e.src
+                       JOIN ranked rb ON rb.id = e.dst
+            GROUP BY 1
+        ),
+        swc AS (
+            SELECT v.rank, v.id, v.ppr_fp, v.vol,
+                   CAST(SUM(COALESCE(m.c, 0)) OVER (ORDER BY v.rank)
+                        AS BIGINT) AS internal
+            FROM vols v LEFT JOIN mrk m ON m.mr = v.rank
+        ),
+        fin AS (
+            SELECT rank, id, ppr_fp, vol,
+                   CAST(vol - 2 * internal AS BIGINT) AS cut,
+                   CAST(((vol - 2 * internal) * 1000000000)
+                        // LEAST(vol, (SELECT two_m FROM mm) - vol)
+                        AS BIGINT) AS phi_fp
+            FROM swc
+            WHERE vol * 2 <= (SELECT two_m FROM mm)
+        ),
+        bst AS (
+            SELECT MIN(rank) AS best_rank FROM fin
+            WHERE phi_fp = (SELECT MIN(phi_fp) FROM fin)
+        )
+        SELECT rank, id, ppr_fp, vol, cut, phi_fp,
+               rank = (SELECT best_rank FROM bst) AS is_best
+        FROM fin""")
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_meta": _q_graph_meta,
@@ -3801,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_clones": _q_winnow_clones,
         "ppr_batch": _q_ppr_batch,
         "rmat_degree_dist": _q_rmat_degree_dist,
+        "ppr_sweep": _q_ppr_sweep,
         "events_pivot": _q_events_pivot,
         "corpus_diff": _q_corpus_diff,
         "table_time_travel": _q_table_time_travel,
@@ -7251,6 +7347,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_clones": _winnow_oracle_sql(),
         "ppr_batch": _ppr_batch_oracle_sql(_PPR_ROUNDS),
         "rmat_degree_dist": _rmat_degree_dist_oracle_sql(),
+        "ppr_sweep": _ppr_sweep_oracle_sql(_SWEEP_ROUNDS),
         "events_pivot": _events_pivot_sql(),
         "corpus_diff": _CORPUS_DIFF_SQL,
         "table_time_travel": _TABLE_TIME_TRAVEL_SQL,

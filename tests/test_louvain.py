@@ -68,3 +68,18 @@ def test_conductance_whole_graph_convention(spark):
     labels = spark.createDataFrame([(0, 5), (1, 5), (2, 5)], "id long, label long")
     r = community_conductance(e, labels).collect()[0]
     assert (r.cut, r.phi) == (0, 0.0)  # min(vol, 2m-vol)=0 -> documented 0.0
+
+
+def test_ppr_sweep_recovers_seed_triangle(spark):
+    from paragrapher_spark.kernels.localcluster import ppr_sweep_cut
+
+    e = _edges(spark, _BARBELL)
+    rows = ppr_sweep_cut(e, seed=0, rounds=6).collect()
+    best = [r for r in rows if r.is_best]
+    assert len(best) == 1
+    members = {r.id for r in rows if r.rank <= best[0].rank}
+    assert members == {0, 1, 2}  # the ACL community around seed 0
+    assert best[0].cut == 1 and best[0].vol == 7
+    assert best[0].phi_fp == 10**9 // 7
+    # sweep range respects the half-volume rule: no prefix beyond vol=m
+    assert all(r.vol * 2 <= 14 for r in rows)

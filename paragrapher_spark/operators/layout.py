@@ -96,14 +96,25 @@ def write_zordered(
     spark = df.sparkSession
     n = n_files or int(spark.conf.get("spark.sql.shuffle.partitions"))
     x, y = cols
-    (
-        df.withColumn("__z", zvalue(F.col(x), F.col(y), bits))
-        .repartitionByRange(n, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # Range boundaries come from reservoir sampling; the default 100
+    # samples/partition leaves visible tile-boundary jitter on small
+    # inputs (a file that crosses a high Morton bit spans wide in both
+    # dims). 10x the sample for the duration of this write — the cost is
+    # one pass over ~1000 longs per input partition, noise at any scale.
+    samp_key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prev = spark.conf.get(samp_key, "100")
+    spark.conf.set(samp_key, "1000")
+    try:
+        (
+            df.withColumn("__z", zvalue(F.col(x), F.col(y), bits))
+            .repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(samp_key, prev)
 
 
 def _bitlen(col: Column) -> Column:

@@ -105,11 +105,19 @@ def test_zordered_write_prunes_both_dims(spark, tmp_path):
 
     zs = file_stats(zpath)
     as_ = file_stats(apath)
+    z_total = 0
     for lo in (0, 24, 48):
         band = (lo, lo + 7)
         assert files_hit(as_, "b", *band) == 8     # a-sort: b never prunes
-        assert files_hit(zs, "b", *band) <= 5      # z-order: b prunes
-        assert files_hit(zs, "a", *band) <= 5      # ...and a still prunes
+        assert files_hit(zs, "b", *band) <= 6      # z-order: b prunes
+        assert files_hit(zs, "a", *band) <= 6      # ...and a still prunes
+        z_total += files_hit(zs, "b", *band) + files_hit(zs, "a", *band)
+    # aggregate claim: across all six band probes, z-order skips well
+    # over half the files the a-sort layout cannot (a-sort's total for
+    # the same probes is 3*8 b-hits + its perfect a-hits >= 24+3 = 27;
+    # z-order must beat that with clear margin even at the jittered
+    # boundary worst case)
+    assert z_total <= 24
     # a-sort prunes perfectly on a, the dim it sorted by — z-order trades
     # a little of that for pruning on BOTH
     assert files_hit(as_, "a", 24, 31) <= 2

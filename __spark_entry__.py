@@ -17,6 +17,7 @@ exact-oracle-tested in tests/ instead.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -167,6 +168,27 @@ def _q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants)."""
     edges = copurchase_edges(spark, sf_dir)
     res = pagerank(edges, tol=1e-6, max_iter=60)
+    return res.ranks.select(
+        F.col("id").cast("long"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start (incremental) PageRank under the oracle gate: converge
+    on yesterday's graph (a deterministic ~90% edge subset), then
+    re-converge on today's full graph starting from yesterday's vector
+    (kernels/pagerank.py ``init_ranks``) — the daily-delta update path a
+    100 TB link graph actually runs, where re-starting from uniform
+    wastes most of the supersteps. The unique fixpoint means the answer
+    equals a cold run's; the oracle replays the SAME two-phase
+    trajectory (phase-1 delta-terminated unroll nested as phase 2's pr0)
+    so both engines stop on the same superstep and round(6) gates
+    exactly. tests/test_pagerank.py asserts the warm phase takes fewer
+    supersteps than cold."""
+    edges = copurchase_edges(spark, sf_dir)
+    old = edges.where((F.col("src") * 7919 + F.col("dst")) % 10 != 0)
+    warm = pagerank(old, tol=1e-6, max_iter=60)
+    res = pagerank(edges, tol=1e-6, max_iter=60, init_ranks=warm.ranks)
     return res.ranks.select(
         F.col("id").cast("long"), F.round("rank", 6).alias("rank")
     )
@@ -3784,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_topk": _q_degree_topk,
         "csr_offsets": _q_csr_offsets,
         "pagerank_copurchase": _q_pagerank_copurchase,
+        "pagerank_incremental": _q_pagerank_incremental,
         "pagerank_fixed8": _q_pagerank_fixed8,
         "pagerank_personalized_fixed": _q_pagerank_personalized_fixed,
         "pagerank_weighted_fixed": _q_pagerank_weighted_fixed,
@@ -4652,6 +4675,8 @@ def _pagerank_oracle_sql(
     converged_tol: float | None = None,
     verts_sql: str | None = None,
     seeds_sql: str | None = None,
+    init_rank_sql: str | None = None,
+    round_output: bool = True,
 ) -> str:
     """Damped PageRank with dangling redistribution (kernels/pagerank.py)
     unrolled. Arithmetic mirrors the Spark expressions operation-for-
@@ -4673,7 +4698,13 @@ def _pagerank_oracle_sql(
     ``iters``, the kernel's max_iter cap). Past the true stop round the
     extra unrolled rounds are dead CTEs — over-unrolling is safe, so
     ``iters`` only needs to be >= the data's actual iteration count
-    (probed 21-28 at sf0.001/sf0.01; 40 leaves margin)."""
+    (probed 21-28 at sf0.001/sf0.01; 40 leaves margin).
+    ``init_rank_sql``: a SELECT yielding (id, rank) used as pr0 instead
+    of the teleport distribution — the kernel's ``init_ranks`` warm-start
+    twin; ids it misses coalesce to the uniform share 1/n, exactly the
+    kernel's rule. ``round_output=False`` emits the raw double (needed
+    when the query nests as another run's init vector — the kernel hands
+    phase 2 its UNROUNDED phase-1 vector, so the oracle must too)."""
     d = damping
     if edges_sql is None:
         edges_sql = (
@@ -4724,7 +4755,12 @@ def _pagerank_oracle_sql(
     nseeds AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),""")
     parts.append(f"""
     pv AS MATERIALIZED ({p_sql}),
-    pr0 AS MATERIALIZED (SELECT id, p AS rank FROM pv)""")
+    pr0 AS MATERIALIZED ({
+        f'''SELECT v.id, COALESCE(i.rank, 1.0 / (SELECT n FROM nn)) AS rank
+        FROM verts v LEFT JOIN ({init_rank_sql}) i ON i.id = v.id'''
+        if init_rank_sql is not None
+        else "SELECT id, p AS rank FROM pv"
+    })""")
     for r in range(1, iters + 1):
         parts.append(f""",
     dm{r} AS MATERIALIZED (
@@ -4748,9 +4784,11 @@ def _pagerank_oracle_sql(
         SELECT MAX(ABS(p.rank - q.rank)) AS delta
         FROM pr{r} p JOIN pr{r - 1} q ON q.id = p.id
     )""")
+    rank_out = "ROUND(rank, 6)" if round_output else "rank"
+    # (see _prefix_pagerank_ctes below for nesting one run inside another)
     if converged_tol is None:
         parts.append(
-            f"\n    SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 6) AS rank"
+            f"\n    SELECT CAST(id AS BIGINT) AS id, {rank_out} AS rank"
             f" FROM pr{iters}"
         )
     else:
@@ -4772,9 +4810,23 @@ def _pagerank_oracle_sql(
     allr AS MATERIALIZED (
         {rounds}
     )
-    SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 6) AS rank
+    SELECT CAST(id AS BIGINT) AS id, {rank_out} AS rank
     FROM allr WHERE r = (SELECT r FROM stopr)""")
     return "".join(parts)
+
+
+def _prefix_pagerank_ctes(sql: str, pfx: str) -> str:
+    """Rename every CTE a _pagerank_oracle_sql query defines with a
+    prefix, so the query can nest as a subquery of ANOTHER such query
+    (DuckDB raises 'Duplicate alias' on shadowed CTE names in a nested
+    WITH). Word-boundary regex is safe here: the CTE names never occur
+    as substrings of the base-table SQL (lineitem/orders columns)."""
+    for name in (
+        "edges", "verts", "nseeds", "seeds", "nn", "odeg", "wsum",
+        "ecoef", "linked", "pv", "alld", "stopr", "allr",
+    ):
+        sql = re.sub(rf"\b{name}\b", f"{pfx}{name}", sql)
+    return re.sub(r"\b(pr|dm|dl)(\d+)\b", rf"{pfx}\1\2", sql)
 
 
 def _import_edges_sql(n_files: int, n_repos: int, max_out: int) -> str:
@@ -6358,6 +6410,25 @@ def oracle_sql() -> dict[str, str]:
         # converged variants: delta-terminated unroll (first round with
         # L-inf delta < tol), mirroring kernels/pagerank.py:300 exactly
         "pagerank_copurchase": _pagerank_oracle_sql(40, converged_tol=1e-6),
+        # two-phase warm-start replay: phase 1 (delta-terminated, ~90%
+        # edge subset, UNROUNDED) nests as phase 2's init vector — the
+        # exact trajectory _q_pagerank_incremental runs
+        "pagerank_incremental": _pagerank_oracle_sql(
+            40,
+            converged_tol=1e-6,
+            init_rank_sql=_prefix_pagerank_ctes(
+                _pagerank_oracle_sql(
+                    40,
+                    converged_tol=1e-6,
+                    edges_sql=(
+                        f"SELECT src, dst FROM ({COPURCHASE_EDGES_SQL})"
+                        " WHERE (src * 7919 + dst) % 10 <> 0"
+                    ),
+                    round_output=False,
+                ),
+                "w1_",
+            ),
+        ),
         "pagerank_personalized": _pagerank_oracle_sql(
             40,
             converged_tol=1e-6,

@@ -65,6 +65,7 @@ def pagerank(
     checkpoint_every: int = 5,
     weight_col: str | None = None,
     teleport: DataFrame | list[int] | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Run PageRank over edges(src, dst). Returns ranks (id, rank).
 
@@ -88,6 +89,19 @@ def pagerank(
     reference's giant-adjacency splitting (`src/webgraph.c:957-971`)
     applied to the gather join. 0/None disables; AQE skew-join still
     covers partition-level skew either way.
+
+    ``init_ranks`` (id, rank) warm-starts the iteration from a previous
+    converged vector instead of the teleport distribution — the
+    incremental-update path: after a corpus delta adds/removes a few
+    percent of edges, yesterday's ranks are already near the new fixpoint
+    and convergence takes a fraction of the supersteps (the fixpoint is
+    unique, so the answer is unchanged — only the trajectory shortens).
+    Vertices absent from ``init_ranks`` (newly appeared) start at the
+    uniform share 1/N. No normalization is applied: the damped iteration
+    contracts any initial mass toward the Σ=1 fixpoint on its own, and
+    skipping the driver-side renormalize keeps the start vector exactly
+    replayable by the SQL oracle. A checkpoint resume takes precedence
+    over ``init_ranks``.
     """
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -220,9 +234,25 @@ def pagerank(
                 .localCheckpoint(eager=True)
             )
     if ranks is None:
-        ranks = _with_flag(vertices.select("id", F.lit(0.0).alias("rank"))).select(
-            "id", _p_col().alias("rank"), "is_dangling", *p_cols
-        )
+        if init_ranks is not None:
+            # warm start: previous vector where present, uniform share for
+            # vertices the delta introduced. Left join keeps the vertex
+            # set authoritative (ids dropped by the delta vanish with it).
+            ranks = _with_flag(
+                vertices.join(
+                    init_ranks.select(
+                        "id", F.col("rank").cast("double").alias("_r0")
+                    ),
+                    on="id",
+                    how="left",
+                ).select(
+                    "id", F.coalesce(F.col("_r0"), F.lit(p_lit)).alias("rank")
+                )
+            )
+        else:
+            ranks = _with_flag(
+                vertices.select("id", F.lit(0.0).alias("rank"))
+            ).select("id", _p_col().alias("rank"), "is_dangling", *p_cols)
         ranks = ranks.repartition(n_part, "id").localCheckpoint(eager=True)
 
     def _delta_and_dangling(r: DataFrame) -> tuple[float, float]:

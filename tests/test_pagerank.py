@@ -262,3 +262,42 @@ def test_skew_report_matches_python_replay(spark):
     assert got == exp
     assert got[0][0] == 7 and got[0][4] >= 6  # the hub needs real salting
     assert got[1][4] == 0                     # warm key: below 2x threshold
+
+
+def test_warm_start_same_fixpoint_fewer_supersteps(spark):
+    """init_ranks: a converged vector from a ~90% edge subset warm-starts
+    the full-graph run — identical fixpoint (unique), strictly fewer
+    supersteps than the cold run (the incremental-update contract of
+    __spark_entry__.pagerank_incremental)."""
+    edges_df = powerlaw_graph(spark, 60)
+    from pyspark.sql import functions as F
+
+    old = edges_df.where((F.col("src") * 7919 + F.col("dst")) % 10 != 0)
+    warm_seed = pagerank(old, tol=1e-6, max_iter=60)
+    cold = pagerank(edges_df, tol=1e-6, max_iter=60)
+    warm = pagerank(edges_df, tol=1e-6, max_iter=60, init_ranks=warm_seed.ranks)
+    assert warm.converged and cold.converged
+    assert warm.iterations < cold.iterations
+    got_c = {r.id: r.rank for r in cold.ranks.collect()}
+    got_w = {r.id: r.rank for r in warm.ranks.collect()}
+    assert got_c.keys() == got_w.keys()
+    for v in got_c:
+        # both stopped within tol of the same unique fixpoint
+        assert got_w[v] == pytest.approx(got_c[v], abs=2e-5), f"vertex {v}"
+
+
+def test_warm_start_new_vertices_get_uniform_share(spark):
+    """Vertices absent from init_ranks start at 1/N (the delta introduced
+    them); the run still converges to the full graph's exact fixpoint."""
+    edges_df = cycle_graph(spark, 12)
+    # seed vector that knows only vertices 0..5 — half the graph missing
+    seed = spark.createDataFrame(
+        [(i, 1.0 / 6) for i in range(6)], "id long, rank double"
+    )
+    # a cycle's deviation decays only by the damping factor per step
+    # (|lambda| = 1 permutation), so the tol sets the superstep count:
+    # 0.85^k < 12 * 1e-7 => k ~ 100
+    res = pagerank(edges_df, tol=1e-7, max_iter=120, init_ranks=seed)
+    assert res.converged
+    for r in res.ranks.collect():
+        assert r.rank == pytest.approx(1.0 / 12, abs=1e-6)

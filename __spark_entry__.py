@@ -2726,6 +2726,62 @@ _SKEW_NPART = 32
 _SKEW_TOPK = 15
 
 
+_VC_P = 8
+_VC_SEED = 42
+
+
+def _q_vertex_cut_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D-grid vertex-cut vs 1D hash-by-src on the co-purchase graph
+    (operators/salting.py grid_partition / vertex_cut_report): exact
+    replication and block-balance metrics for the same 64-block budget.
+    The grid bounds every vertex's replication at 2p-1 = 15 blocks
+    regardless of degree (PowerGraph's power-law answer); 1D hash leaves
+    hub dst-replication proportional to degree. Oracle: the md5 grid
+    assignment is the engine-portable hash family, replayed verbatim in
+    SQL."""
+    from paragrapher_spark.operators.salting import vertex_cut_report
+
+    edges = copurchase_edges(spark, sf_dir)
+    return vertex_cut_report(edges, _VC_P, seed=_VC_SEED)
+
+
+def _vertex_cut_report_sql() -> str:
+    p, seed = _VC_P, _VC_SEED
+    h = (
+        "(('0x' || substr(md5('vc:" + str(seed) + ":' || CAST({v} AS VARCHAR)), 1, 15))::BIGINT)"
+    )
+    return f"""
+    WITH edges AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+    g2 AS MATERIALIZED (
+        SELECT src, dst,
+               ({h.format(v='src')} % {p}) * {p} + ({h.format(v='dst')} % {p}) AS block
+        FROM edges
+    ),
+    g1 AS MATERIALIZED (
+        SELECT src, dst, {h.format(v='src')} % {p * p} AS block FROM edges
+    ),
+    vb2 AS (SELECT DISTINCT v, block FROM (
+        SELECT src AS v, block FROM g2 UNION ALL SELECT dst, block FROM g2)),
+    vb1 AS (SELECT DISTINCT v, block FROM (
+        SELECT src AS v, block FROM g1 UNION ALL SELECT dst, block FROM g1)),
+    r2 AS (SELECT v, CAST(count(*) AS BIGINT) AS r FROM vb2 GROUP BY v),
+    r1 AS (SELECT v, CAST(count(*) AS BIGINT) AS r FROM vb1 GROUP BY v),
+    pb2 AS (SELECT block, CAST(count(*) AS BIGINT) AS c FROM g2 GROUP BY block),
+    pb1 AS (SELECT block, CAST(count(*) AS BIGINT) AS c FROM g1 GROUP BY block)
+    SELECT 'grid2d' AS scheme, CAST({p * p} AS BIGINT) AS n_blocks,
+           CAST((SELECT count(*) FROM r2) AS BIGINT) AS n_vertices,
+           CAST((SELECT SUM(r) FROM r2) AS BIGINT) AS sum_replicas,
+           (SELECT MAX(r) FROM r2) AS max_replication,
+           (SELECT MAX(c) FROM pb2) AS max_block_edges
+    UNION ALL
+    SELECT 'hash1d_src', CAST({p * p} AS BIGINT),
+           CAST((SELECT count(*) FROM r1) AS BIGINT),
+           CAST((SELECT SUM(r) FROM r1) AS BIGINT),
+           (SELECT MAX(r) FROM r1),
+           (SELECT MAX(c) FROM pb1)
+    """
+
+
 def _q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-skew diagnostic (operators/salting.py skew_report): the 15
     heaviest src keys of the co-purchase edge table with milli-share,
@@ -3926,6 +3982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_tiles": _q_zorder_tiles,
         "gap_bits_orders": _q_gap_bits_orders,
         "join_skew_report": _q_join_skew_report,
+        "vertex_cut_report": _q_vertex_cut_report,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "eigencentrality_fixed": _q_eigencentrality_fixed,
         "maximal_matching": _q_maximal_matching,
@@ -7425,6 +7482,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_tiles": _zorder_tiles_sql(),
         "gap_bits_orders": _gap_bits_orders_sql(),
         "join_skew_report": _join_skew_report_sql(),
+        "vertex_cut_report": _vertex_cut_report_sql(),
         "events_range_join": """
     WITH cl AS (
         SELECT user_id, ts, event_id AS click_id FROM events

@@ -17,7 +17,7 @@ salting opt-in per kernel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -110,3 +110,100 @@ def skew_report(
         .orderBy(F.desc("cnt"), F.asc(key))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D grid (vertex-cut) edge partitioning — PowerGraph / GraphX EdgePartition2D
+# ---------------------------------------------------------------------------
+
+
+def _portable_hash(tag: str, seed: int, col: Column) -> Column:
+    """Engine-portable uniform hash (the sources/corpus.py contract):
+    first 15 md5 hex chars of 'tag:seed:value' parsed base-16. DuckDB
+    twin: ('0x' || substr(md5('tag:seed:' || v::VARCHAR), 1, 15))::BIGINT
+    — so every grid assignment below is exactly replayable by a SQL
+    oracle."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(tag), F.lit(str(seed)), col.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def grid_partition(
+    edges: DataFrame, p: int, seed: int = 42, tag: str = "vc"
+) -> DataFrame:
+    """Assign each edge a block of the p x p 2D grid (the vertex-cut
+    partitioning of Gonzalez et al., PowerGraph OSDI'12, as shipped in
+    GraphX EdgePartition2D): row = H(src) mod p, col = H(dst) mod p,
+    block = row*p + col.
+
+    Why it matters at 10^12-file scale: hash-by-edge puts a power-law
+    hub's adjacency in O(deg) partitions, and hash-by-src puts it in ONE
+    (the skew problem the reference splits giant adjacencies for,
+    `src/webgraph.c:957-971`). The 2D grid bounds every vertex's
+    replication at 2p-1 blocks — one grid row plus one grid column —
+    REGARDLESS of degree: replication grows with sqrt(P), not with the
+    hub's fan-out. Pure JVM expressions, no shuffle (the block id is a
+    map-side column; the exchange happens only when a consumer
+    repartitions on it)."""
+    if p < 1:
+        raise ValueError(f"grid dimension p must be >= 1, got {p}")
+    hs = F.pmod(_portable_hash(tag, seed, F.col("src")), F.lit(p))
+    hd = F.pmod(_portable_hash(tag, seed, F.col("dst")), F.lit(p))
+    return edges.withColumn("block", (hs * p + hd).cast("long"))
+
+
+def vertex_cut_report(edges: DataFrame, p: int, seed: int = 42) -> DataFrame:
+    """Compare the 2D grid vertex-cut against 1D hash-by-src on the SAME
+    p*p block count: one row per scheme with exact-integer replication
+    and balance metrics (every column gates under a SQL oracle).
+
+    Columns: scheme, n_blocks, n_vertices, sum_replicas (Σ over vertices
+    of #distinct blocks touching it — sum_replicas/n_vertices is the
+    mean replication factor), max_replication, max_block_edges (load of
+    the fullest block — the straggler bound).
+
+    Scale shape: one map-side block assignment, an explode to (vertex,
+    block) pairs, and two partial-aggregated groupBys — no join, no
+    per-row Python; at 100 TB this is a single shuffle on vertex id."""
+    g2 = grid_partition(edges, p, seed=seed)
+    b1 = F.pmod(
+        _portable_hash("vc", seed, F.col("src")), F.lit(int(p) * int(p))
+    ).cast("long")
+    g1 = edges.withColumn("block", b1)
+
+    def _stats(g: DataFrame, scheme: str) -> DataFrame:
+        vb = (
+            g.select(F.col("src").alias("v"), "block")
+            .unionByName(g.select(F.col("dst").alias("v"), "block"))
+            .distinct()
+        )
+        repl = vb.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("r"))
+        per_block = g.groupBy("block").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        return (
+            repl.agg(
+                F.count(F.lit(1)).cast("long").alias("n_vertices"),
+                F.sum("r").cast("long").alias("sum_replicas"),
+                F.max("r").cast("long").alias("max_replication"),
+            )
+            .crossJoin(
+                per_block.agg(F.max("c").cast("long").alias("max_block_edges"))
+            )
+            .select(
+                F.lit(scheme).alias("scheme"),
+                F.lit(int(p) * int(p)).cast("long").alias("n_blocks"),
+                "n_vertices",
+                "sum_replicas",
+                "max_replication",
+                "max_block_edges",
+            )
+        )
+
+    return _stats(g2, "grid2d").unionByName(_stats(g1, "hash1d_src"))

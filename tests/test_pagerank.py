@@ -301,3 +301,45 @@ def test_warm_start_new_vertices_get_uniform_share(spark):
     assert res.converged
     for r in res.ranks.collect():
         assert r.rank == pytest.approx(1.0 / 12, abs=1e-6)
+
+
+def test_grid_partition_vertex_cut(spark):
+    """grid_partition: exact python-md5 replay of every block id, the
+    PowerGraph 2p-1 replication bound on a star hub (vs ~deg for 1D
+    hash-by-dst), and vertex_cut_report's exact integers."""
+    import hashlib
+
+    from paragrapher_spark.operators.salting import (
+        grid_partition,
+        vertex_cut_report,
+    )
+
+    def h(v, seed=42, tag="vc"):
+        return int(hashlib.md5(f"{tag}:{seed}:{v}".encode()).hexdigest()[:15], 16)
+
+    p = 4
+    # star: hub 0 -> 1..40 (out-hub), so the hub appears in row h(0)%p
+    # of the grid — at most p blocks — while its 40 neighbors scatter
+    edges = [(0, i) for i in range(1, 41)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.src, r.dst): r.block for r in grid_partition(df, p).collect()}
+    for (s, d), blk in got.items():
+        assert blk == (h(s) % p) * p + (h(d) % p)
+    hub_blocks = {blk for (s, d), blk in got.items()}
+    assert len(hub_blocks) <= 2 * p - 1  # the vertex-cut bound
+
+    rep = {r.scheme: r for r in vertex_cut_report(df, p).collect()}
+    g2, g1 = rep["grid2d"], rep["hash1d_src"]
+    assert g2.n_blocks == g1.n_blocks == p * p
+    assert g2.n_vertices == g1.n_vertices == 41
+    # grid2d: hub replication bounded by its row width (p blocks)
+    assert g2.max_replication <= 2 * p - 1
+    # exact replay of sum_replicas for the grid
+    vb = set()
+    for (s, d), blk in got.items():
+        vb.add((s, blk)); vb.add((d, blk))
+    from collections import Counter
+
+    per_v = Counter(v for v, _ in vb)
+    assert g2.sum_replicas == sum(per_v.values())
+    assert g2.max_replication == max(per_v.values())

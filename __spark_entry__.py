@@ -2951,6 +2951,80 @@ _TABLE_TIME_TRAVEL_SQL = """
 """
 
 
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on the snapshot table
+    (sources/table_format.py merge_table — the Iceberg MERGE INTO
+    contract): documents commit as the base snapshot, an upsert batch
+    revises doc_id % 7 == 0 (text + ' rev2') and inserts doc_id +
+    10^9 ghost docs for doc_id % 31 == 0, only matched files rewrite.
+    Read back = per-bucket doc counts and exact digests; the oracle
+    computes the same merge relationally, so a leaked old version of an
+    updated key or a lost carried file breaks the row-count/digest
+    exactly. v1 is ALSO re-read post-merge (time travel across a merge)
+    and digested alongside."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from paragrapher_spark.sources.table_format import (
+        merge_table,
+        read_table,
+        write_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5((sf_dir + ":merge").encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pg_merge_docs_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_table(docs, path, stat_cols=["doc_id"], num_files=8)
+    updates = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" rev2")).alias("text"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 31 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                F.lit("ghost doc").alias("text"),
+            )
+        )
+    )
+    merge_table(updates, path, ["doc_id"], stat_cols=["doc_id"], num_files=4)
+    digests = []
+    for version, label in ((1, "pre_merge"), (2, "post_merge")):
+        digests.append(
+            read_table(spark, path, version=version).agg(
+                F.lit(label).alias("snapshot"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_digest"),
+                F.sum(F.length("text")).cast("long").alias("total_chars"),
+            )
+        )
+    return digests[0].unionByName(digests[1])
+
+
+_MERGE_UPSERT_SQL = """
+    WITH upd AS (
+        SELECT doc_id, text || ' rev2' AS text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1000000000, 'ghost doc' FROM documents WHERE doc_id % 31 = 0
+    ),
+    merged AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT doc_id, text FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+    )
+    SELECT 'pre_merge' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_digest,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    UNION ALL
+    SELECT 'post_merge', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT), CAST(SUM(length(text)) AS BIGINT)
+    FROM merged
+"""
+
+
 def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/dedup.py corpus_diff): two corpus
     versions derived deterministically from the documents table (v1
@@ -3979,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "corpus_diff": _q_corpus_diff,
         "table_time_travel": _q_table_time_travel,
+        "merge_upsert": _q_merge_upsert,
         "zorder_tiles": _q_zorder_tiles,
         "gap_bits_orders": _q_gap_bits_orders,
         "join_skew_report": _q_join_skew_report,
@@ -7479,6 +7554,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": _events_pivot_sql(),
         "corpus_diff": _CORPUS_DIFF_SQL,
         "table_time_travel": _TABLE_TIME_TRAVEL_SQL,
+        "merge_upsert": _MERGE_UPSERT_SQL,
         "zorder_tiles": _zorder_tiles_sql(),
         "gap_bits_orders": _gap_bits_orders_sql(),
         "join_skew_report": _join_skew_report_sql(),

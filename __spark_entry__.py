@@ -202,6 +202,27 @@ def _q_wcc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental WCC under the oracle gate
+    (kernels/components.py incremental_components): label yesterday's
+    ~90% edge subset cold, then merge only the delta's edges into the
+    resulting star forest. Labels are min-ids, so the warm result is
+    bit-identical to a cold full-graph run — the oracle is the SAME
+    closure SQL as wcc_labels (trajectory-independent), which is the
+    strongest possible gate: any warm-start shortcut error shows as a
+    label mismatch."""
+    from paragrapher_spark.kernels.components import incremental_components
+
+    edges = copurchase_edges(spark, sf_dir)
+    in_old = (F.col("src") * 7919 + F.col("dst")) % 10 != 0
+    prev = connected_components(edges.where(in_old))
+    delta = edges.where(~in_old)
+    res = incremental_components(prev.components, delta)
+    return res.components.select(
+        F.col("id").cast("long"), F.col("component").cast("long")
+    )
+
+
 def _q_wcc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir)
     res = connected_components(edges)
@@ -3941,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized_fixed": _q_pagerank_personalized_fixed,
         "pagerank_weighted_fixed": _q_pagerank_weighted_fixed,
         "wcc_labels": _q_wcc_labels,
+        "wcc_incremental": _q_wcc_incremental,
         "wcc_sizes": _q_wcc_sizes,
         "triangle_count": _q_triangle_count,
         "square_count": _q_square_count,
@@ -6886,6 +6908,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT_SQL,
         "media_stats": _MEDIA_STATS_SQL,
         "wcc_labels": _WCC_CTE
+        + "SELECT CAST(id AS BIGINT) AS id, CAST(component AS BIGINT) AS component FROM comp",
+        # trajectory-independent: labels are min-ids, so the incremental
+        # run gates against the exact SAME closure as the cold run
+        "wcc_incremental": _WCC_CTE
         + "SELECT CAST(id AS BIGINT) AS id, CAST(component AS BIGINT) AS component FROM comp",
         "wcc_sizes": _WCC_CTE
         + """

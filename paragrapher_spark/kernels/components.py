@@ -179,6 +179,43 @@ def connected_components(
     )
 
 
+def incremental_components(
+    prev_labels: DataFrame,
+    delta_edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_rounds: int = 50,
+    checkpoint: CheckpointManager | None = None,
+) -> ComponentsResult:
+    """Warm-start WCC from a previous labeling — the incremental-update
+    path: instead of re-contracting all |E| edges, run large-star/
+    small-star over the UNION of (a) the previous star forest
+    (id -> component, one edge per non-root vertex: yesterday's graph
+    pre-contracted to depth 1) and (b) only the delta's edges. Appended
+    edges can only merge components, and every old label IS the min id
+    of its member set, so the min over any merged union is preserved —
+    the result is bit-identical to a cold run on the full edge set
+    (pinned in tests), while the iteration touches |V| + |delta| edges
+    instead of |E| and starts one contraction step from done.
+
+    At 10^12-file scale this is the difference between re-running the
+    full multi-round contraction nightly and a near-constant-round merge
+    of the day's new links into yesterday's star forest."""
+    star = prev_labels.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("src"), F.col("component").alias("dst")
+    )
+    union = star.unionByName(delta_edges.select("src", "dst"))
+    if vertices is None:
+        vertices = (
+            prev_labels.select("id")
+            .unionByName(delta_edges.select(F.col("src").alias("id")))
+            .unionByName(delta_edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    return connected_components(
+        union, vertices=vertices, max_rounds=max_rounds, checkpoint=checkpoint
+    )
+
+
 def component_sizes(components: DataFrame) -> DataFrame:
     """(component, size) — `test2:244-285`'s wcc_dist; sizes sum to |V|."""
     return components.groupBy("component").agg(F.count(F.lit(1)).alias("size"))

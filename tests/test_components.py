@@ -139,3 +139,52 @@ def test_bipartite_check_loud_when_depth_too_small(spark):
     edges = spark.createDataFrame(pairs, "src long, dst long")
     with _pytest.raises(RuntimeError, match="max_depth"):
         bipartite_check(edges, max_depth=2)
+
+
+def test_incremental_components_matches_cold_run(spark):
+    """incremental_components: warm-merge of a delta into the previous
+    star forest is BIT-IDENTICAL to a cold run on the full edge set, in
+    fewer (or equal) contraction rounds, including a delta that bridges
+    two previously separate components and introduces new vertices."""
+    from pyspark.sql import functions as F
+
+    from paragrapher_spark.kernels.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    # two chains + an isolated pair; delta bridges the chains and adds
+    # a brand-new vertex 100 hanging off vertex 0
+    old_edges = [(0, 1), (1, 2), (10, 11), (11, 12), (20, 21)]
+    delta_edges = [(2, 10), (0, 100)]
+    old_df = spark.createDataFrame(old_edges, "src long, dst long")
+    delta_df = spark.createDataFrame(delta_edges, "src long, dst long")
+    full_df = old_df.unionByName(delta_df)
+
+    prev = connected_components(old_df)
+    cold = connected_components(full_df)
+    warm = incremental_components(prev.components, delta_df)
+
+    got_c = {(r.id, r.component) for r in cold.components.collect()}
+    got_w = {(r.id, r.component) for r in warm.components.collect()}
+    assert got_w == got_c
+    assert warm.rounds <= cold.rounds
+    # the merged chain takes the global min label (0), new vertex joins it
+    labels = dict(got_w)
+    assert labels[12] == 0 and labels[100] == 0 and labels[21] == 20
+
+
+def test_incremental_components_empty_delta(spark):
+    """An empty delta must reproduce the previous labeling verbatim."""
+    from paragrapher_spark.kernels.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_df = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    prev = connected_components(old_df)
+    empty = spark.createDataFrame([], "src long, dst long")
+    warm = incremental_components(prev.components, empty)
+    assert {(r.id, r.component) for r in warm.components.collect()} == {
+        (r.id, r.component) for r in prev.components.collect()
+    }

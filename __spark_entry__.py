@@ -2803,6 +2803,59 @@ def _vertex_cut_report_sql() -> str:
     """
 
 
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via persistent bucketing
+    (operators/layout.py write_bucketed — Spark's bucketBy, the
+    pay-the-shuffle-once layout every nightly fact-to-fact join at
+    100 TB wants): orders and customer land as external tables bucketed
+    8-ways on custkey, the join plans with zero Exchange below it
+    (plan-pinned in tests/test_layout.py), and the per-market-segment
+    rollup gates in exact cents against a plain relational oracle —
+    layout changes the plan, never the answer."""
+    import hashlib
+    import os
+    import tempfile
+
+    from paragrapher_spark.operators.layout import read_bucketed, write_bucketed
+
+    tag = hashlib.md5((sf_dir + ":bkt").encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"pg_bucketed_{tag}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    write_bucketed(
+        orders, f"pg_orders_b_{tag}", ["custkey"], 8,
+        os.path.join(base, "orders"), sort_cols=["custkey"],
+    )
+    write_bucketed(
+        cust, f"pg_cust_b_{tag}", ["custkey"], 8,
+        os.path.join(base, "cust"), sort_cols=["custkey"],
+    )
+    return (
+        read_bucketed(spark, f"pg_orders_b_{tag}")
+        .join(read_bucketed(spark, f"pg_cust_b_{tag}"), on="custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
 def _q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-skew diagnostic (operators/salting.py skew_report): the 15
     heaviest src keys of the co-purchase edge table with milli-share,
@@ -4079,6 +4132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_tiles": _q_zorder_tiles,
         "gap_bits_orders": _q_gap_bits_orders,
         "join_skew_report": _q_join_skew_report,
+        "bucketed_join": _q_bucketed_join,
         "vertex_cut_report": _q_vertex_cut_report,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "eigencentrality_fixed": _q_eigencentrality_fixed,
@@ -7584,6 +7638,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_tiles": _zorder_tiles_sql(),
         "gap_bits_orders": _gap_bits_orders_sql(),
         "join_skew_report": _join_skew_report_sql(),
+        "bucketed_join": _BUCKETED_JOIN_SQL,
         "vertex_cut_report": _vertex_cut_report_sql(),
         "events_range_join": """
     WITH cl AS (

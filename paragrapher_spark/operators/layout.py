@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: default bits per dimension: 21+21 = 42-bit z-values, ids to ~2.1e6.
@@ -212,3 +212,52 @@ def adjacency_gap_bits(edges: DataFrame, label: str = "natural") -> DataFrame:
             "bits_per_edge_fp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables — persistent co-location (the shuffle you pay once)
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as an external bucketed (+ optionally sort-bucketed)
+    table: Spark's `bucketBy` hashes rows into ``n_buckets`` files per
+    partition ON WRITE, and records the layout in the catalog — every
+    future equi-join or aggregation on ``bucket_cols`` between tables
+    with the SAME bucket count then plans with NO Exchange on either
+    side (pinned in tests/test_layout.py). This is the 100 TB trade: the
+    fact-to-fact join too big for broadcast, run nightly, pays its
+    shuffle once at write time instead of on every query. With
+    ``sort_cols`` the files are also sorted, so the SortMergeJoin skips
+    its per-query sort too.
+
+    The table is EXTERNAL (data at ``path``): dropping the catalog entry
+    never deletes data, re-registration is idempotent, and the warehouse
+    dir never fills with copies."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    w = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Read a bucketed table back THROUGH THE CATALOG — `spark.table`,
+    not `spark.read.parquet(path)`: the bucket layout lives in the table
+    metadata, and a path read silently forgets it (the join would
+    shuffle again, correct but 2 exchanges heavier)."""
+    return spark.table(name)

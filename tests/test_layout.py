@@ -202,3 +202,66 @@ def test_adjacency_gap_bits_exact(spark):
     got2 = adjacency_gap_bits(relabeled, "degree").collect()[0]
     assert (got2.n_lists, got2.n_edges, got2.total_bits) == _gap_bits_py(redges)
     assert got2.ordering == "degree"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key/count: the equi-join plans
+    with ZERO Exchange below it (the pay-the-shuffle-once contract);
+    the same join on plain parquet shows 2. With sortBy, no per-query
+    Sort either. Values identical either way."""
+    from paragrapher_spark.operators.layout import read_bucketed, write_bucketed
+
+    facts = spark.createDataFrame(
+        [(i % 50, i, i * 3) for i in range(4000)], "k long, a long, b long"
+    )
+    dims = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(50)], "k long, name string"
+    )
+    write_bucketed(facts, "t_facts_b", ["k"], 8, str(tmp_path / "fb"), sort_cols=["k"])
+    write_bucketed(dims, "t_dims_b", ["k"], 8, str(tmp_path / "db"), sort_cols=["k"])
+    facts.write.mode("overwrite").parquet(str(tmp_path / "fp"))
+    dims.write.mode("overwrite").parquet(str(tmp_path / "dp"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        jb = read_bucketed(spark, "t_facts_b").join(
+            read_bucketed(spark, "t_dims_b"), on="k"
+        )
+        plan_b = jb._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan_b
+        assert "SortMergeJoin" in plan_b
+
+        jp = spark.read.parquet(str(tmp_path / "fp")).join(
+            spark.read.parquet(str(tmp_path / "dp")), on="k"
+        )
+        plan_p = jp._jdf.queryExecution().executedPlan().toString()
+        assert plan_p.count("Exchange") >= 2
+
+        got_b = sorted((r.k, r.a, r.b, r.name) for r in jb.collect())
+        got_p = sorted((r.k, r.a, r.b, r.name) for r in jp.collect())
+        assert got_b == got_p and len(got_b) == 4000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_facts_b")
+        spark.sql("DROP TABLE IF EXISTS t_dims_b")
+
+
+def test_bucketed_agg_uses_bucket_layout(spark, tmp_path):
+    """A groupBy on the bucket key aggregates without a shuffle —
+    bucketing serves aggregation co-location too, not just joins."""
+    from paragrapher_spark.operators.layout import read_bucketed, write_bucketed
+
+    df = spark.createDataFrame(
+        [(i % 20, i) for i in range(2000)], "k long, v long"
+    )
+    write_bucketed(df, "t_agg_b", ["k"], 4, str(tmp_path / "ab"))
+    try:
+        agg = read_bucketed(spark, "t_agg_b").groupBy("k").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert {(r.k, r["count"]) for r in agg.collect()} == {
+            (k, 100) for k in range(20)
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_agg_b")

@@ -236,6 +236,30 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges).select(F.col("triangles").cast("long"))
 
 
+def _q_triangle_count_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental triangle maintenance under the oracle gate
+    (kernels/triangles.py delta_triangles): count yesterday's ~90% edge
+    subset cold, then add exactly the distinct full-graph triangles that
+    touch a delta edge — work proportional to the delta's degree mass,
+    not |E|. The oracle is the SAME trajectory-independent full-graph
+    count as `triangle_count`, so any double-count or miss in the
+    incremental path shows as a value mismatch."""
+    from paragrapher_spark.kernels.triangles import delta_triangles
+
+    edges = copurchase_edges(spark, sf_dir)
+    in_old = (F.col("src") * 7919 + F.col("dst")) % 10 != 0
+    prev = triangle_count(edges.where(in_old)).select(
+        F.col("triangles").alias("c")
+    )
+    delta = delta_triangles(edges, edges.where(~in_old)).select(
+        F.col("new_triangles").alias("c")
+    )
+    return (
+        prev.unionByName(delta)
+        .agg(F.sum("c").cast("long").alias("triangles"))
+    )
+
+
 def _q_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global 4-cycle count (kernels/triangles.py square_count —
     the diagonal identity sum C(lam,2)/2, all-integer) on the
@@ -4018,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_incremental": _q_wcc_incremental,
         "wcc_sizes": _q_wcc_sizes,
         "triangle_count": _q_triangle_count,
+        "triangle_count_incremental": _q_triangle_count_incremental,
         "square_count": _q_square_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "bfs_depths": _q_bfs_depths,
@@ -6974,6 +6999,20 @@ def oracle_sql() -> dict[str, str]:
             FROM comp GROUP BY component
         """,
         "triangle_count": f"""
+            WITH edges AS ({COPURCHASE_EDGES_SQL}),
+            und AS (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst
+                GROUP BY 1, 2
+            )
+            SELECT CAST(count(*) AS BIGINT) AS triangles
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        # trajectory-independent: the incremental path (old count + delta
+        # triangles) must land on the exact full-graph total
+        "triangle_count_incremental": f"""
             WITH edges AS ({COPURCHASE_EDGES_SQL}),
             und AS (
                 SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b

@@ -306,3 +306,39 @@ def square_count(
     if max_center_degree is not None:
         return total.crossJoin(drop_stats)
     return total
+
+
+def delta_triangles(full_edges: DataFrame, delta_edges: DataFrame) -> DataFrame:
+    """One row (new_triangles): exact count of distinct triangles of the
+    FULL graph that contain at least one delta edge — the incremental
+    counting step: after a batch append,
+    ``total = previous_total + delta_triangles(full, delta)``
+    (pinned against a cold full-graph count in tests and the
+    `triangle_count_incremental` oracle).
+
+    Shape: for each canonical delta edge (a, b), common neighbors w come
+    from two equi-joins against the full undirected adjacency; each
+    triangle is identified by its SORTED vertex triple and deduped with
+    one distinct — a triangle closing two or three delta edges is found
+    2-3 times but counted once, which kills the inclusion-exclusion
+    bookkeeping the per-edge formula would need. Work is
+    sum over delta edges of (deg(a) + deg(b)) candidate wedges — the
+    incremental win: proportional to the DELTA's degree mass, not |E|.
+    Hub deltas fan out like any wedge join; AQE skew-split applies (the
+    degree-orientation trick does not, because both endpoints' full
+    adjacencies are needed)."""
+    und = _undirected(full_edges)  # (a, b) with a < b, distinct
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )  # (v, n) both directions
+    d = _undirected(delta_edges)
+    wa = adj.select(F.col("v").alias("a"), F.col("n").alias("w"))
+    wb = adj.select(F.col("v").alias("b"), F.col("n").alias("w"))
+    tris = (
+        d.join(wa, on="a")
+        .join(wb, on=["b", "w"])
+        .where((F.col("w") != F.col("a")) & (F.col("w") != F.col("b")))
+        .select(F.array_sort(F.array("a", "b", "w")).alias("t"))
+        .distinct()
+    )
+    return tris.agg(F.count(F.lit(1)).cast("long").alias("new_triangles"))

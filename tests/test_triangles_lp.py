@@ -211,3 +211,47 @@ def test_square_count_powerlaw_and_cap(spark):
     assert row["squares"] == 0
     assert row["n_dropped_centers"] == 1
     assert row["n_dropped_wedges"] == 49 * 48 // 2
+
+
+def test_delta_triangles_incremental_matches_cold(spark):
+    """delta_triangles: prev-count + triangles-touching-delta equals the
+    cold full-graph count, on a fixture where deltas close triangles
+    with 1, 2, and 3 new edges (the double-count traps)."""
+    from itertools import combinations
+
+    from paragrapher_spark.fixtures import powerlaw_graph
+    from paragrapher_spark.kernels.triangles import delta_triangles, triangle_count
+
+    def brute(edges):
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        verts = {v for e in und for v in e}
+        return sum(
+            1
+            for t in combinations(sorted(verts), 3)
+            if {(t[0], t[1]), (t[0], t[2]), (t[1], t[2])} <= und
+        )
+
+    # hand fixture: triangle (0,1,2) fully old; delta edge (1,3) closes
+    # (1,2,3) with old (2,3); delta edges (4,5),(4,6) + old (5,6) close
+    # (4,5,6) with TWO delta edges; delta (7,8),(7,9),(8,9) is a fully
+    # new triangle (THREE delta edges — found thrice, counted once)
+    old = [(0, 1), (1, 2), (0, 2), (2, 3), (5, 6)]
+    delta = [(1, 3), (4, 5), (4, 6), (7, 8), (7, 9), (8, 9)]
+    old_df = spark.createDataFrame(old, "src long, dst long")
+    delta_df = spark.createDataFrame(delta, "src long, dst long")
+    full_df = old_df.unionByName(delta_df)
+    prev = triangle_count(old_df).collect()[0].triangles
+    dt = delta_triangles(full_df, delta_df).collect()[0].new_triangles
+    assert prev == brute(old) == 1
+    assert dt == 3  # (1,2,3), (4,5,6), (7,8,9) — each once
+    assert prev + dt == brute(old + delta) == 4
+
+    # powerlaw: random-ish 10% delta split, exact equality with cold run
+    pl = powerlaw_graph(spark, n=120, seed=11)
+    from pyspark.sql import functions as F
+
+    in_old = (F.col("src") * 7919 + F.col("dst")) % 10 != 0
+    prev = triangle_count(pl.where(in_old)).collect()[0].triangles
+    dt = delta_triangles(pl, pl.where(~in_old)).collect()[0].new_triangles
+    cold = triangle_count(pl).collect()[0].triangles
+    assert prev + dt == cold

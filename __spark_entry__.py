@@ -4027,7 +4027,11 @@ def _ppr_sweep_oracle_sql(rounds: int) -> str:
     return "".join(parts)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _queries_by_family() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The full registry in family order (graph, corpus, ANN, events, ...).
+
+    ``queries()`` below re-orders this for the driver's budgeted
+    correctness gate; this function remains the readable grouping."""
     return {
         "graph_meta": _q_graph_meta,
         "in_degree_dist": _q_in_degree_dist,
@@ -4173,6 +4177,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "semantic_dedup": _q_semantic_dedup,
     }
+
+
+# Gate-priority order for the driver correctness gate (CORRECTNESS_rN):
+# the driver runs queries()+oracle_sql() side-by-side at sf0.01 in dict
+# order under a fixed budget, and rounds 1-3 only ever reached the first
+# ~50 entries. This list front-loads the 93 queries NEVER driver-gated
+# (cheapest first, by the measured sf0.01 sweep in BENCH_local.json),
+# then the previously-gated 50 (also cheapest first) so a deep budget
+# re-verifies them too. Correctness itself is order-independent; this
+# only maximizes independent per-round coverage (VERDICT r3 task #2).
+_GATE_ORDER = [
+    "token_counts", "doc_splits", "doc_packs", "doc_sample_stratified",
+    "pii_scrub", "span_dedup", "doc_length_quantiles", "events_pivot",
+    "dyad_census", "events_asof", "gopher_rules", "corpus_diff",
+    "event_funnel", "inverted_index", "cms_heavy_hitters", "events_range_join",
+    "cooccurrence", "bpe_merge_pairs", "events_rollup", "cohort_retention",
+    "bloom_membership", "dup_gram_stats", "split_contamination", "subgraph_sample",
+    "zorder_tiles", "last_click_attribution", "event_bursts", "event_transitions",
+    "join_skew_report", "bm25_topk", "vertex_cut_report", "rmat_degree_dist",
+    "vocab_per_lang", "triad_motifs", "doc_lm_score", "lm_quality_buckets",
+    "call_file_fanout", "semantic_dedup", "bucketed_join", "table_time_travel",
+    "densest_subgraph", "merge_upsert", "edge_embeddedness", "assortativity",
+    "knn_profile", "neighbor_sampling", "call_edges", "gap_bits_orders",
+    "shared_imports", "neighbor_features", "winnow_clones", "ppr_batch",
+    "triangle_count_doulion", "salsa_fixed", "eccentricity_sampled", "transitivity",
+    "near_dup_canonical", "corpus_pipeline", "maximal_matching", "eigencentrality_fixed",
+    "ppr_sweep", "harmonic_sampled", "closeness_sampled", "modularity_lp",
+    "bipartite_check", "import_impact", "package_graph", "dead_functions",
+    "mis_members", "community_conductance", "node2vec_walks", "louvain_labels",
+    "wl_colors", "msf_edges", "doc_top_terms", "katz_fixed",
+    "rich_club", "betweenness_sampled", "pseudo_diameter", "call_graph_pagerank",
+    "link_prediction", "ktruss_edges", "coreness_all", "sp_counts",
+    "neighborhood_function", "affinity_clusters", "edge_betweenness_sampled", "graph_coloring",
+    "reciprocity", "build_order", "scc_condensation", "scc_imports",
+    "call_scc", "media_stats", "text_stats", "exact_dup_groups",
+    "doc_fingerprint", "degree_topk", "events_hourly", "in_degree_dist",
+    "knn_bruteforce", "sessions", "graph_meta", "corpus_clean",
+    "csr_offsets", "ngram_jaccard", "simhash_near_dups", "embedding_dups",
+    "clustering_coeff", "kcore_members", "language_id", "square_count",
+    "jsonl_roundtrip", "minhash_near_dups", "triangle_count", "triangle_count_incremental",
+    "triangles_per_vertex", "wcc_labels", "wcc_sizes", "sssp_weighted",
+    "bfs_depths", "knn_lsh", "webgraph_weighted_roundtrip", "matrix_market_roundtrip",
+    "knn_ivf_fixed", "webgraph_roundtrip", "label_propagation", "binary_csr_roundtrip",
+    "wcc_incremental", "hyperball_balls", "hits_fixed", "pagerank_weighted_fixed",
+    "pagerank_fixed8", "pagerank_personalized_fixed", "knn_ivf", "random_walks_weighted",
+    "pagerank_copurchase", "random_walks", "pagerank_personalized", "import_pagerank_fixed",
+    "pagerank_incremental", "import_graph_pagerank_weighted", "import_graph_pagerank",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_by_family()
+    out = {n: base[n] for n in _GATE_ORDER if n in base}
+    out.update({n: f for n, f in base.items() if n not in out})
+    return out
 
 
 _WCC_CTE = f"""

@@ -1,20 +1,44 @@
-"""Benchmark harness — prints ONE COMPACT JSON line for the driver.
+"""Benchmark harness — prints a COMPACT JSON line for the driver.
 
 Headline metric (BASELINE.json): PageRank edges/sec to 1e-6 convergence on
 the derived code/co-purchase edge table, plus throughput scaling efficiency
 between two parallelism levels (the sandbox stand-in for N vs 4N executors:
 same job, same input, local[SCALE_LO] vs local[SCALE_HI] in separate JVMs).
 
-The driver records only the LAST ~2000 chars of stdout, so the final line
-is a compact summary (headline, per-query seconds, efficiency pairs); the
-full detail (per-pass superstep arrays, scan-floor probes, worker runs)
-goes to ``BENCH_local.json`` next to this file.
+Round-4 restructure (VERDICT r3 "What's wrong" #1: rc=124, parsed null —
+the r3 harness ran ~50 min of work and printed its one JSON line only at
+the very end, so the driver's timeout lost everything):
+
+- The harness now enforces ITS OWN wall budget (``SPARK_GRAFT_BUDGET``,
+  default 840 s) with a deadline check before every phase, worker and
+  sweep query, so it always finishes and always prints.
+- The compact JSON line is printed+flushed IMMEDIATELY after the headline
+  and the scaling ladder complete — before the all-queries sweep — and
+  again (enriched with sweep evidence) at the end. Both lines are
+  self-sufficient driver records.
+- Spark console progress bars are disabled in every session this harness
+  creates, so a mid-sweep kill cannot scroll the early line out of the
+  driver's ~2000-char stdout tail.
+- The sweep runs at sf0.001 (was sf0.01), in registry order (cheapest
+  first), and records a LOUD ``skipped`` list for anything the deadline
+  cut — bounded coverage is disclosed, never silent.
+- Ladder cost: replicate factor 32 (was 64), 4 supersteps (was 5), 1 pass
+  per level-visit (was 2) × 2 interleaved epochs — still two independent
+  JVM samples per level with alternating visit order (the r3 drift
+  defense), at ~40% of the r3 wall cost. Factor 32 keeps the 2-core
+  superstep ~10 s vs a sub-second stage floor, so the gate pair (2→8)
+  stays compute-dominated.
+
+The driver records only the LAST ~2000 chars of stdout; the full detail
+(per-pass superstep arrays, scan-floor probes, worker runs) goes to
+``BENCH_local.json`` next to this file.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     main parallelism (default 32)
+  SPARK_GRAFT_BUDGET   total wall budget seconds, 0 = unlimited (default 840)
   SPARK_GRAFT_SCALING  "0" to skip the scaling subprocess runs (default on)
-  SPARK_GRAFT_ALLQ     "0" to skip the all-queries sf0.01 sweep (default on)
+  SPARK_GRAFT_ALLQ     "0" to skip the all-queries sweep (default on)
   SPARK_GRAFT_ONLY     "scaling" to run ONLY the core-ladder workers
 """
 
@@ -28,6 +52,8 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BUDGET = float(os.environ.get("SPARK_GRAFT_BUDGET", "840"))
+T_START = time.monotonic()
 # Scaling evidence (north rule: throughput efficiency >=0.8 from N to 4N
 # executors). Sandbox stand-in: the identical fixed-superstep PageRank job
 # on the identical replicated edge table at a ladder of local[...] core
@@ -45,30 +71,29 @@ SCALE_CORES = [
     for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", f"2,8,{CPUS}").split(",")
 ]
 # Replication makes per-superstep compute dominate fixed stage-scheduling
-# latency (~38M edges at factor 32 on sf0.1) so the measurement reflects
-# the engine, not the scheduler floor.
-SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "64"))
-SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "5"))
-# Robustness against shared-VM interference (round 1: a single driver-side
-# ladder run measured 0.777 on a pair the builder measured 0.848-0.909 —
-# the harness, not the engine): each worker runs SCALE_PASSES measurement
-# passes after warmup and reports the BEST pass median (best-of-N is the
-# standard noise-floor estimator when interference can only slow you
-# down); every pass is disclosed in the output.
-#
-# Round-3 hardening: one contiguous multi-minute window per level left the
-# PAIR exposed to host drift between windows (r3 samples on a box whose
-# memcpy probe read ~3 GB/s ranged 0.718-0.869 for the same engine that
-# measured 0.952 on the healthy r2 driver box). The ladder now runs
-# SCALE_EPOCHS epochs, each visiting EVERY level in its own short JVM
-# (order alternating 2,8,32 / 32,8,2 between epochs so slow drift hits
-# both ends of a pair symmetrically), and the per-level figure is the best
-# pass over ALL epochs — under one-sided noise (interference only slows a
-# pass down) more, better-spread samples converge each level to its
-# noise-free time, hence the pair to its true ratio. Fixed protocol, no
-# result-conditioned re-sampling; every pass of every epoch is disclosed.
-SCALE_PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
+# latency (~19M edges at factor 32 on sf0.1, ~10 s/superstep at 2 cores vs
+# a sub-second stage floor) so the measurement reflects the engine, not
+# the scheduler.
+SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "32"))
+SCALE_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "4"))
+# Noise protocol (fixed, never result-conditioned; every sample disclosed):
+# each level runs in its own short JVM once per epoch, SCALE_EPOCHS epochs
+# with alternating visit order (2,8,32 then 32,8,2) so slow host drift hits
+# both ends of a pair symmetrically; the per-level figure is the best
+# pass-median superstep time over all epochs. Under one-sided interference
+# (a noisy neighbor can only slow a pass down) more, better-spread samples
+# converge each level to its noise-free time, hence the pair to its true
+# ratio. r4 trims passes-per-visit to 1 (the two epochs still give two
+# independent samples per level) to fit the driver's bench window.
+SCALE_PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "1"))
 SCALE_EPOCHS = int(os.environ.get("SPARK_GRAFT_SCALE_EPOCHS", "2"))
+
+
+def remaining() -> float:
+    """Seconds left in the harness's self-enforced wall budget."""
+    if BUDGET <= 0:
+        return float("inf")
+    return BUDGET - (time.monotonic() - T_START)
 
 
 def _sf_label(sf_dir: str) -> float:
@@ -85,17 +110,51 @@ def _get_spark(cores: int, shuffle_partitions: int):
         app_name=f"bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=shuffle_partitions,
+        # keep stdout/stderr quiet: the driver's record is a ~2000-char
+        # tail, and r3 died with that tail full of progress-bar frames
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
 
-def memcpy_probe(mb: int = 200, passes: int = 3) -> dict:
-    """Host-health disclosure: single-thread numpy memcpy bandwidth.
+def _mp_copy(args) -> tuple[float, float, int]:
+    """Child-process body for the multi-process memcpy probe.
+
+    Waits on the shared barrier so every child's copy window overlaps,
+    then copies for ``passes`` rounds; returns (t_start, t_end, bytes) so
+    the parent can compute aggregate bandwidth over the overlapping
+    window only (buffer setup excluded)."""
+    mb, passes, barrier = args
+    import numpy as np
+
+    a = np.random.randint(0, 255, mb * 1_000_000, dtype=np.uint8)
+    barrier.wait(timeout=30)
+    t0 = time.monotonic()
+    n = 0
+    for _ in range(passes):
+        b = a.copy()
+        n += a.nbytes
+        del b
+    return (t0, time.monotonic(), n)
+
+
+def memcpy_probe(mb: int = 200, passes: int = 3, procs: int = 4) -> dict:
+    """Host-health disclosure: single-thread AND multi-process memcpy.
 
     This sandbox VM is subject to host-side memory starvation (observed:
     0.01-0.2 GB/s windows where a healthy box does 2-8 GB/s — a 10-100x
     swing that hits every Spark stage equally). Recording the floor
     alongside the timings lets a reader tell an engine regression from a
-    sick host: comparable numbers require comparable `memcpy_gb_s`."""
+    sick host: comparable numbers require comparable `memcpy_gb_s`.
+
+    The single-thread probe is blind to CPU-scheduling interference (a
+    host stealing cores slows a 32-thread Spark stage but not a 1-thread
+    copy) — BASELINE.md r3 documents that blind spot, so the probe now
+    also runs ``procs`` concurrent copier processes and reports aggregate
+    bandwidth (`mp_memcpy_gb_s`): low single-thread = bandwidth
+    starvation; low multi-process with healthy single-thread = core
+    starvation."""
+    import multiprocessing as mp
+
     import numpy as np
 
     a = np.random.randint(0, 255, mb * 1_000_000, dtype=np.uint8)
@@ -105,13 +164,27 @@ def memcpy_probe(mb: int = 200, passes: int = 3) -> dict:
         b = a.copy()
         best = min(best, time.monotonic() - t0)
         del b
-    return {"mb": mb, "passes": passes, "memcpy_gb_s": round(mb / 1000 / best, 2)}
+    out = {"mb": mb, "passes": passes, "memcpy_gb_s": round(mb / 1000 / best, 2)}
+    try:
+        ctx = mp.get_context("fork")
+        with ctx.Manager() as mgr:
+            barrier = mgr.Barrier(procs)
+            with ctx.Pool(procs) as pool:
+                spans = pool.map(_mp_copy, [(mb, passes, barrier)] * procs)
+        # aggregate bytes over the overlapping copy window only
+        t_lo = min(s[0] for s in spans)
+        t_hi = max(s[1] for s in spans)
+        nbytes = sum(s[2] for s in spans)
+        wall = t_hi - t_lo
+        out["mp_procs"] = procs
+        out["mp_memcpy_gb_s"] = round(nbytes / 1e9 / wall, 2) if wall > 0 else 0.0
+    except Exception as exc:  # noqa: BLE001 — health probe must never kill bench
+        out["mp_error"] = str(exc)[:120]
+    return out
 
 
 def pagerank_run(spark, sf_dir: str) -> dict:
     """Timed: derive co-purchase edges, PageRank to 1e-6. Returns metrics."""
-    from pyspark.sql import functions as F
-
     from paragrapher_spark.kernels.pagerank import pagerank
     from paragrapher_spark.sources.edges import copurchase_edges
 
@@ -121,10 +194,13 @@ def pagerank_run(spark, sf_dir: str) -> dict:
     # loop below since every superstep rescans the persisted table)
     # best-of-2 convergence runs, both disclosed: a single pass is exposed
     # to one bad host-starvation window (see memcpy_probe); the second
-    # pass costs ~25 s healthy and halves the flake odds
+    # pass costs ~25 s healthy and halves the flake odds. The second pass
+    # is skipped if it would bust the harness budget.
     passes = []
     res = None
-    for _ in range(2):
+    for i in range(2):
+        if i > 0 and remaining() < 3 * passes[0] + 60:
+            break
         t0 = time.monotonic()
         res = pagerank(edges, tol=1e-6, max_iter=100)
         res.ranks.count()
@@ -242,6 +318,8 @@ def _worker(cores: int, sf_dir: str) -> None:
     out = pagerank_scale_run(spark, sf_dir, SCALE_FACTOR, SCALE_ITERS)
     out["cores"] = cores
     out["scan_floor"] = scan_floor_run(spark, sf_dir)
+    # per-level host health (VERDICT r3 task #8: record it inside each
+    # ladder level, not only at record start/end)
     out["host_health"] = memcpy_probe()
     print("BENCH_WORKER_JSON:" + json.dumps(out))
     spark.stop()
@@ -251,14 +329,20 @@ def _run_worker(cores: int, sf_dir: str) -> dict | None:
     """One ladder level in its own JVM. NEVER raises: a worker that times
     out or dies (observed: host-side memory starvation stretching a 6-min
     run past any sane timeout) yields None and the ladder continues — one
-    sick level must not cost the whole bench record."""
+    sick level must not cost the whole bench record. The worker timeout is
+    also clamped to the harness's remaining wall budget."""
+    cap = float(os.environ.get("SPARK_GRAFT_WORKER_TIMEOUT", "900"))
+    budget_left = remaining() - 20  # leave room to print the record
+    if budget_left < 45:
+        sys.stderr.write(f"scaling worker cores={cores}: budget exhausted; skipped\n")
+        return None
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
             capture_output=True,
             text=True,
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-            timeout=int(os.environ.get("SPARK_GRAFT_WORKER_TIMEOUT", "2700")),
+            timeout=min(cap, budget_left) if BUDGET > 0 else cap,
         )
     except subprocess.TimeoutExpired:
         sys.stderr.write(f"scaling worker cores={cores} timed out; skipped\n")
@@ -269,8 +353,162 @@ def _run_worker(cores: int, sf_dir: str) -> dict | None:
     for line in proc.stdout.splitlines():
         if line.startswith("BENCH_WORKER_JSON:"):
             return json.loads(line[len("BENCH_WORKER_JSON:"):])
-    sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+    sys.stderr.write(proc.stdout[-1000:] + proc.stderr[-1000:])
     return None
+
+
+def _scaling_ladder(sf_dir: str) -> dict:
+    """Interleaved-epoch core ladder; returns the `scaling` extra block."""
+    epoch_runs: dict[int, list[dict]] = {c: [] for c in SCALE_CORES}
+    for epoch in range(max(1, SCALE_EPOCHS)):
+        order = SCALE_CORES if epoch % 2 == 0 else SCALE_CORES[::-1]
+        for c in order:
+            r = _run_worker(c, sf_dir)
+            if r is not None:
+                r["epoch"] = epoch
+                epoch_runs[c].append(r)
+    # merge: per level, best pass over all epochs (one-sided noise)
+    runs: dict[int, dict | None] = {}
+    for c, rs in epoch_runs.items():
+        if not rs:
+            runs[c] = None
+            continue
+        best = min(rs, key=lambda r: r["steady_superstep_sec"])
+        merged = dict(best)
+        merged["epochs"] = [
+            {
+                "epoch": r["epoch"],
+                "steady_superstep_sec": r["steady_superstep_sec"],
+                "passes": r["passes"],
+                "host_memcpy_gb_s": r.get("host_health", {}).get("memcpy_gb_s"),
+                "host_mp_memcpy_gb_s": r.get("host_health", {}).get(
+                    "mp_memcpy_gb_s"
+                ),
+            }
+            for r in rs
+        ]
+        runs[c] = merged
+    skipped = [c for c, r in runs.items() if r is None]
+    pairs = []
+    for lo_c, hi_c in zip(SCALE_CORES, SCALE_CORES[1:]):
+        lo, hi = runs.get(lo_c), runs.get(hi_c)
+        if not (lo and hi):
+            continue
+        thr_lo = lo["steady_edges_per_sec"]
+        thr_hi = hi["steady_edges_per_sec"]
+        ratio = hi_c / lo_c
+        pairs.append(
+            {
+                "cores_lo": lo_c,
+                "cores_hi": hi_c,
+                "parallelism_ratio": ratio,
+                "steady_edges_per_sec_lo": round(thr_lo),
+                "steady_edges_per_sec_hi": round(thr_hi),
+                "efficiency": round((thr_hi / thr_lo) / ratio, 3)
+                if thr_lo > 0
+                else 0.0,
+            }
+        )
+    return {
+        "replicate_factor": SCALE_FACTOR,
+        "supersteps": SCALE_ITERS,
+        "passes_per_level": SCALE_PASSES,
+        "epochs": SCALE_EPOCHS,
+        "skipped_levels": skipped,
+        "steady_estimator": (
+            "best pass-median superstep time over all epochs "
+            "(interleaved level order, one JVM per level per epoch)"
+        ),
+        "edges": next((r["edges"] for r in runs.values() if r), None),
+        "scan_floor": {
+            str(r["cores"]): r["scan_floor"]
+            for r in runs.values()
+            if r and "scan_floor" in r
+        },
+        "runs": {
+            str(c): {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in r.items()
+            }
+            for c, r in runs.items()
+            if r
+        },
+        "pairs": pairs,
+        # headline: the linear-region 4x pair (see SCALE_CORES note)
+        "efficiency": pairs[0]["efficiency"] if pairs else None,
+    }
+
+
+def _compact_record(
+    queries: dict, extra: dict, allq: dict | None, sweep_state: str
+) -> str:
+    """Build the driver-facing one-line JSON (<=1900 chars guaranteed)."""
+    scaling = extra.get("scaling", {})
+    pr = extra.get("pagerank", {})
+    out = {
+        "metric": "pagerank_copurchase_to_1e-6_wall_sec",
+        "value": queries.get("pagerank_copurchase", -1.0),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(SF_DIR),
+        "pagerank_edges_per_sec": round(pr.get("edges_per_sec", -1)),
+        "pagerank_iterations": pr.get("iterations", -1),
+        "scaling_pairs": [
+            [p["cores_lo"], p["cores_hi"], p["efficiency"]]
+            for p in scaling.get("pairs", [])
+        ],
+        "scaling_efficiency": scaling.get("efficiency"),
+        # host-starvation disclosure: healthy ~2-8 GB/s single-thread;
+        # readings <0.5 mean the run was starved by the host, not the engine
+        "host_memcpy_gb_s": [
+            extra.get("host_health_start", {}).get("memcpy_gb_s"),
+            extra.get("host_health_end", {}).get("memcpy_gb_s"),
+        ],
+        "host_mp_memcpy_gb_s": [
+            extra.get("host_health_start", {}).get("mp_memcpy_gb_s"),
+            extra.get("host_health_end", {}).get("mp_memcpy_gb_s"),
+        ],
+        "wall_sec": round(time.monotonic() - T_START, 1),
+        "sweep": sweep_state,
+        "detail": "BENCH_local.json",
+    }
+    if allq:
+        ok_items = [(k, v) for k, v in allq.items() if v >= 0]
+        out["sweep_sf0001"] = {
+            "n_ok": len(ok_items),
+            "total_sec": round(sum(v for _, v in ok_items), 1),
+            "failed": [k for k, v in allq.items() if v < 0],
+            "n_skipped": extra.get("sweep_n_skipped", 0),
+            "slowest": sorted(ok_items, key=lambda kv: -kv[1])[:3],
+        }
+    line = json.dumps(out)
+    if len(line) > 1900:
+        out.pop("sweep_sf0001", None)
+        line = json.dumps(out)
+        if len(line) > 1900:
+            out["queries"] = {
+                "pagerank_copurchase": queries.get("pagerank_copurchase", -1.0)
+            }
+            line = json.dumps(out)
+    return line
+
+
+def _write_detail(queries: dict, extra: dict, allq: dict | None) -> None:
+    detail = {
+        "metric": "pagerank_copurchase_to_1e-6_wall_sec",
+        "value": queries.get("pagerank_copurchase", -1.0),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(SF_DIR),
+        **extra,
+    }
+    if allq is not None:
+        detail["queries_sweep_sf0001"] = allq
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
 
 
 def main() -> None:
@@ -284,7 +522,7 @@ def main() -> None:
 
     # SPARK_GRAFT_ONLY=scaling: skip the main-phase queries and run just
     # the core-ladder workers — for re-measuring the scaling pairs after a
-    # host-starvation window without paying the full ~20-min sweep
+    # host-starvation window without paying the full sweep
     only_scaling = os.environ.get("SPARK_GRAFT_ONLY") == "scaling"
 
     spark = _get_spark(CPUS, shuffle_partitions=CPUS)
@@ -308,7 +546,7 @@ def main() -> None:
         queries["pagerank_copurchase"] = round(pr["seconds"], 3)
         extra["pagerank"] = pr
 
-    if not only_scaling:
+    if not only_scaling and remaining() > 120:
         edges = copurchase_edges(spark, SF_DIR).persist()
         edges.count()
 
@@ -349,10 +587,11 @@ def main() -> None:
         sessionize_batch(ev, gap_minutes=30).count()
         queries["sessions"] = round(time.monotonic() - t0, 3)
 
+    if not only_scaling and remaining() > 90:
         # BVGraph ingest probe — the reference's headline metric class is
         # compressed-graph LOAD throughput (paper §5.2/§5.4: 179-952 M
         # edges/s with a C/Java codec). This engine's steady-state path is
-        # transcode-once -> parquet (the parquet scan_floor below is then the
+        # transcode-once -> parquet (the parquet scan_floor is then the
         # "decompressor"); the native pure-Python codec is the one-time
         # bridge, measured here in both directions on the headline graph so
         # the cost is disclosed, not hidden.
@@ -404,172 +643,62 @@ def main() -> None:
         finally:
             shutil.rmtree(wg_dir, ignore_errors=True)
 
-        # per-query regression sweep: every driver query, one pass at sf0.01
-        # (VERDICT r2 task #9 — round-over-round visibility for all queries,
-        # not just the 8 headline ones). Timed as plan + execute + fetch-count;
-    # sf0.01 keeps the sweep under ~2 min total.
+    spark.stop()
+
+    # scaling evidence: same job, ladder of parallelism levels, separate
+    # JVMs, SCALE_EPOCHS interleaved visits per level (see SCALE_EPOCHS note)
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0" and len(SCALE_CORES) > 1:
+        extra["scaling"] = _scaling_ladder(SF_DIR)
+
+    extra["host_health_end"] = memcpy_probe()
+
+    # EARLY compact record: everything the driver's gate needs (headline +
+    # scaling pairs) is on stdout and flushed BEFORE the sweep starts, so
+    # an external timeout during the sweep can no longer void the round's
+    # bench evidence (the r1-r3 failure mode).
+    _write_detail(queries, extra, None)
+    print(_compact_record(queries, extra, None, sweep_state="pending"), flush=True)
+
+    # per-query regression sweep: every registry query, one pass at
+    # sf0.001, in registry order (cheapest-first by construction), under
+    # the harness deadline; anything cut is LOUDLY listed as skipped.
     allq: dict[str, float] = {}
+    skipped_q: list[str] = []
     if not only_scaling and os.environ.get("SPARK_GRAFT_ALLQ", "1") != "0":
+        spark = _get_spark(CPUS, shuffle_partitions=CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import __spark_entry__ as entrymod
 
         allq_dir = os.environ.get(
-            "SPARK_GRAFT_ALLQ_DIR", "/root/testdata/sf0.01"
+            "SPARK_GRAFT_ALLQ_DIR", "/root/testdata/sf0.001"
         )
         for name, fn in entrymod.queries().items():
+            if remaining() < 30:
+                skipped_q.append(name)
+                continue
             t0 = time.monotonic()
             try:
                 fn(spark, allq_dir).count()
                 allq[name] = round(time.monotonic() - t0, 2)
             except Exception as exc:  # noqa: BLE001 — a broken query must
                 # not take down the whole bench record
-                sys.stderr.write(f"allq {name} failed: {exc}\n")
+                sys.stderr.write(f"sweep {name} failed: {exc}\n")
                 allq[name] = -1.0
-        extra["queries_sf001"] = allq
-
-    spark.stop()
-
-    # scaling evidence: same job, ladder of parallelism levels, separate
-    # JVMs, SCALE_EPOCHS interleaved visits per level (see SCALE_EPOCHS note)
-    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0" and len(SCALE_CORES) > 1:
-        epoch_runs: dict[int, list[dict]] = {c: [] for c in SCALE_CORES}
-        for epoch in range(max(1, SCALE_EPOCHS)):
-            order = SCALE_CORES if epoch % 2 == 0 else SCALE_CORES[::-1]
-            for c in order:
-                r = _run_worker(c, SF_DIR)
-                if r is not None:
-                    r["epoch"] = epoch
-                    epoch_runs[c].append(r)
-        # merge: per level, best pass over all epochs (one-sided noise)
-        runs: dict[int, dict | None] = {}
-        for c, rs in epoch_runs.items():
-            if not rs:
-                runs[c] = None
-                continue
-            best = min(rs, key=lambda r: r["steady_superstep_sec"])
-            merged = dict(best)
-            merged["epochs"] = [
-                {
-                    "epoch": r["epoch"],
-                    "steady_superstep_sec": r["steady_superstep_sec"],
-                    "passes": r["passes"],
-                    "host_memcpy_gb_s": r.get("host_health", {}).get(
-                        "memcpy_gb_s"
-                    ),
-                }
-                for r in rs
-            ]
-            runs[c] = merged
-        skipped = [c for c, r in runs.items() if r is None]
-        pairs = []
-        for lo_c, hi_c in zip(SCALE_CORES, SCALE_CORES[1:]):
-            lo, hi = runs.get(lo_c), runs.get(hi_c)
-            if not (lo and hi):
-                continue
-            thr_lo = lo["steady_edges_per_sec"]
-            thr_hi = hi["steady_edges_per_sec"]
-            ratio = hi_c / lo_c
-            pairs.append(
-                {
-                    "cores_lo": lo_c,
-                    "cores_hi": hi_c,
-                    "parallelism_ratio": ratio,
-                    "steady_edges_per_sec_lo": round(thr_lo),
-                    "steady_edges_per_sec_hi": round(thr_hi),
-                    "efficiency": round((thr_hi / thr_lo) / ratio, 3)
-                    if thr_lo > 0
-                    else 0.0,
-                }
+        spark.stop()
+        extra["sweep_n_skipped"] = len(skipped_q)
+        extra["sweep_skipped"] = skipped_q
+        if skipped_q:
+            sys.stderr.write(
+                f"sweep: budget cut {len(skipped_q)}/{len(allq) + len(skipped_q)}"
+                f" queries: {','.join(skipped_q[:20])}...\n"
             )
-        extra["scan_floor"] = {
-            str(r["cores"]): r["scan_floor"]
-            for r in runs.values()
-            if r and "scan_floor" in r
-        }
-        extra["scaling"] = {
-            "replicate_factor": SCALE_FACTOR,
-            "supersteps": SCALE_ITERS,
-            "passes_per_level": SCALE_PASSES,
-            "epochs": SCALE_EPOCHS,
-            "skipped_levels": skipped,
-            "steady_estimator": (
-                "best pass-median superstep time over all epochs "
-                "(interleaved level order, one JVM per level per epoch)"
-            ),
-            "edges": next(
-                (r["edges"] for r in runs.values() if r), None
-            ),
-            "runs": {
-                str(c): {
-                    k: (round(v, 3) if isinstance(v, float) else v)
-                    for k, v in r.items()
-                }
-                for c, r in runs.items()
-                if r
-            },
-            "pairs": pairs,
-            # headline: the linear-region 4x pair (see SCALE_CORES note)
-            "efficiency": pairs[0]["efficiency"] if pairs else None,
-        }
 
-    extra["host_health_end"] = memcpy_probe()
-
-    detail = {
-        "metric": "pagerank_copurchase_to_1e-6_wall_sec",
-        "value": queries["pagerank_copurchase"],
-        "unit": "sec",
-        "queries": queries,
-        "sf": _sf_label(SF_DIR),
-        "pagerank_edges_per_sec": round(extra["pagerank"].get("edges_per_sec", -1)),
-        "pagerank_iterations": extra["pagerank"].get("iterations", -1),
-        **extra,
-    }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    _write_detail(queries, extra, allq)
+    sweep_state = (
+        "done" if not skipped_q else f"partial({len(skipped_q)} skipped)"
     )
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1)
-
-    # compact final line: the driver keeps a ~2000-char stdout tail, so
-    # this line (and nothing longer after it) is what BENCH_rN.json parses
-    scaling = extra.get("scaling", {})
-    out = {
-        "metric": detail["metric"],
-        "value": detail["value"],
-        "unit": "sec",
-        "queries": queries,
-        "sf": detail["sf"],
-        "pagerank_edges_per_sec": detail["pagerank_edges_per_sec"],
-        "pagerank_iterations": detail["pagerank_iterations"],
-        "scaling_pairs": [
-            [p["cores_lo"], p["cores_hi"], p["efficiency"]]
-            for p in scaling.get("pairs", [])
-        ],
-        "scaling_efficiency": scaling.get("efficiency"),
-        # host-starvation disclosure: healthy ~2-8 GB/s; readings <0.5
-        # mean the run was bandwidth-starved by the host, not the engine
-        "host_memcpy_gb_s": [
-            extra["host_health_start"]["memcpy_gb_s"],
-            extra["host_health_end"]["memcpy_gb_s"],
-        ],
-        "queries_sf001": allq,
-        "detail": "BENCH_local.json",
-    }
-    line = json.dumps(out)
-    if len(line) > 1900:  # never let the tail cut truncate the JSON
-        # keep sweep EVIDENCE in the driver record even when the full
-        # per-query map is too long: count, failures, slowest five
-        ok_items = [(k, v) for k, v in (allq or {}).items() if v >= 0]
-        out["queries_sf001"] = {
-            "n": len(allq or {}),
-            "failed": [k for k, v in (allq or {}).items() if v < 0],
-            "slowest": sorted(ok_items, key=lambda kv: -kv[1])[:5],
-        }
-        line = json.dumps(out)
-        if len(line) > 1900:
-            out.pop("queries_sf001", None)
-            line = json.dumps(out)
-    print(line)
+    print(_compact_record(queries, extra, allq, sweep_state=sweep_state), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,124 @@
+"""Loop-state lineage hygiene for iterative kernels.
+
+Every superstep kernel in this engine carries a per-vertex state table
+through its loop with ``localCheckpoint(eager=True)`` cuts. That is the
+documented Spark discipline — and it is NOT sufficient: on Spark 4.1
+(classic mode), when the per-step query references the checkpointed
+state TWICE (a self-join — e.g. pointer jumping, rank-delta comparison,
+frontier anti-join), a driver-side cost in ``Dataset.checkpoint`` /
+``localCheckpoint`` grows GEOMETRICALLY with the number of chained
+checkpoint generations. Reproduced minimally (256-row state, 9 tasks,
+6 jobs per step, flat analyzed plan, flat RDD debug lineage): per-step
+wall is flat ~0.3 s until ~18 generations, then 2 s, 5 s, 12 s, 32 s —
+doubling per step, independent of join strategy (broadcast and SMJ),
+checkpoint kind (local and reliable), and constraint propagation on or
+off. Whatever structure doubles is invisible to the plan printers, but
+a parquet ROUND-TRIP fully severs it: the same loop with a write+read
+every 8 steps runs 40 generations flat (15 s total).
+
+``StateCheckpointer`` packages that observation: ``cut(df)`` is a
+drop-in replacement for ``df.localCheckpoint(eager=True)`` that inserts
+a parquet round-trip every ``period``-th cut (default 8, safely under
+the ~18-generation knee); round-trip files are retained until
+``close()`` or interpreter exit (see ``cut`` for why).
+
+Scale notes (100 TB): the state table is one row per vertex (id + a few
+columns); writing it every 8 supersteps adds one columnar write+scan
+per 8 barriers — noise next to the per-superstep shuffles, and the
+standard large-graph practice anyway (GraphFrames' iterative algorithms
+checkpoint to durable storage on a cadence for exactly this class of
+driver blowup). ``base_dir`` must be executor-visible on a real cluster
+(HDFS/S3/NFS) — set ``PG_ITERSTATE_DIR``; the local-mode default is a
+process-private temp dir.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame
+
+#: Cut generations between parquet round-trips. The measured knee is
+#: ~18 chained checkpoint generations; 8 keeps every chain well under it.
+DEFAULT_PERIOD = 8
+
+
+class StateCheckpointer:
+    """Per-loop state cutter: localCheckpoint generations with a
+    lineage-severing parquet round-trip every ``period``-th cut.
+
+    Usage::
+
+        ckpt = StateCheckpointer(spark)
+        try:
+            while ...:
+                state = ckpt.cut(new_state)
+        finally:
+            ckpt.close()
+    """
+
+    def __init__(
+        self,
+        spark,
+        period: int = DEFAULT_PERIOD,
+        base_dir: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.period = max(1, period)
+        self._n = 0
+        self._owns_base = base_dir is None and "PG_ITERSTATE_DIR" not in os.environ
+        base = base_dir or os.environ.get("PG_ITERSTATE_DIR")
+        if base is None:
+            base = tempfile.mkdtemp(prefix="pg_iterstate_")
+        self._base = base
+        self._run = uuid.uuid4().hex[:12]
+        self._paths: list[str] = []
+        if self._owns_base:
+            # Default lifetime: the LAST round-trip's files survive until
+            # interpreter exit, so kernels may return DataFrames backed by
+            # them without a pinning dance; ``close()`` is the opt-in
+            # eager cleanup for kernels that localCheckpoint their output
+            # first (scc, pagerank do).
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
+
+    def cut(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """Materialize ``df`` and return a lineage-cut equivalent.
+
+        ``eager=False`` keeps the one-job-per-superstep property for
+        loops whose next action materializes the checkpoint anyway; the
+        parquet round-trip on period boundaries is always eager (the
+        write is a job)."""
+        self._n += 1
+        if self._n % self.period:
+            return df.localCheckpoint(eager=eager)
+        path = os.path.join(self._base, f"{self._run}_{self._n}")
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        # ALL round-trip files are retained until close()/atexit: a kernel
+        # may interleave several state lines through one checkpointer, and
+        # lazily-cut union chains (e.g. an accumulating result table) can
+        # legitimately read an old round-trip at the very end of the run —
+        # deleting the previous file on each boundary would break them.
+        # Disk cost: one state-table copy per `period` cuts.
+        self._paths.append(path)
+        return out
+
+    def cut_lazy(self, df: DataFrame) -> DataFrame:
+        """`.transform(ckpt.cut_lazy)` drop-in for a fluent-chain
+        ``.localCheckpoint(eager=False)`` (one-job-per-superstep loops)."""
+        return self.cut(df, eager=False)
+
+    def close(self) -> None:
+        """Delete round-trip files (every returned/retained DataFrame must
+        already be consumed or pinned by the caller — reads after close()
+        fail loudly on the missing files rather than silently
+        recomputing). Optional: without it, files live until atexit."""
+        for p in self._paths:
+            shutil.rmtree(p, ignore_errors=True)
+        self._paths = []
+        if self._owns_base:
+            shutil.rmtree(self._base, ignore_errors=True)

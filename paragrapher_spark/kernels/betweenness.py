@@ -45,6 +45,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
@@ -101,6 +102,7 @@ def _forward_levels(
     history: list[dict[str, Any]] = []
     probe = ShuffleProbe(spark)
     depth = 0
+    state_ckpt = StateCheckpointer(spark)
     for d in range(1, max_depth + 1):
         t0 = time.monotonic()
         cand = (
@@ -117,7 +119,7 @@ def _forward_levels(
         frontier = (
             cand.join(visited.select("source", "id"), on=["source", "id"], how="left_anti")
             .repartition(n_part, "source", "id")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         n_front = frontier.count()
         dt = time.monotonic() - t0
@@ -134,7 +136,7 @@ def _forward_levels(
         if n_front == 0:
             break
         depth = d
-        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+        visited = visited.unionByName(frontier).transform(state_ckpt.cut_lazy)
 
     levels = visited.repartition(n_part, "source", "id").persist()
     levels.count()
@@ -239,6 +241,7 @@ def edge_betweenness(
 
     delta_next = spark.createDataFrame([], "source long, id long, delta double")
     edge_parts = spark.createDataFrame([], "v long, w long, part double")
+    state_ckpt = StateCheckpointer(spark)
     for d in range(depth - 1, -1, -1):
         lv = levels.where(F.col("dist") == d).select("source", "id", "sigma")
         lw = levels.where(F.col("dist") == d + 1).select(
@@ -275,7 +278,7 @@ def edge_betweenness(
                 ).alias("part"),
             )
             .repartition(n_part, "source", "id")
-            .localCheckpoint(eager=True)
+            .transform(state_ckpt.cut)
         )
         delta_next = joined.groupBy("source", "id").agg(
             F.sum("part").alias("delta")
@@ -330,6 +333,7 @@ def betweenness(
     spark_zero = spark.createDataFrame([], "source long, id long, delta double")
     delta_next = spark_zero  # δ rows for level d+1 (deepest level: δ = 0)
     all_delta = spark_zero
+    state_ckpt = StateCheckpointer(spark)
     for d in range(depth - 1, -1, -1):
         lv = levels.where(F.col("dist") == d).select("source", "id", "sigma")
         lw = levels.where(F.col("dist") == d + 1).select(
@@ -367,7 +371,7 @@ def betweenness(
             .groupBy("source", "id")
             .agg(F.sum("part").alias("delta"))
             .repartition(n_part, "source", "id")
-            .localCheckpoint(eager=True)
+            .transform(state_ckpt.cut)
         )
         delta_next = contrib
         all_delta = all_delta.unionByName(contrib)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
@@ -95,6 +96,7 @@ def bfs(
     exhausted = False
     probe = ShuffleProbe(spark)
     it = start_iter
+    state_ckpt = StateCheckpointer(spark)
     for it in range(start_iter + 1, max_depth + 1):
         t0 = time.monotonic()
         # ONE job per superstep (the PageRank discipline): the unioned
@@ -112,7 +114,7 @@ def bfs(
         new_dist = (
             dist.unionByName(nxt)
             .repartition(n_part, "id")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         frontier_size = (
             new_dist.agg(

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paragrapher_spark.kernels.mis import _h
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 SEED = 42
@@ -109,6 +110,7 @@ def greedy_coloring(
     probe = ShuffleProbe(spark)
     rounds = 0
     n_left = undecided.count()
+    state_ckpt = StateCheckpointer(spark)
     while n_left > 0:
         rounds += 1
         if rounds > max_rounds:
@@ -151,12 +153,12 @@ def greedy_coloring(
                 .cast("int")
                 .alias("color"),
             )
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         undecided = (
             undecided.join(picked, on="id", how="left_anti")
             .repartition(n_part, "id")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         # ONE action per round: materializes picked + next undecided
         n_left = undecided.count()

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
@@ -132,6 +133,9 @@ def connected_components(
             e = e.localCheckpoint(eager=True)
 
     sig = _signature(e)
+    # star contractions reference the round's edge state twice — the
+    # chained-checkpoint shape; cuts go through plans/iterstate.py
+    state_ckpt = StateCheckpointer(spark)
     history: list[dict[str, Any]] = []
     converged = False
     probe = ShuffleProbe(spark)
@@ -141,7 +145,7 @@ def connected_components(
         # non-eager: the signature aggregation is the round's ONE job and
         # materializes the checkpoint as a side effect (same discipline as
         # the PageRank superstep)
-        e_new = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e_new = state_ckpt.cut(_small_star(_large_star(e)), eager=False)
         new_sig = _signature(e_new)
         e = e_new
         dt = time.monotonic() - t0
@@ -213,6 +217,79 @@ def incremental_components(
         )
     return connected_components(
         union, vertices=vertices, max_rounds=max_rounds, checkpoint=checkpoint
+    )
+
+
+def decremental_components(
+    prev_labels: DataFrame,
+    remaining_edges: DataFrame,
+    removed_edges: DataFrame,
+    max_rounds: int = 50,
+    checkpoint: CheckpointManager | None = None,
+) -> ComponentsResult:
+    """Warm WCC after edge REMOVALS — the deletion half of the daily-
+    delta story (``incremental_components`` handles additions; VERDICT
+    r3 task #6). Deletions can SPLIT components, so unlike the append
+    path no star-forest merge suffices; but the damage is local:
+
+    1. The only components whose labeling can change are those
+       containing an endpoint of a removed edge ("affected").
+    2. Every other component keeps its previous labels verbatim (its
+       edge set and vertex set are untouched).
+    3. Affected components are re-solved by a cold large-star/small-star
+       run restricted to THEIR remaining edges and THEIR vertex set —
+       work proportional to the affected components' size, not |E|.
+
+    Labels are min-ids, so untouched labels and recomputed labels agree
+    with a cold full-graph run bit-exactly (pinned by the
+    ``wcc_decremental`` oracle: same trajectory-independent closure SQL
+    as ``wcc_labels`` on the reduced edge set).
+
+    ``remaining_edges`` is the post-removal edge table (the caller's
+    authoritative current graph); ``removed_edges`` the batch that was
+    deleted. Removed rows that never existed only enlarge the affected
+    set (correct, just less incremental). 100 TB shape: three key-hash
+    semi-joins to carve the affected subgraph + the cold kernel on that
+    subgraph; the worst case (a removal inside the giant component)
+    honestly degenerates to re-solving the giant component — exact
+    split detection cannot do less without maintaining a spanning
+    structure per component.
+    """
+    removed_ids = (
+        removed_edges.select(F.col("src").alias("id"))
+        .unionByName(removed_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    affected_comps = (
+        prev_labels.join(removed_ids, on="id")
+        .select("component")
+        .distinct()
+    )
+    affected_verts = prev_labels.join(
+        affected_comps, on="component"
+    ).select("id")
+    # an edge of an affected component has BOTH endpoints in it (edges
+    # never cross component boundaries), so one endpoint semi-join
+    # selects exactly the affected subgraph's edges
+    sub_edges = remaining_edges.join(
+        affected_verts.withColumnRenamed("id", "src"), on="src", how="leftsemi"
+    )
+    sub = connected_components(
+        sub_edges,
+        vertices=affected_verts,
+        max_rounds=max_rounds,
+        checkpoint=checkpoint,
+    )
+    untouched = prev_labels.join(
+        affected_comps, on="component", how="left_anti"
+    ).select("id", "component")
+    return ComponentsResult(
+        components=untouched.unionByName(
+            sub.components.select("id", "component")
+        ),
+        rounds=sub.rounds,
+        converged=sub.converged,
+        history=sub.history,
     )
 
 

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
@@ -97,6 +98,7 @@ def coreness(
     history: list[dict[str, Any]] = []
     probe = ShuffleProbe(spark)
     rnd = start_round
+    state_ckpt = StateCheckpointer(spark)
     while True:
         rnd += 1
         if rnd > max_rounds:
@@ -121,7 +123,7 @@ def coreness(
             )
             .cast("long")
             .alias("c")
-        ).localCheckpoint(eager=False)
+        ).transform(state_ckpt.cut_lazy)
         # ONE action per round: materializes the new values AND detects the
         # fixpoint (the operator is pointwise non-increasing from degrees,
         # so "no vertex changed" == converged to the coreness).

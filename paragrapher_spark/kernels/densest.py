@@ -30,6 +30,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.iterstate import StateCheckpointer
+
 
 @dataclass
 class DensestResult:
@@ -68,6 +70,7 @@ def densest_subgraph(
     best_round = 0
     best_members: DataFrame | None = None
     rnd = 0
+    state_ckpt = StateCheckpointer(edges.sparkSession)
     for rnd in range(0, max_rounds + 1):
         t0 = time.monotonic()
         deg = (
@@ -75,7 +78,7 @@ def densest_subgraph(
             .unionByName(e.select(F.col("dst").alias("id")))
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         # the round's ONE action: n and 2m in a single two-scalar collect
         # (materializes both checkpoints: this round's e and deg)
@@ -103,7 +106,7 @@ def densest_subgraph(
         e = (
             e.join(keep.withColumnRenamed("id", "src"), on="src", how="left_semi")
             .join(keep.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
     if best_members is None:  # edgeless input: round 0 saw n == 0
         best_members = e.sparkSession.createDataFrame([], "id long")

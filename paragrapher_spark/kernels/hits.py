@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
@@ -73,6 +74,7 @@ def hits(
     history: list[dict[str, Any]] = []
     probe = ShuffleProbe(spark)
     auth = None
+    state_ckpt = StateCheckpointer(spark)
     for it in range(1, iterations + 1):
         t0 = time.monotonic()
         auth = (
@@ -85,7 +87,7 @@ def hits(
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("auth").alias("hub"))
             .repartition(n_part, "id")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         n = hub.count()  # ONE action per round materializes the checkpoint
         dt = time.monotonic() - t0
@@ -208,6 +210,7 @@ def salsa(
             auth = snap.where(F.col("a").isNotNull()).select("id", "a")
             hub = snap.where(F.col("h").isNotNull()).select("id", "h")
 
+    state_ckpt = StateCheckpointer(spark)
     for rnd in range(start_round + 1, iterations + 1):
         hub = (
             ed.join(auth.select(F.col("id").alias("dst"), "a"), on="dst")
@@ -219,7 +222,7 @@ def salsa(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.expr("h DIV outdeg")).cast("long").alias("a"))
             .repartition(n_part, "id")
-            .localCheckpoint(eager=True)  # one action per round, cuts lineage
+            .transform(state_ckpt.cut)  # one action per round, cuts lineage
         )
         if checkpoint is not None and (
             rnd % checkpoint_every == 0 or rnd == iterations

@@ -48,6 +48,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 M = 16  # registers per counter (b = 4 index bits)
@@ -196,6 +197,7 @@ def hyperball(
     history: list[dict[str, Any]] = []
     probe = ShuffleProbe(spark)
     rad = 0
+    state_ckpt = StateCheckpointer(spark)
     for rad in range(1, radius + 1):
         t0 = time.monotonic()
         msgs = e.join(
@@ -225,7 +227,7 @@ def hyperball(
             )
             .select("id", *REG_COLS, F.col("new_est").alias("est"), "harmonic")
             .repartition(n_part, "id")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         # ONE action per round: materializes the checkpoint AND reads off
         # the radius-r neighborhood function

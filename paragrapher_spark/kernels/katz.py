@@ -46,6 +46,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 _GUARD = 2**62
@@ -115,6 +116,7 @@ def katz(
     max_y = 1
     history: list[dict[str, Any]] = []
     probe = ShuffleProbe(spark)
+    state_ckpt = StateCheckpointer(spark)
     for t in range(1, rounds + 1):
         bump = base**t
         # exact a-priori bound for THIS round: every vertex receives at most
@@ -140,7 +142,7 @@ def katz(
                 ),
             )
             .repartition(n_part, "id")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         # ONE action per round: materializes the checkpoint AND returns the
         # exact running maximum for the next round's overflow guard
@@ -221,6 +223,7 @@ def eigencentrality(
     max_y = 1
     history: list[dict[str, Any]] = []
     probe = ShuffleProbe(spark)
+    state_ckpt = StateCheckpointer(spark)
     for t in range(1, rounds + 1):
         if max_in * max_y >= _GUARD:
             raise ValueError(
@@ -237,7 +240,7 @@ def eigencentrality(
             vertices.join(gathered, on="id", how="left")
             .select("id", F.coalesce(F.col("g"), F.lit(0)).cast("long").alias("y"))
             .repartition(n_part, "id")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         max_y = y.agg(F.max("y")).collect()[0][0]
         dt = time.monotonic() - t0

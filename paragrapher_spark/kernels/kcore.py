@@ -21,6 +21,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.iterstate import StateCheckpointer
+
 
 @dataclass
 class KCoreResult:
@@ -43,6 +45,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 100) -> KCoreResult:
     history: list[dict[str, Any]] = []
     prev_m: int | None = None
     rnd = 0
+    state_ckpt = StateCheckpointer(edges.sparkSession)
     for rnd in range(1, max_rounds + 1):
         t0 = time.monotonic()
         deg = (
@@ -60,7 +63,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 100) -> KCoreResult:
         e = (
             e.join(keep.withColumnRenamed("id", "src"), on="src", how="left_semi")
             .join(keep.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         m = e.count()
         history.append(

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
@@ -137,6 +138,7 @@ def ktruss(
         kept = e.select("a", "b", F.lit(0).cast("long").alias("support"))
     probe = ShuffleProbe(spark)
     rnd = start_round
+    state_ckpt = StateCheckpointer(spark)
     while True:
         rnd += 1
         if rnd > max_rounds:
@@ -152,7 +154,7 @@ def ktruss(
                 "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
             )
             .where(F.col("support") >= k - 2)
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         # ONE action per round: the count below materializes the kept-edge
         # checkpoint and doubles as the fixpoint detector — peeling

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
@@ -81,6 +82,7 @@ def label_propagation(
     converged = False
     probe = ShuffleProbe(spark)
     it = start_iter
+    state_ckpt = StateCheckpointer(spark)
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.monotonic()
         # neighbor votes: vertex src receives the label of each neighbor dst
@@ -109,7 +111,7 @@ def label_propagation(
             )
             # non-eager: the changed-count aggregation below is the one job
             # of the superstep and materializes the checkpoint
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         changed = (
             joined.agg(

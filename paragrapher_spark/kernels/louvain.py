@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
@@ -115,6 +116,7 @@ def louvain_level(
 
     history: list[dict[str, Any]] = []
     probe = ShuffleProbe(spark)
+    state_ckpt = StateCheckpointer(spark)
     for r in range(start_round + 1, rounds + 1):
         lab = labels.select("id", "c")
         tot = (
@@ -183,7 +185,7 @@ def louvain_level(
                 .alias("c"),
             )
             .repartition(n_part, "id")
-            .localCheckpoint(eager=True)  # one action per round
+            .transform(state_ckpt.cut)  # one action per round
         )
         n_comms = labels.select("c").distinct().count()
         shuffle_w, shuffle_r = probe.tick()

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from paragrapher_spark.kernels.mis import SEED
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.checkpoint import CheckpointManager
 
 
@@ -114,6 +115,7 @@ def maximal_matching(
         )
     history: list[dict[str, Any]] = []
     n_left = undecided.count()
+    state_ckpt = StateCheckpointer(spark)
     while n_left > 0:
         rounds += 1
         if rounds > max_rounds:
@@ -138,7 +140,7 @@ def maximal_matching(
             .join(vmin.select(F.col("v").alias("b"), F.col("mn").alias("mnb")), on="b")
             .where((key == F.col("mna")) & (key == F.col("mnb")))
             .select("a", "b")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         matched_verts = (
             winners.select(F.col("a").alias("v"))
@@ -150,7 +152,7 @@ def maximal_matching(
                 matched_verts.withColumnRenamed("v", "a"), on="a", how="left_anti"
             )
             .join(matched_verts.withColumnRenamed("v", "b"), on="b", how="left_anti")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         # ONE action per round: materializes winners (in the plan) and
         # counts the shrinking undecided set

@@ -38,6 +38,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.checkpoint import CheckpointManager
 
 SEED = 42
@@ -123,6 +124,7 @@ def maximal_independent_set(
         )
     history: list[dict[str, Any]] = []
     n_left = undecided.count()
+    state_ckpt = StateCheckpointer(spark)
     while n_left > 0:
         rounds += 1
         if rounds > max_rounds:
@@ -149,7 +151,7 @@ def maximal_independent_set(
                 | (F.struct("h", "id") < F.col("mn"))
             )
             .select("id")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         excluded = (
             adj.join(winners.withColumnRenamed("id", "u"), on="u", how="left_semi")
@@ -159,7 +161,7 @@ def maximal_independent_set(
         undecided = (
             undecided.join(winners, on="id", how="left_anti")
             .join(excluded, on="id", how="left_anti")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         # ONE action per round: counting the next undecided set
         # materializes this round's winners checkpoint (it is in the plan)

@@ -27,6 +27,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.iterstate import StateCheckpointer
+
 from paragrapher_spark.kernels.components import connected_components
 
 
@@ -73,6 +75,7 @@ def boruvka_msf(
     msf = spark.createDataFrame([], "a long, b long, w long")
     history: list[dict[str, Any]] = []
     rounds = 0
+    state_ckpt = StateCheckpointer(spark)
     for rnd in range(1, max_rounds + 1):
         t0 = time.monotonic()
         lab = (
@@ -98,9 +101,7 @@ def boruvka_msf(
         if n_hooks == 0:
             break
         rounds = rnd
-        msf = msf.unionByName(hooks.select("a", "b", "w")).localCheckpoint(
-            eager=False
-        )
+        msf = msf.unionByName(hooks.select("a", "b", "w")).transform(state_ckpt.cut_lazy)
         # contract: WCC over the hook graph (component-id vertices only);
         # labels are min old-component ids — the oracle's closure rule
         cc = connected_components(
@@ -113,7 +114,7 @@ def boruvka_msf(
                 how="left",
             )
             .select("id", F.coalesce("component", F.col("c")).alias("c"))
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
     stats = msf.agg(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("w"), F.lit(0)).alias("tw")

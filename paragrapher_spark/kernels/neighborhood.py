@@ -42,6 +42,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.iterstate import StateCheckpointer
+
 SCALE = 10**6
 
 
@@ -108,13 +110,14 @@ def neighbor_feature_agg(
 
     e = edges.select("src", "dst").repartition(n_part, "dst").persist()
     e.count()
+    state_ckpt = StateCheckpointer(spark)
     for _ in range(hops):
         state = (
             e.join(state.withColumnRenamed("id", "dst"), on="dst")
             .groupBy(F.col("src").alias("id"), "pos")
             .agg(F.sum("s").alias("s"))
             .repartition(n_part, "id")
-            .localCheckpoint(eager=True)
+            .transform(state_ckpt.cut)
         )
     e.unpersist()
 

@@ -39,6 +39,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
@@ -107,6 +108,7 @@ def sssp(
     probe = ShuffleProbe(spark)
     converged = False
     it = 0
+    state_ckpt = StateCheckpointer(spark)
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
         cand = (
@@ -134,7 +136,7 @@ def sssp(
             .agg(F.min(F.struct("dist", "upd")).alias("s"))
             .select("id", F.col("s.dist").alias("dist"), F.col("s.upd").alias("upd"))
             .repartition(n_part, "id")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         improved = (
             new_dist.agg(F.sum("upd").alias("n")).collect()[0]["n"] or 0

@@ -39,6 +39,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
@@ -84,6 +85,7 @@ def topo_levels(
     probe = ShuffleProbe(spark)
     rounds = 0
     converged = False
+    state_ckpt = StateCheckpointer(spark)
     while rounds < max_rounds:
         rounds += 1
         t0 = time.monotonic()
@@ -104,7 +106,7 @@ def topo_levels(
                 .alias("chg"),
             )
             .repartition(n_part, "id")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         # ONE action per round: materializes the checkpoint and returns the
         # change count + running max level for the cycle guard

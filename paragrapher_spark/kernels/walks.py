@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 SEED = 42
@@ -208,6 +209,7 @@ def random_walks(
 
     history: list[dict[str, Any]] = []
     probe = ShuffleProbe(spark)
+    state_ckpt = StateCheckpointer(spark)
     t = start_step
     for t in range(start_step + 1, length + 1):
         t0 = time.monotonic()
@@ -232,7 +234,7 @@ def random_walks(
         state = (
             nxt.select("walk_id", F.col("dst").alias("cur"))
             .repartition(n_part, "cur")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         alive = state.count()
         dt = time.monotonic() - t0
@@ -375,6 +377,7 @@ def node2vec_walks(
 
     history: list[dict[str, Any]] = []
     probe = ShuffleProbe(spark)
+    state_ckpt = StateCheckpointer(spark)
 
     if out is None:
         state0 = (
@@ -405,7 +408,7 @@ def node2vec_walks(
                     F.col("dst").alias("cur"),
                 )
                 .repartition(n_part, "cur")
-                .localCheckpoint(eager=False)
+                .transform(state_ckpt.cut_lazy)
             )
             alive = state.count()
             shuffle_w, shuffle_r = probe.tick()
@@ -493,7 +496,7 @@ def node2vec_walks(
                 "walk_id", F.col("cur").alias("prev"), F.col("dst").alias("cur")
             )
             .repartition(n_part, "cur")
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         alive = state.count()
         dt = time.monotonic() - t0

@@ -32,6 +32,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from paragrapher_spark.plans.iterstate import StateCheckpointer
+
 from paragrapher_spark.operators.indexing import dense_ids
 
 
@@ -73,6 +75,7 @@ def wl_refinement(
     n_colors = 0
     stable = False
     done = 0
+    state_ckpt = StateCheckpointer(edges.sparkSession)
     for r in range(1, rounds + 1):
         t0 = time.monotonic()
         nsig = (
@@ -92,7 +95,7 @@ def wl_refinement(
         colors = (
             combined.join(mapping, on=["color", "nsig"])
             .select("id", F.col("new_color").alias("color"))
-            .localCheckpoint(eager=False)
+            .transform(state_ckpt.cut_lazy)
         )
         n_colors = mapping.count()
         done = r

@@ -543,3 +543,43 @@ def test_neighbor_sampling_bounds_hub_fanout(spark):
     # determinism: same call, same sample
     again = neighbor_sampling(st, [0], fanouts=[5, 5]).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_scc_planted_path_supersteps_logarithmic(spark):
+    """VERDICT r3 task #3's fixture: on a planted path (diameter n-1, all
+    singleton SCCs) the jumped coloring must converge in O(log D)
+    supersteps per propagation pass — the r3 one-hop fixpoint needed
+    >= diameter steps, the classic propagation-depth killer. The bound
+    below (6*log2(n) + 12) passes the randomized-jumping design with
+    slack but is an order of magnitude under the old linear cost."""
+    import math
+
+    n = 96
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    res = scc(e, max_rounds=60)
+    assert res.converged
+    # every vertex is its own SCC on a path
+    assert res.components.where(F.col("id") != F.col("scc")).count() == 0
+    assert res.components.count() == n
+    bound = 6 * math.log2(n) + 12
+    worst_pass = max(
+        max(h["forward_supersteps"], h["backward_supersteps"])
+        for h in res.history
+    )
+    assert worst_pass <= bound, (
+        f"coloring pass took {worst_pass} supersteps on a diameter-{n-1} "
+        f"path (bound {bound:.0f}) — pointer jumping regressed to one-hop"
+    )
+
+
+def test_scc_trim_settles_dag_in_one_round(spark):
+    """A pure out-tree (DAG, no cycles) must settle entirely via the trim
+    peel + first coloring round — the call/import-graph fast path."""
+    edges = [(i, 2 * i + 1) for i in range(15)] + [(i, 2 * i + 2) for i in range(15)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    res = scc(e, max_rounds=10)
+    assert res.converged
+    assert res.components.where(F.col("id") != F.col("scc")).count() == 0
+    assert res.rounds <= 2

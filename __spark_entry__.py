@@ -223,6 +223,33 @@ def _q_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wcc_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decremental WCC under the oracle gate
+    (kernels/components.py decremental_components — the deletion half of
+    the daily-delta story): label the FULL graph cold, delete a ~10% edge
+    batch, then re-solve only the components the deleted edges touched,
+    keeping every untouched label verbatim. Labels are min-ids, so the
+    warm-with-removals result is bit-identical to a cold run on the
+    reduced edge set — the oracle is the trajectory-independent closure
+    SQL over the REMAINING edges (with the original vertex set, so
+    vertices isolated by the removal stay as singletons on both sides).
+    Any affected-set under-reach or stale-label leak shows as a label
+    mismatch."""
+    from paragrapher_spark.kernels.components import decremental_components
+
+    edges = copurchase_edges(spark, sf_dir)
+    removed_pred = (F.col("src") * 7919 + F.col("dst")) % 10 == 3
+    prev = connected_components(edges)
+    res = decremental_components(
+        prev.components,
+        remaining_edges=edges.where(~removed_pred),
+        removed_edges=edges.where(removed_pred),
+    )
+    return res.components.select(
+        F.col("id").cast("long"), F.col("component").cast("long")
+    )
+
+
 def _q_wcc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir)
     res = connected_components(edges)
@@ -257,6 +284,29 @@ def _q_triangle_count_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         prev.unionByName(delta)
         .agg(F.sum("c").cast("long").alias("triangles"))
+    )
+
+
+def _q_triangle_count_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decremental triangle maintenance under the oracle gate: count the
+    FULL graph cold, then SUBTRACT exactly the distinct full-graph
+    triangles that contain at least one edge of a ~10% removal batch
+    (kernels/triangles.py delta_triangles applied to the removal side: a
+    triangle survives a deletion batch iff it contains no removed edge,
+    so total_after = total_before - |triangles touching removed|; the
+    sorted-triple distinct counts a triangle losing 2-3 edges once).
+    Work is proportional to the removal's degree mass, not |E|. Oracle:
+    the trajectory-independent cold count over the remaining edges."""
+    from paragrapher_spark.kernels.triangles import delta_triangles
+
+    edges = copurchase_edges(spark, sf_dir)
+    removed_pred = (F.col("src") * 7919 + F.col("dst")) % 10 == 3
+    full = triangle_count(edges).select(F.col("triangles").alias("c"))
+    lost = delta_triangles(edges, edges.where(removed_pred)).select(
+        (-F.col("new_triangles")).alias("c")
+    )
+    return full.unionByName(lost).agg(
+        F.sum("c").cast("long").alias("triangles")
     )
 
 
@@ -4044,9 +4094,11 @@ def _queries_by_family() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_fixed": _q_pagerank_weighted_fixed,
         "wcc_labels": _q_wcc_labels,
         "wcc_incremental": _q_wcc_incremental,
+        "wcc_decremental": _q_wcc_decremental,
         "wcc_sizes": _q_wcc_sizes,
         "triangle_count": _q_triangle_count,
         "triangle_count_incremental": _q_triangle_count_incremental,
+        "triangle_count_decremental": _q_triangle_count_decremental,
         "square_count": _q_square_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "bfs_depths": _q_bfs_depths,
@@ -4194,6 +4246,7 @@ _GATE_ORDER = [
     "event_funnel", "inverted_index", "cms_heavy_hitters", "events_range_join",
     "cooccurrence", "bpe_merge_pairs", "events_rollup", "cohort_retention",
     "bloom_membership", "dup_gram_stats", "split_contamination", "subgraph_sample",
+    "wcc_decremental", "triangle_count_decremental",
     "zorder_tiles", "last_click_attribution", "event_bursts", "event_transitions",
     "join_skew_report", "bm25_topk", "vertex_cut_report", "rmat_degree_dist",
     "vocab_per_lang", "triad_motifs", "doc_lm_score", "lm_quality_buckets",
@@ -4242,6 +4295,33 @@ _WCC_CTE = f"""
         SELECT dst AS a, src AS b FROM edges
     ),
     verts AS (SELECT DISTINCT a AS v FROM und),
+    reach(v, r) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.v
+    ),
+    comp AS (SELECT v AS id, MIN(r) AS component FROM reach GROUP BY v)
+"""
+
+# decremental twin: closure runs over the post-removal edge set, but the
+# vertex universe stays the FULL graph's endpoints so vertices isolated
+# by the removal appear as singleton components (matching the engine's
+# kept-previous-labels semantics)
+_WCC_DEC_CTE = f"""
+    WITH RECURSIVE alledges AS ({COPURCHASE_EDGES_SQL}),
+    edges AS (
+        SELECT src, dst FROM alledges WHERE (src * 7919 + dst) % 10 <> 3
+    ),
+    und AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION
+        SELECT dst AS a, src AS b FROM edges
+    ),
+    verts AS (
+        SELECT DISTINCT src AS v FROM alledges
+        UNION
+        SELECT DISTINCT dst AS v FROM alledges
+    ),
     reach(v, r) AS (
         SELECT v, v FROM verts
         UNION
@@ -4993,8 +5073,11 @@ def _pagerank_oracle_sql(
     (probed 21-28 at sf0.001/sf0.01; 40 leaves margin).
     ``init_rank_sql``: a SELECT yielding (id, rank) used as pr0 instead
     of the teleport distribution — the kernel's ``init_ranks`` warm-start
-    twin; ids it misses coalesce to the uniform share 1/n, exactly the
-    kernel's rule. ``round_output=False`` emits the raw double (needed
+    twin; ids it misses coalesce to the per-vertex teleport share
+    (uniform 1/n, or the personalized p), exactly the kernel's rule
+    (kernels/pagerank.py warm-start branch — the r3 ADVICE asymmetry is
+    resolved on both sides). ``round_output=False`` emits the raw double
+    (needed
     when the query nests as another run's init vector — the kernel hands
     phase 2 its UNROUNDED phase-1 vector, so the oracle must too)."""
     d = damping
@@ -5048,8 +5131,8 @@ def _pagerank_oracle_sql(
     parts.append(f"""
     pv AS MATERIALIZED ({p_sql}),
     pr0 AS MATERIALIZED ({
-        f'''SELECT v.id, COALESCE(i.rank, 1.0 / (SELECT n FROM nn)) AS rank
-        FROM verts v LEFT JOIN ({init_rank_sql}) i ON i.id = v.id'''
+        f'''SELECT v.id, COALESCE(i.rank, v.p) AS rank
+        FROM pv v LEFT JOIN ({init_rank_sql}) i ON i.id = v.id'''
         if init_rank_sql is not None
         else "SELECT id, p AS rank FROM pv"
     })""")
@@ -5107,16 +5190,40 @@ def _pagerank_oracle_sql(
     return "".join(parts)
 
 
+_PREFIXED_CTE_TOKENS = (
+    "edges", "verts", "nseeds", "seeds", "nn", "odeg", "wsum",
+    "ecoef", "linked", "pv", "alld", "stopr", "allr",
+)
+
+
 def _prefix_pagerank_ctes(sql: str, pfx: str) -> str:
     """Rename every CTE a _pagerank_oracle_sql query defines with a
     prefix, so the query can nest as a subquery of ANOTHER such query
     (DuckDB raises 'Duplicate alias' on shadowed CTE names in a nested
-    WITH). Word-boundary regex is safe here: the CTE names never occur
-    as substrings of the base-table SQL (lineitem/orders columns)."""
-    for name in (
-        "edges", "verts", "nseeds", "seeds", "nn", "odeg", "wsum",
-        "ecoef", "linked", "pv", "alld", "stopr", "allr",
-    ):
+    WITH).
+
+    Why a global word-boundary rename is sound (ADVICE r3 hardening):
+    renaming ALL occurrences of an identifier consistently preserves
+    semantics — a fragment's own alias named e.g. ``edges`` and every
+    reference to it rename together, and shadowing relationships are
+    unchanged. The two ways it CAN silently corrupt are (1) a token
+    inside a string LITERAL (the data value would change) — asserted
+    loudly below — and (2) a token that is a physical base-table column
+    name (the rename would break the binding against the parquet
+    schema); the pre-registered views' columns (l_*, o_*, ps_*, s_*,
+    c_*, n_*, r_*, doc_id, text, event_type, ...) share no word with
+    the token list, and any future collision fails loudly as an unbound
+    column, not a wrong answer."""
+    for m in re.finditer(r"'(?:[^']|'')*'", sql):
+        lit = m.group()
+        for name in _PREFIXED_CTE_TOKENS:
+            if re.search(rf"\b{name}\b", lit):
+                raise ValueError(
+                    f"_prefix_pagerank_ctes: string literal {lit!r} contains "
+                    f"reserved CTE token {name!r}; renaming would corrupt the "
+                    "literal — restructure the fragment"
+                )
+    for name in _PREFIXED_CTE_TOKENS:
         sql = re.sub(rf"\b{name}\b", f"{pfx}{name}", sql)
     return re.sub(r"\b(pr|dm|dl)(\d+)\b", rf"{pfx}\1\2", sql)
 
@@ -7057,6 +7164,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS size
             FROM comp GROUP BY component
         """,
+        # trajectory-independent closure over the REMAINING edges with
+        # the ORIGINAL vertex set (removal-isolated vertices stay as
+        # singletons on both sides) — gates the deletion-aware warm path
+        "wcc_decremental": _WCC_DEC_CTE
+        + "SELECT CAST(id AS BIGINT) AS id, CAST(component AS BIGINT) AS component FROM comp",
         "triangle_count": f"""
             WITH edges AS ({COPURCHASE_EDGES_SQL}),
             und AS (
@@ -7073,6 +7185,24 @@ def oracle_sql() -> dict[str, str]:
         # triangles) must land on the exact full-graph total
         "triangle_count_incremental": f"""
             WITH edges AS ({COPURCHASE_EDGES_SQL}),
+            und AS (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst
+                GROUP BY 1, 2
+            )
+            SELECT CAST(count(*) AS BIGINT) AS triangles
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        # trajectory-independent cold count over the remaining edges —
+        # gates the subtract-lost-triangles deletion path
+        "triangle_count_decremental": f"""
+            WITH alledges AS ({COPURCHASE_EDGES_SQL}),
+            edges AS (
+                SELECT src, dst FROM alledges
+                WHERE (src * 7919 + dst) % 10 <> 3
+            ),
             und AS (
                 SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
                 FROM edges WHERE src <> dst

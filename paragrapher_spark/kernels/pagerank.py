@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from paragrapher_spark.operators.salting import explode_salts, salt_column
 from paragrapher_spark.plans.checkpoint import CheckpointManager
+from paragrapher_spark.plans.iterstate import StateCheckpointer
 from paragrapher_spark.plans.metrics import ShuffleProbe
 
 
@@ -235,9 +236,15 @@ def pagerank(
             )
     if ranks is None:
         if init_ranks is not None:
-            # warm start: previous vector where present, uniform share for
-            # vertices the delta introduced. Left join keeps the vertex
-            # set authoritative (ids dropped by the delta vanish with it).
+            # warm start: previous vector where present; vertices the
+            # delta introduced fall back to the SAME per-vertex teleport
+            # the cold start would seed them with (_p_col(): uniform 1/N,
+            # or the personalized p column) — so a warm personalized
+            # start replays exactly the cold start vector on missing ids
+            # (ADVICE r3: the old uniform-share fallback was an
+            # undocumented asymmetry a personalized-incremental oracle
+            # would trip over). Left join keeps the vertex set
+            # authoritative (ids dropped by the delta vanish with it).
             ranks = _with_flag(
                 vertices.join(
                     init_ranks.select(
@@ -245,9 +252,12 @@ def pagerank(
                     ),
                     on="id",
                     how="left",
-                ).select(
-                    "id", F.coalesce(F.col("_r0"), F.lit(p_lit)).alias("rank")
-                )
+                ).select("id", F.col("_r0").alias("rank"))
+            ).select(
+                "id",
+                F.coalesce("rank", _p_col()).alias("rank"),
+                "is_dangling",
+                *p_cols,
             )
         else:
             ranks = _with_flag(
@@ -274,6 +284,11 @@ def pagerank(
     delta = float("inf")
     probe = ShuffleProbe(spark)
     it = start_iter
+    # per-iteration state cuts: the superstep references ``ranks`` twice
+    # (gather join + old_rank merge) — the chained-checkpoint shape whose
+    # driver cost blows up past ~18 generations (plans/iterstate.py);
+    # the convergence path runs 17-40+ iterations, squarely in that zone
+    state_ckpt = StateCheckpointer(spark)
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.monotonic()
         ranks_src = ranks.select(F.col("id").alias("src"), "rank")
@@ -303,11 +318,11 @@ def pagerank(
                 *p_cols,
             )
             .repartition(n_part, "id")
-            # non-eager: the delta/dangling aggregation below is the ONE
-            # job of the superstep — it materializes the checkpoint as a
-            # side effect
-            .localCheckpoint(eager=False)
         )
+        # non-eager cut: the delta/dangling aggregation below is the ONE
+        # job of the superstep — it materializes the checkpoint as a
+        # side effect (parquet round-trip every 8th iteration, eager)
+        new_ranks = state_ckpt.cut(new_ranks, eager=False)
         delta, dm = _delta_and_dangling(new_ranks)
         ranks = new_ranks.select("id", "rank", "is_dangling", *p_cols)
         dt = time.monotonic() - t0
@@ -338,8 +353,13 @@ def pagerank(
         )
     edges_w.unpersist()
     vertices.unpersist()
+    # pin the result into cached partitions BEFORE deleting the
+    # checkpointer's parquet files (iterstate contract: the returned
+    # vector must not depend on files close() removes)
+    out_ranks = ranks.select("id", "rank").localCheckpoint(eager=True)
+    state_ckpt.close()
     return PageRankResult(
-        ranks=ranks.select("id", "rank"), iterations=it, converged=converged,
+        ranks=out_ranks, iterations=it, converged=converged,
         final_delta=delta, history=history,
     )
 

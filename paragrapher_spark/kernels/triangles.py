@@ -316,6 +316,16 @@ def delta_triangles(full_edges: DataFrame, delta_edges: DataFrame) -> DataFrame:
     (pinned against a cold full-graph count in tests and the
     `triangle_count_incremental` oracle).
 
+    PRECONDITION (ADVICE r3): the identity above requires the delta's
+    undirected edges to be DISJOINT from the old graph's — a delta that
+    re-asserts an existing edge (duplicate row or reversed orientation)
+    makes triangles already counted in ``previous_total`` also "contain
+    a delta edge" and they get double-counted. The in-repo callers
+    satisfy this by construction (canonical src<dst distinct edge tables
+    row-partitioned into old/delta); callers appending to an arbitrary
+    edge table must first anti-join ``_undirected(delta)`` against
+    ``_undirected(old)``.
+
     Shape: for each canonical delta edge (a, b), common neighbors w come
     from two equi-joins against the full undirected adjacency; each
     triangle is identified by its SORTED vertex triple and deduped with

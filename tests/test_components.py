@@ -188,3 +188,59 @@ def test_incremental_components_empty_delta(spark):
     assert {(r.id, r.component) for r in warm.components.collect()} == {
         (r.id, r.component) for r in prev.components.collect()
     }
+
+
+def test_decremental_components_split_matches_cold_run(spark):
+    """decremental_components: removing edges that SPLIT a component and
+    ISOLATE a vertex must be bit-identical to a cold run on the reduced
+    edge set, with untouched components' labels reused verbatim."""
+    from pyspark.sql import functions as F
+
+    from paragrapher_spark.kernels.components import (
+        connected_components,
+        decremental_components,
+    )
+
+    # one long chain, one triangle, one untouched pair
+    full = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    removed = [(2, 3), (10, 11), (10, 12)]  # splits the chain; 10 keeps 11-12 via... no: removing 10-11 and 10-12 isolates 10
+    full_df = spark.createDataFrame(full, "src long, dst long")
+    rem_df = spark.createDataFrame(removed, "src long, dst long")
+    remaining = full_df.exceptAll(rem_df)
+
+    prev = connected_components(full_df)
+    warm = decremental_components(prev.components, remaining, rem_df)
+    cold = connected_components(
+        remaining,
+        vertices=full_df.select(F.col("src").alias("id"))
+        .unionByName(full_df.select(F.col("dst").alias("id")))
+        .distinct(),
+    )
+    got_w = {(r.id, r.component) for r in warm.components.collect()}
+    got_c = {(r.id, r.component) for r in cold.components.collect()}
+    assert got_w == got_c
+    labels = dict(got_w)
+    # chain split: 0-1-2 keeps 0; 3-4 relabels to 3; 10 isolated singleton
+    assert labels[2] == 0 and labels[3] == 3 and labels[4] == 3
+    assert labels[10] == 10 and labels[11] == 11 and labels[12] == 11
+    # untouched component label reused verbatim
+    assert labels[20] == 20 and labels[21] == 20
+
+
+def test_decremental_components_untouched_labels_not_recomputed(spark):
+    """Components without a removed edge must pass through the warm path
+    untouched — the affected-set carve keeps work local."""
+    from paragrapher_spark.kernels.components import (
+        connected_components,
+        decremental_components,
+    )
+
+    full_df = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "src long, dst long"
+    )
+    rem_df = spark.createDataFrame([(10, 11)], "src long, dst long")
+    remaining = full_df.exceptAll(rem_df)
+    prev = connected_components(full_df)
+    warm = decremental_components(prev.components, remaining, rem_df)
+    labels = {r.id: r.component for r in warm.components.collect()}
+    assert labels == {0: 0, 1: 0, 2: 0, 10: 10, 11: 11}

@@ -227,13 +227,17 @@ def scc(
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    live = (
+    ckpt = StateCheckpointer(spark)
+    # NOTE every cross-round graph table is localCheckpoint/ckpt-CUT, not
+    # persist()ed: persist caches data but keeps the logical plan, so a
+    # later round's every action re-COMPILES the whole prior-round plan
+    # tree (measured: round-2 propagate steps at 60-170 s of pure
+    # Catalyst time on a 2.7k-edge graph before this change)
+    live = ckpt.cut(
         edges.select("src", "dst")
         .distinct()
         .repartition(n_part, "src")
-        .persist()
     )
-    ckpt = StateCheckpointer(spark)
     verts = ckpt.cut(
         live.select(F.col("src").alias("id"))
         .unionByName(live.select(F.col("dst").alias("id")))
@@ -287,15 +291,11 @@ def scc(
             remaining = n_keep
             if remaining == 0:
                 break
-            nxt_live = (
+            live = ckpt.cut(
                 live.join(verts.withColumnRenamed("id", "src"), on="src", how="leftsemi")
                 .join(verts.withColumnRenamed("id", "dst"), on="dst", how="leftsemi")
                 .repartition(n_part, "src")
-                .persist()
             )
-            nxt_live.count()
-            live.unpersist()
-            live = nxt_live
         if remaining == 0:
             history.append(
                 {
@@ -323,14 +323,35 @@ def scc(
             eager=True
         )
 
-        # same-color edge subgraph — an SCC never crosses a color
-        # boundary, so this both guards the backward sweep AND becomes
-        # the (settled-pruned) next-round live graph (the shattering
-        # refinement; see module docstring §4)
+        # singleton shortcut: a color class with ONE member is a
+        # singleton SCC (an SCC never crosses a color boundary), settled
+        # without any backward sweep — after trimming, the vast majority
+        # of a call/import graph's classes are singletons, so the sweep
+        # below runs over only the (tiny) multi-member remainder.
+        multi_colors = (
+            colors.groupBy("color")
+            .agg(F.count(F.lit(1)).alias("csz"))
+            .where(F.col("csz") > 1)
+            .select("color")
+        )
+        mverts = colors.join(multi_colors, on="color", how="leftsemi").select(
+            "id", "color"
+        ).localCheckpoint(eager=True)
+        singles = (
+            colors.join(multi_colors, on="color", how="left_anti")
+            .select("id", F.col("id").alias("scc"))
+            .localCheckpoint(eager=True)
+        )
+        n_singles = singles.count()
+        done = singles if done is None else done.unionByName(singles)
+
+        # same-color edge subgraph over multi-member classes — guards
+        # the backward sweep AND becomes the (settled-pruned) next-round
+        # live graph (the shattering refinement; see module docstring §4)
         ec = (
-            live.join(colors.select(F.col("id").alias("src"), "color"), on="src")
+            live.join(mverts.select(F.col("id").alias("src"), "color"), on="src")
             .join(
-                colors.select(
+                mverts.select(
                     F.col("id").alias("dst"), F.col("color").alias("dcolor")
                 ),
                 on="dst",
@@ -338,7 +359,7 @@ def scc(
             .where(F.col("color") == F.col("dcolor"))
             .select("src", "dst")
             .repartition(n_part, "src")
-            .persist()
+            .localCheckpoint(eager=True)
         )
 
         # 3. backward sweep: same jumped kernel on reversed same-color
@@ -348,19 +369,19 @@ def scc(
         )
         tb = time.monotonic()
         blab, bwd_steps = _min_propagate(
-            verts.select("id", _prio("id").alias("lab")), rev, n_part, ckpt
+            mverts.select("id", _prio("id").alias("lab")), rev, n_part, ckpt
         )
         _dbg(f"round {rnd} bwd done steps {bwd_steps} {time.monotonic() - tb:.1f}s")
         # cached (never parquet-backed): ``done`` retains every round's
         # settled rows for the whole run, so they must not depend on
         # iterstate files that a later cut deletes
         settled = (
-            colors.join(blab, on="id")
+            mverts.join(blab, on="id")
             .where(F.col("lab") == F.col("color"))
             .select("id", F.col("color")["aid"].alias("root"))
             .localCheckpoint(eager=True)
         )
-        n_settled = settled.count()
+        n_settled = settled.count() + n_singles
 
         # 4. emit with the oracle contract label: min vertex id per SCC
         scc_ids = settled.groupBy("root").agg(F.min("id").alias("scc"))
@@ -378,12 +399,12 @@ def scc(
         # is settled too.
         verts = ckpt.cut(
             verts.join(settled.select("id"), on="id", how="left_anti")
+            .join(singles.select("id"), on="id", how="left_anti")
             .repartition(n_part, "id")
         )
         remaining = verts.count()
-        nxt_live = None
         if remaining > 0:
-            nxt_live = (
+            live = ckpt.cut(
                 ec.join(
                     blab.select(F.col("id").alias("src"), F.col("lab").alias("bsrc")),
                     on="src",
@@ -400,13 +421,7 @@ def scc(
                     how="left_anti",
                 )
                 .repartition(n_part, "src")
-                .persist()
             )
-            nxt_live.count()
-        live.unpersist()
-        ec.unpersist()
-        if nxt_live is not None:
-            live = nxt_live
         dt = time.monotonic() - t0
         shuffle_w, shuffle_r = probe.tick()
         history.append(
@@ -424,8 +439,6 @@ def scc(
         )
         if remaining == 0:
             break
-    if remaining > 0:
-        live.unpersist()
     converged = remaining == 0
 
     spark_empty = spark.createDataFrame([], "id long, scc long")

@@ -16,15 +16,25 @@ off. Whatever structure doubles is invisible to the plan printers, but
 a parquet ROUND-TRIP fully severs it: the same loop with a write+read
 every 8 steps runs 40 generations flat (15 s total).
 
+The growth rate follows the REFERENCE COUNT: with R references to the
+prior state per composed step, the hidden cost multiplies ~R× per
+generation, so the cliff sits near R^g ≈ 2^18 — measured directly on
+the SCC kernel's 4-reference fused double-step: period 8 (chains of 8
+generations, 4^8 ≈ 2^16) hits 65 s single actions, period 4 stays at
+≤2 s. The default period is therefore 4: safe for every loop shape in
+this engine (R ≤ 4), at the cost of one tiny parquet round-trip per 4
+supersteps.
+
 ``StateCheckpointer`` packages that observation: ``cut(df)`` is a
 drop-in replacement for ``df.localCheckpoint(eager=True)`` that inserts
-a parquet round-trip every ``period``-th cut (default 8, safely under
-the ~18-generation knee); round-trip files are retained until
+a parquet round-trip every ``period``-th cut (default 4, safely under
+the measured cliff for up to 4 state references per step); round-trip
+files are retained until
 ``close()`` or interpreter exit (see ``cut`` for why).
 
 Scale notes (100 TB): the state table is one row per vertex (id + a few
-columns); writing it every 8 supersteps adds one columnar write+scan
-per 8 barriers — noise next to the per-superstep shuffles, and the
+columns); writing it every ``period`` supersteps adds one columnar
+write+scan per few barriers — noise next to the per-superstep shuffles, and the
 standard large-graph practice anyway (GraphFrames' iterative algorithms
 checkpoint to durable storage on a cadence for exactly this class of
 driver blowup). ``base_dir`` must be executor-visible on a real cluster
@@ -42,9 +52,11 @@ import uuid
 
 from pyspark.sql import DataFrame
 
-#: Cut generations between parquet round-trips. The measured knee is
-#: ~18 chained checkpoint generations; 8 keeps every chain well under it.
-DEFAULT_PERIOD = 8
+#: Cut generations between parquet round-trips. The measured cliff is
+#: R^generations ~ 2^18 for R references per step; 4 is safe for every
+#: loop shape in this engine (R <= 4: 4^4 = 256 << 2^18).
+#: PG_ITERSTATE_PERIOD overrides for measurement.
+DEFAULT_PERIOD = int(os.environ.get("PG_ITERSTATE_PERIOD", "4"))
 
 
 class StateCheckpointer:

@@ -1853,6 +1853,49 @@ def _q_scc_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: scc_random_digraph fixture: the EXACT input class that crashed the r4
+#: SCC kernel (tests/test_walks_scc_neighborhood.py::
+#: test_scc_md5_graph_has_giant_component) — a sparse md5 random digraph
+#: whose giant SCC forces ~10 propagation supersteps, i.e. a deep chain
+#: of checkpoint generations through plans/iterstate.py. The gated SCC
+#: queries (scc_imports/call_scc) settle in few supersteps, which is why
+#: the r4 crash lived only in pytest; this query pins the deep-superstep
+#: path under the driver's oracle gate forever (VERDICT r4 task #7).
+_SCC_RAND_N = 80
+_SCC_RAND_DEG = 2
+#: Floor on total propagation supersteps: if a future fixture tweak (or
+#: kernel change) settles this graph shallowly, the query fails loudly
+#: instead of silently leaving the regression class ungated.
+_SCC_RAND_MIN_STEPS = 8
+
+
+def _q_scc_random_digraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC labels of a deterministic sparse random digraph
+    (sources/edges.py:md5_vertex_graph, n=80, out_deg=2) — the
+    deep-superstep regression fixture for kernels/scc.py: a giant SCC
+    plus rho-shaped tails that needs ~10 pointer-jumped propagation
+    steps (many chained checkpoint generations), the input class whose
+    accumulated-lineage constraint rewrite crashed the r4 kernel.
+    Self-generated input (sf_dir unused, like rmat_degree_dist); oracle:
+    DuckDB recursive-CTE transitive closure over the byte-identical
+    md5-regenerated edge set."""
+    g = md5_vertex_graph(spark, _SCC_RAND_N, out_deg=_SCC_RAND_DEG)
+    res = scc(g.select("src", "dst"), num_partitions=8)
+    steps = sum(
+        h.get("forward_supersteps", 0) + h.get("backward_supersteps", 0)
+        for h in res.history
+    )
+    if not res.converged or steps < _SCC_RAND_MIN_STEPS:
+        raise RuntimeError(
+            f"scc_random_digraph fixture degraded: converged={res.converged}, "
+            f"{steps} total supersteps < floor {_SCC_RAND_MIN_STEPS} — the "
+            "gated input no longer exercises the deep-superstep path"
+        )
+    return res.components.select(
+        F.col("id").cast("long"), F.col("scc").cast("long")
+    )
+
+
 def _q_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style 2-hop feature aggregation (kernels/neighborhood.py)
     over the embeddings table wired to a deterministic md5 vertex graph:
@@ -4138,6 +4181,7 @@ def _queries_by_family() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": _q_node2vec_walks,
         "neighbor_sampling": _q_neighbor_sampling,
         "scc_imports": _q_scc_imports,
+        "scc_random_digraph": _q_scc_random_digraph,
         "neighbor_features": _q_neighbor_features,
         "sp_counts": _q_sp_counts,
         "betweenness_sampled": _q_betweenness_sampled,
@@ -4233,13 +4277,28 @@ def _queries_by_family() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Gate-priority order for the driver correctness gate (CORRECTNESS_rN):
 # the driver runs queries()+oracle_sql() side-by-side at sf0.01 in dict
-# order under a fixed budget, and rounds 1-3 only ever reached the first
-# ~50 entries. This list front-loads the 93 queries NEVER driver-gated
-# (cheapest first, by the measured sf0.01 sweep in BENCH_local.json),
-# then the previously-gated 50 (also cheapest first) so a deep budget
-# re-verifies them too. Correctness itself is order-independent; this
-# only maximizes independent per-round coverage (VERDICT r3 task #2).
+# order under a fixed budget; r3 reached ~50 entries and r4 gated
+# exactly the first 50 of this list. Rounds 1-4 have cumulatively gated
+# 100 of 145 queries; this r5 ordering front-loads EXACTLY the 45 never
+# driver-gated queries (VERDICT r4 task #3: registry minus the four
+# CORRECTNESS files), then the new deep-superstep SCC regression fixture
+# (task #7), then the r4-gated 50, then the r1-r3-gated 50 — so a ~50
+# budget completes driver coverage of the whole registry while a deeper
+# budget re-verifies prior rounds. Correctness is order-independent;
+# this only maximizes cumulative per-round coverage.
 _GATE_ORDER = [
+    "shared_imports", "neighbor_features", "winnow_clones", "ppr_batch",
+    "triangle_count_doulion", "salsa_fixed", "eccentricity_sampled", "transitivity",
+    "near_dup_canonical", "corpus_pipeline", "maximal_matching", "eigencentrality_fixed",
+    "ppr_sweep", "harmonic_sampled", "closeness_sampled", "modularity_lp",
+    "bipartite_check", "import_impact", "package_graph", "dead_functions",
+    "mis_members", "community_conductance", "node2vec_walks", "louvain_labels",
+    "wl_colors", "msf_edges", "doc_top_terms", "katz_fixed",
+    "rich_club", "betweenness_sampled", "pseudo_diameter", "call_graph_pagerank",
+    "link_prediction", "ktruss_edges", "coreness_all", "sp_counts",
+    "neighborhood_function", "affinity_clusters", "edge_betweenness_sampled", "graph_coloring",
+    "reciprocity", "build_order", "scc_condensation", "scc_imports",
+    "call_scc", "scc_random_digraph",
     "token_counts", "doc_splits", "doc_packs", "doc_sample_stratified",
     "pii_scrub", "span_dedup", "doc_length_quantiles", "events_pivot",
     "dyad_census", "events_asof", "gopher_rules", "corpus_diff",
@@ -4253,18 +4312,7 @@ _GATE_ORDER = [
     "call_file_fanout", "semantic_dedup", "bucketed_join", "table_time_travel",
     "densest_subgraph", "merge_upsert", "edge_embeddedness", "assortativity",
     "knn_profile", "neighbor_sampling", "call_edges", "gap_bits_orders",
-    "shared_imports", "neighbor_features", "winnow_clones", "ppr_batch",
-    "triangle_count_doulion", "salsa_fixed", "eccentricity_sampled", "transitivity",
-    "near_dup_canonical", "corpus_pipeline", "maximal_matching", "eigencentrality_fixed",
-    "ppr_sweep", "harmonic_sampled", "closeness_sampled", "modularity_lp",
-    "bipartite_check", "import_impact", "package_graph", "dead_functions",
-    "mis_members", "community_conductance", "node2vec_walks", "louvain_labels",
-    "wl_colors", "msf_edges", "doc_top_terms", "katz_fixed",
-    "rich_club", "betweenness_sampled", "pseudo_diameter", "call_graph_pagerank",
-    "link_prediction", "ktruss_edges", "coreness_all", "sp_counts",
-    "neighborhood_function", "affinity_clusters", "edge_betweenness_sampled", "graph_coloring",
-    "reciprocity", "build_order", "scc_condensation", "scc_imports",
-    "call_scc", "media_stats", "text_stats", "exact_dup_groups",
+    "media_stats", "text_stats", "exact_dup_groups",
     "doc_fingerprint", "degree_topk", "events_hourly", "in_degree_dist",
     "knn_bruteforce", "sessions", "graph_meta", "corpus_clean",
     "csr_offsets", "ngram_jaccard", "simhash_near_dups", "embedding_dups",
@@ -6877,6 +6925,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scc_imports": _scc_oracle_sql(
             _import_edges_md5_sql(_SCC_FILES, 8, 12, 16)
+        ),
+        "scc_random_digraph": _scc_oracle_sql(
+            md5_vertex_graph_sql(_SCC_RAND_N, _SCC_RAND_DEG)
         ),
         "neighbor_features": _neighbor_features_oracle_sql(_NF_OUT_DEG),
         "sp_counts": _sp_counts_oracle_sql(_BC_UNROLL, _BC_SOURCE_MOD),

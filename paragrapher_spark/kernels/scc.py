@@ -227,6 +227,32 @@ def scc(
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # Constraint propagation OFF for the kernel's lifetime: every
+    # localCheckpoint snapshots the optimized plan's constraint set into
+    # the LogicalRDD, and Spark 4.1's rewriteStatsAndConstraints maps
+    # those constraints through an output-attribute map that does NOT
+    # cover attributes captured from checkpoint-generation-N-minus-k
+    # plans — on deep accumulated unions (many outer rounds) the rewrite
+    # dies with ``NoSuchElementException: key not found: id#N``
+    # (reproduced: test_scc_md5_graph_has_giant_component). With the
+    # conf off, constraints snapshot empty and the rewrite is a no-op.
+    # Constraints add nothing here: every join is an equi-join on a
+    # non-null vertex key. Restored in the finally below.
+    _CP_CONF = "spark.sql.constraintPropagation.enabled"
+    _cp_old = spark.conf.get(_CP_CONF, "true")
+    spark.conf.set(_CP_CONF, "false")
+    try:
+        return _scc_impl(edges, spark, n_part, max_rounds)
+    finally:
+        spark.conf.set(_CP_CONF, _cp_old)
+
+
+def _scc_impl(
+    edges: DataFrame,
+    spark,
+    n_part: int,
+    max_rounds: int,
+) -> SCCResult:
     ckpt = StateCheckpointer(spark)
     # NOTE every cross-round graph table is localCheckpoint/ckpt-CUT, not
     # persist()ed: persist caches data but keeps the logical plan, so a
@@ -383,10 +409,30 @@ def scc(
         )
         n_settled = settled.count() + n_singles
 
-        # 4. emit with the oracle contract label: min vertex id per SCC
+        # 4. emit with the oracle contract label: min vertex id per SCC.
+        # MATERIALIZE before unioning: ``out`` is a self-join of the
+        # localCheckpoint-backed ``settled`` (scc_ids derives from it, so
+        # Catalyst dedups attribute ids on the join) — unioning the
+        # un-cut plan into ``done`` across rounds trips Spark 4.1's
+        # constraints rewrite at the final checkpoint with
+        # ``NoSuchElementException: key not found: id#N`` once the union
+        # is deep enough (ADVICE r4; reproduced by
+        # test_scc_md5_graph_has_giant_component). An eager cut per
+        # round keeps every union leaf a plain LogicalRDD.
         scc_ids = settled.groupBy("root").agg(F.min("id").alias("scc"))
-        out = settled.join(scc_ids, on="root").select("id", "scc")
+        out = (
+            settled.join(scc_ids, on="root")
+            .select("id", "scc")
+            .localCheckpoint(eager=True)
+        )
         done = out if done is None else done.unionByName(out)
+        # bound the accumulated-union depth: cut ``done`` itself on the
+        # iterstate cadence (localCheckpoint, NEVER iterstate parquet —
+        # ``done`` must survive ckpt.close()). Keeps the result plan's
+        # Union arity <= period regardless of outer-round count, so the
+        # final checkpoint cost is O(period), not O(rounds).
+        if rnd % ckpt.period == 0:
+            done = done.localCheckpoint(eager=True)
 
         # shrink with the PAIR refinement: an SCC's members share BOTH
         # the forward color (already enforced by ec) AND the backward

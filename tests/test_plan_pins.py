@@ -13,13 +13,21 @@ asserted bound, proving the assertion actually discriminates.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_PIN_SF_DIR", "/root/testdata/sf0.001")
+
+# skip (not error) on machines without the driver-generated fixtures —
+# the rest of the suite sources its data the same way (ADVICE r4)
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"plan-pin fixture dir {SF_DIR} not present",
+)
 
 
 def _plan(df) -> str:
@@ -246,3 +254,45 @@ def test_stratified_sample_map_only_pin(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     samp = stratified_sample(docs, "lang", {"en": 0.5}, ["doc_id"])
     assert _exchanges(samp) == 0, _plan(samp)
+
+
+# ---------------------------------------------------------------------------
+# scc result lineage: the accumulated-union chain must be CUT (r4 crash)
+# ---------------------------------------------------------------------------
+
+
+def test_scc_result_lineage_pin(spark):
+    """The returned SCC components plan must be a flat materialized scan
+    — no accumulated per-round Union lineage (VERDICT r4 task #8). The
+    r4 kernel returned a rounds-deep unionByName chain over
+    checkpoint-generation LogicalRDDs, which crashed Spark 4.1's
+    constraint rewrite at the final localCheckpoint on deep-superstep
+    inputs (kernels/scc.py, the md5-random-digraph class). The kernel
+    now cuts ``out`` per round, cuts ``done`` on the iterstate cadence,
+    and pins the final result with an eager localCheckpoint — so the
+    plan a caller actually consumes is a single ExistingRDD scan."""
+    from paragrapher_spark.kernels.scc import scc
+    from paragrapher_spark.sources.edges import md5_vertex_graph
+
+    g = md5_vertex_graph(spark, 40, out_deg=2)
+    res = scc(g, num_partitions=8)
+    assert res.converged
+    plan = _plan(res.components)
+    assert "Union" not in plan, plan
+    # flat scan of the pinned result, not a re-derivation
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_scc_result_lineage_pin_has_teeth(spark):
+    # the de-optimized twin — accumulate per-round pieces WITHOUT the
+    # final cut, exactly the r4 result path — must violate the pin
+    pieces = [
+        spark.range(10).select(
+            F.col("id"), F.col("id").alias("scc")
+        ).localCheckpoint(eager=True)
+        for _ in range(3)
+    ]
+    done = pieces[0]
+    for p in pieces[1:]:
+        done = done.unionByName(p)
+    assert "Union" in _plan(done), _plan(done)

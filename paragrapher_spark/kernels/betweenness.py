@@ -138,8 +138,9 @@ def _forward_levels(
         depth = d
         visited = visited.unionByName(frontier).transform(state_ckpt.cut_lazy)
 
-    levels = visited.repartition(n_part, "source", "id").persist()
-    levels.count()
+    # pin into cached partitions + reclaim round-trip files (ADVICE r4);
+    # a caller's later unpersist() on this frame is a cache-manager no-op
+    levels = state_ckpt.pin(visited.repartition(n_part, "source", "id"))
     return levels, depth, history
 
 
@@ -304,6 +305,8 @@ def edge_betweenness(
     )
     e.unpersist()
     levels.unpersist()
+    # scores is already eagerly pinned above — reclaim round-trip files
+    state_ckpt.close()
     return EdgeBetweennessResult(scores=scores, depth=depth, history=history)
 
 
@@ -382,6 +385,9 @@ def betweenness(
         .agg(F.sum("delta").alias("bc"))
     )
     e.unpersist()
+    # pin the lazy accumulated-delta aggregation before its round-trip
+    # files are reclaimed (levels is pinned by _forward_levels already)
+    scores = state_ckpt.pin(scores)
     return BetweennessResult(
         scores=scores, levels=levels.select("source", "id", "dist", "sigma"),
         depth=depth, history=history,

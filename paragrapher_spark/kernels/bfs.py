@@ -146,6 +146,8 @@ def bfs(
     e.unpersist()
     if checkpoint is not None and exhausted:
         checkpoint.save(it + 1, dist, {"exhausted": True}, kind="final")
+    # pin + reclaim round-trip files now, not at interpreter exit
+    dist = state_ckpt.pin(dist)
     return BFSResult(
         distances=dist, iterations=it, exhausted=exhausted, history=history
     )

@@ -176,8 +176,12 @@ def greedy_coloring(
         )
     n_colors = colored.agg(F.max("color")).collect()[0][0] or 0
     ladj.unpersist()
+    # pin + reclaim round-trip files now, not at interpreter exit
+    colors = state_ckpt.pin(
+        colored.select("id", F.col("color").cast("long").alias("color"))
+    )
     return ColoringResult(
-        colors=colored.select("id", F.col("color").cast("long").alias("color")),
+        colors=colors,
         rounds=rounds,
         n_colors=int(n_colors),
         history=history,

@@ -178,6 +178,8 @@ def connected_components(
     if checkpoint is not None and converged:
         checkpoint.save(rnd + 1, components, {"converged": True}, kind="final")
     all_vertices.unpersist()
+    # pin + reclaim round-trip files now, not at interpreter exit
+    components = state_ckpt.pin(components)
     return ComponentsResult(
         components=components, rounds=rnd, converged=converged, history=history
     )

@@ -149,8 +149,10 @@ def coreness(
         if changed == 0:
             break
     adj.unpersist()
+    # pin + reclaim round-trip files now, not at interpreter exit
+    vertices = state_ckpt.pin(cur.select("id", F.col("c").alias("coreness")))
     return CorenessResult(
-        vertices=cur.select("id", F.col("c").alias("coreness")),
+        vertices=vertices,
         rounds=rnd,
         history=history,
     )

@@ -111,6 +111,8 @@ def densest_subgraph(
     if best_members is None:  # edgeless input: round 0 saw n == 0
         best_members = e.sparkSession.createDataFrame([], "id long")
         rnd = 0
+    # pin + reclaim round-trip files now, not at interpreter exit
+    best_members = state_ckpt.pin(best_members)
     return DensestResult(
         members=best_members,
         best_m=best_m,

@@ -122,6 +122,8 @@ def hits(
         F.round(F.col("auth") / F.lit(float(na)), 6).alias("authority"),
         F.round(F.col("hub") / F.lit(float(nh)), 6).alias("hub"),
     )
+    # scores is already eagerly pinned above — reclaim round-trip files
+    state_ckpt.close()
     return HITSResult(scores=out, iterations=iterations, history=history)
 
 
@@ -240,4 +242,6 @@ def salsa(
         )
     )
     ed.unpersist()
+    # pin + reclaim round-trip files now, not at interpreter exit
+    scores = state_ckpt.pin(scores)
     return SALSAResult(scores=scores, iterations=iterations)

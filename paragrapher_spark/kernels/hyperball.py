@@ -255,4 +255,6 @@ def hyperball(
         F.col("est").alias("ball"),
         F.round(F.col("harmonic"), 6).alias("harmonic"),
     )
+    # pin + reclaim round-trip files now, not at interpreter exit
+    out = state_ckpt.pin(out)
     return HyperBallResult(states=out, nf=nf, radius=rad, history=history)

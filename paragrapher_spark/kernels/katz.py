@@ -167,6 +167,8 @@ def katz(
         (F.col("y").cast("double") / F.lit(float(den))).alias("katz"),
     )
     e.unpersist()
+    # pin + reclaim round-trip files now, not at interpreter exit
+    scores = state_ckpt.pin(scores)
     return KatzResult(scores=scores, rounds=rounds, base=base, history=history)
 
 
@@ -261,6 +263,8 @@ def eigencentrality(
         (F.col("y").cast("double") / F.lit(float(max_y))).alias("eig"),
     )
     e.unpersist()
+    # pin + reclaim round-trip files now, not at interpreter exit
+    scores = state_ckpt.pin(scores)
     return EigenResult(
         scores=scores, rounds=rounds, max_walks=int(max_y), history=history
     )

@@ -79,4 +79,6 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 100) -> KCoreResult:
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # pin both escapes + reclaim round-trip files now
+    verts, e = state_ckpt.pin(verts, e)
     return KCoreResult(vertices=verts, edges=e, rounds=rnd, history=history)

@@ -177,4 +177,6 @@ def ktruss(
             break
         prev_m = m
         e = kept.select("a", "b")
+    # pin + reclaim round-trip files now, not at interpreter exit
+    kept = state_ckpt.pin(kept)
     return KTrussResult(edges=kept, rounds=rnd, history=history)

@@ -143,6 +143,8 @@ def label_propagation(
     und.unpersist()
     if checkpoint is not None and converged:
         checkpoint.save(it, labels, {"converged": True}, kind="final")
+    # pin + reclaim round-trip files now, not at interpreter exit
+    labels = state_ckpt.pin(labels)
     return LabelPropResult(
         labels=labels, iterations=it, converged=converged, history=history
     )

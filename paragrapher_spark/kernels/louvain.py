@@ -202,8 +202,8 @@ def louvain_level(
                 checkpoint.log_metrics(r, metrics)
 
     und.unpersist()
-    return LouvainResult(
-        labels=labels.select("id", F.col("c").cast("long").alias("community")),
-        rounds=rounds,
-        history=history,
+    # pin + reclaim round-trip files now, not at interpreter exit
+    labels = state_ckpt.pin(
+        labels.select("id", F.col("c").cast("long").alias("community"))
     )
+    return LouvainResult(labels=labels, rounds=rounds, history=history)

@@ -170,4 +170,6 @@ def maximal_matching(
                 checkpoint.save(rounds, state, metrics)
             else:
                 checkpoint.log_metrics(rounds, metrics)
+    # pin + reclaim round-trip files now, not at interpreter exit
+    matching = state_ckpt.pin(matching)
     return MatchingResult(matching=matching, rounds=rounds, history=history)

@@ -180,4 +180,6 @@ def maximal_independent_set(
             else:
                 checkpoint.log_metrics(rounds, metrics)
     adj.unpersist()
+    # pin + reclaim round-trip files now, not at interpreter exit
+    members = state_ckpt.pin(members)
     return MISResult(members=members, rounds=rounds, history=history)

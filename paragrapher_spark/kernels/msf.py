@@ -119,8 +119,12 @@ def boruvka_msf(
     stats = msf.agg(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("w"), F.lit(0)).alias("tw")
     ).collect()[0]
+    # pin both escapes + reclaim round-trip files now
+    msf_edges, comp = state_ckpt.pin(
+        msf.select("a", "b", F.col("w").alias("weight")), comp
+    )
     return MSFResult(
-        edges=msf.select("a", "b", F.col("w").alias("weight")),
+        edges=msf_edges,
         clusters=comp,
         n_edges=int(stats["n"]),
         total_weight=int(stats["tw"]),

@@ -141,6 +141,8 @@ def neighbor_feature_agg(
             ).alias("mean"),
         )
     )
+    # pin + reclaim round-trip files now, not at interpreter exit
+    out = state_ckpt.pin(out)
     return NeighborhoodResult(features=out, hops=hops, dim=dim)
 
 

@@ -160,8 +160,10 @@ def sssp(
         frontier = new_dist.where(F.col("upd") == 1).select("id", "dist")
 
     e.unpersist()
+    # pin + reclaim round-trip files now, not at interpreter exit
+    distances = state_ckpt.pin(dist.select("id", "dist"))
     return SSSPResult(
-        distances=dist.select("id", "dist"),
+        distances=distances,
         iterations=it,
         converged=converged,
         history=history,

@@ -142,6 +142,8 @@ def topo_levels(
             f"(DAG deeper than max_rounds, or cyclic input); raise max_rounds"
         )
     e.unpersist()
+    # pin + reclaim round-trip files now, not at interpreter exit
+    lvl = state_ckpt.pin(lvl)
     return TopoResult(
         levels=lvl, rounds=rounds, depth=history[-1]["max_level"], history=history
     )

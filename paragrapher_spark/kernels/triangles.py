@@ -308,7 +308,11 @@ def square_count(
     return total
 
 
-def delta_triangles(full_edges: DataFrame, delta_edges: DataFrame) -> DataFrame:
+def delta_triangles(
+    full_edges: DataFrame,
+    delta_edges: DataFrame,
+    old_edges: DataFrame | None = None,
+) -> DataFrame:
     """One row (new_triangles): exact count of distinct triangles of the
     FULL graph that contain at least one delta edge — the incremental
     counting step: after a batch append,
@@ -323,8 +327,12 @@ def delta_triangles(full_edges: DataFrame, delta_edges: DataFrame) -> DataFrame:
     a delta edge" and they get double-counted. The in-repo callers
     satisfy this by construction (canonical src<dst distinct edge tables
     row-partitioned into old/delta); callers appending to an arbitrary
-    edge table must first anti-join ``_undirected(delta)`` against
-    ``_undirected(old)``.
+    edge table should pass ``old_edges`` (the pre-append table), which
+    ENFORCES the precondition here: re-asserted delta edges are dropped
+    by one undirected anti-join before counting (ADVICE r4 — the
+    disjointness identity is now enforceable, not just documented).
+    Without ``old_edges`` the precondition is the caller's contract, as
+    the function cannot separate old from delta inside ``full_edges``.
 
     Shape: for each canonical delta edge (a, b), common neighbors w come
     from two equi-joins against the full undirected adjacency; each
@@ -342,6 +350,10 @@ def delta_triangles(full_edges: DataFrame, delta_edges: DataFrame) -> DataFrame:
         und.select(F.col("b").alias("v"), F.col("a").alias("n"))
     )  # (v, n) both directions
     d = _undirected(delta_edges)
+    if old_edges is not None:
+        # drop delta edges the old graph already had — their triangles
+        # are in previous_total; counting them again double-counts
+        d = d.join(_undirected(old_edges), on=["a", "b"], how="left_anti")
     wa = adj.select(F.col("v").alias("a"), F.col("n").alias("w"))
     wb = adj.select(F.col("v").alias("b"), F.col("n").alias("w"))
     tris = (

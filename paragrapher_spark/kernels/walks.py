@@ -262,6 +262,8 @@ def random_walks(
     degs.unpersist()
     if checkpoint is not None:
         checkpoint.save(min(t, length), out, {"final": True}, kind="final")
+    # pin the accumulated steps + reclaim round-trip files (ADVICE r4)
+    out = state_ckpt.pin(out)
     return WalksResult(steps=out, length=length, n_walks=n_walks, history=history)
 
 
@@ -525,6 +527,8 @@ def node2vec_walks(
     memb.unpersist()
     if checkpoint is not None:
         checkpoint.save(min(max(t, start_step), length), out, {"final": True}, kind="final")
+    # pin the accumulated steps + reclaim round-trip files (ADVICE r4)
+    out = state_ckpt.pin(out)
     return WalksResult(steps=out, length=length, n_walks=n_walks, history=history)
 
 

@@ -106,6 +106,8 @@ def wl_refinement(
             stable = True  # partition is a fixpoint; ids already canonical
             break
         prev_c = n_colors
+    # pin + reclaim round-trip files now, not at interpreter exit
+    colors = state_ckpt.pin(colors)
     return WLResult(
         colors=colors, n_colors=n_colors, rounds=done, stable=stable, history=history
     )

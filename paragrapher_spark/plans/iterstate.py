@@ -92,10 +92,19 @@ class StateCheckpointer:
         if self._owns_base:
             # Default lifetime: the LAST round-trip's files survive until
             # interpreter exit, so kernels may return DataFrames backed by
-            # them without a pinning dance; ``close()`` is the opt-in
-            # eager cleanup for kernels that localCheckpoint their output
-            # first (scc, pagerank do).
+            # them without a pinning dance; ``close()``/``pin()`` is the
+            # opt-in eager cleanup for kernels that localCheckpoint their
+            # output first.
             atexit.register(shutil.rmtree, base, ignore_errors=True)
+        else:
+            # Shared/external base dir (PG_ITERSTATE_DIR or explicit
+            # base_dir): never delete the base itself, but DO delete this
+            # run's own round-trip files at interpreter exit — without
+            # this, every un-close()d kernel call leaks its state copies
+            # onto shared storage across runs (ADVICE r4). Names are
+            # namespaced by self._run, so concurrent runs sharing the dir
+            # only ever remove their own files.
+            atexit.register(self._drop_paths)
 
     def cut(self, df: DataFrame, eager: bool = True) -> DataFrame:
         """Materialize ``df`` and return a lineage-cut equivalent.
@@ -124,13 +133,33 @@ class StateCheckpointer:
         ``.localCheckpoint(eager=False)`` (one-job-per-superstep loops)."""
         return self.cut(df, eager=False)
 
+    def pin(self, *dfs: DataFrame):
+        """Kernel epilogue: pin result frames into cached partitions
+        (eager ``localCheckpoint`` truncates lineage, so nothing can
+        re-read a round-trip file afterwards), then ``close()`` —
+        reclaiming this run's parquet round-trips immediately instead of
+        at interpreter exit. Returns the pinned frame (one argument) or
+        a list of pinned frames, in argument order.
+
+        This is the standard last line of an iterative kernel::
+
+            state = ckpt.pin(state)
+            return Result(state=state, ...)
+        """
+        pinned = [df.localCheckpoint(eager=True) for df in dfs]
+        self.close()
+        return pinned[0] if len(pinned) == 1 else pinned
+
+    def _drop_paths(self) -> None:
+        for p in self._paths:
+            shutil.rmtree(p, ignore_errors=True)
+        self._paths = []
+
     def close(self) -> None:
         """Delete round-trip files (every returned/retained DataFrame must
         already be consumed or pinned by the caller — reads after close()
         fail loudly on the missing files rather than silently
         recomputing). Optional: without it, files live until atexit."""
-        for p in self._paths:
-            shutil.rmtree(p, ignore_errors=True)
-        self._paths = []
+        self._drop_paths()
         if self._owns_base:
             shutil.rmtree(self._base, ignore_errors=True)

@@ -55,3 +55,49 @@ def test_files_cleaned_on_close(spark):
     cur.count()
     ckpt.close()
     assert not os.path.exists(base)
+
+
+def test_pin_reclaims_files_and_result_survives(spark):
+    # pin(): outputs stay readable after the round-trip files are gone
+    ckpt = StateCheckpointer(spark, period=1)
+    cur = ckpt.cut(spark.range(50).select("id", (F.col("id") * 3).alias("v")))
+    base = ckpt._base
+    assert len(os.listdir(base)) == 1
+    out = ckpt.pin(cur.select("id", (F.col("v") + 1).alias("v")))
+    assert not os.path.exists(base)  # owned base reclaimed immediately
+    rows = {r.id: r.v for r in out.collect()}  # readable post-close
+    assert rows == {i: 3 * i + 1 for i in range(50)}
+
+
+def test_external_base_dir_not_deleted_but_run_files_are(spark, tmp_path):
+    # explicit base_dir (the PG_ITERSTATE_DIR shape): close() removes the
+    # run's own round-trip files but never the shared base itself
+    base = str(tmp_path / "shared_iterstate")
+    os.makedirs(base)
+    ckpt = StateCheckpointer(spark, period=1, base_dir=base)
+    cur = ckpt.cut(spark.range(10).select("id"))
+    assert len(os.listdir(base)) == 1
+    pinned = ckpt.pin(cur)
+    assert os.path.isdir(base) and os.listdir(base) == []
+    assert pinned.count() == 10
+
+
+def test_kernel_epilogue_leaves_no_iterstate_files(spark, tmp_path, monkeypatch):
+    # the kernel contract (ADVICE r4): a kernel call must reclaim its
+    # round-trip files before returning, and its result must still read
+    import importlib
+
+    from paragrapher_spark.fixtures import powerlaw_graph
+    from paragrapher_spark.kernels import components as comp_mod
+    from paragrapher_spark.kernels.bfs import bfs
+
+    base = str(tmp_path / "iterstate_env")
+    os.makedirs(base)
+    monkeypatch.setenv("PG_ITERSTATE_DIR", base)
+    g = powerlaw_graph(spark, n=200, seed=7)
+    res = comp_mod.connected_components(g)
+    assert os.listdir(base) == [], "components leaked iterstate files"
+    assert res.components.count() > 0
+    b = bfs(g, [0], max_depth=10, num_partitions=8)
+    assert os.listdir(base) == [], "bfs leaked iterstate files"
+    assert b.distances.count() > 0

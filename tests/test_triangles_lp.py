@@ -255,3 +255,27 @@ def test_delta_triangles_incremental_matches_cold(spark):
     dt = delta_triangles(pl, pl.where(~in_old)).collect()[0].new_triangles
     cold = triangle_count(pl).collect()[0].triangles
     assert prev + dt == cold
+
+
+def test_delta_triangles_old_edges_enforces_disjointness(spark):
+    """A delta that RE-ASSERTS old edges (dup rows / reversed
+    orientation) double-counts under the bare identity; passing
+    old_edges drops re-asserted edges so the identity holds (ADVICE r4:
+    enforce, not just document, the disjointness precondition)."""
+    from paragrapher_spark.kernels.triangles import delta_triangles, triangle_count
+
+    old = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    # delta re-asserts (1,2) reversed and adds the genuinely-new (1,3)
+    delta = [(2, 1), (1, 3)]
+    old_df = spark.createDataFrame(old, "src long, dst long")
+    delta_df = spark.createDataFrame(delta, "src long, dst long")
+    full_df = old_df.unionByName(delta_df)
+    prev = triangle_count(old_df).collect()[0].triangles  # (0,1,2)
+    # bare call: old triangle (0,1,2) touches re-asserted (1,2) -> counted
+    naive = delta_triangles(full_df, delta_df).collect()[0].new_triangles
+    assert naive == 2  # the double-count trap this guard exists for
+    # enforced call: only (1,2,3) is new
+    dt = delta_triangles(full_df, delta_df, old_edges=old_df).collect()[0]
+    assert dt.new_triangles == 1
+    cold = triangle_count(full_df).collect()[0].triangles
+    assert prev + dt.new_triangles == cold == 2

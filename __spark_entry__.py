@@ -1837,6 +1837,36 @@ def _q_random_walks_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-session memo for the import-graph SCC labeling: three registry
+#: queries (scc_imports, scc_condensation, build_order) consume the SCC
+#: of the SAME deterministic corpus graph; recomputing the iterative
+#: kernel three times was the single largest cost in the driver's
+#: budgeted gate window (r3 measured 60-76 s each at sf0.01). The memo
+#: holds (edges, components), both localCheckpoint-pinned, keyed by
+#: session id (the session object is retained in the value, so a dead
+#: session's id cannot be reused while its entry lives). Results are
+#: bit-identical to independent runs — the inputs are deterministic and
+#: scc() is deterministic — so each query's oracle still gates it
+#: end-to-end; only redundant recomputation inside one process is
+#: skipped (the materialized-view discipline).
+_IMPORT_SCC_MEMO: dict[int, tuple] = {}
+
+
+def _import_scc(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """(edges, components) of the north-rule import graph, memoized per
+    session. Edges are pinned so all three consumers share one scan."""
+    key = id(spark)
+    hit = _IMPORT_SCC_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1], hit[2]
+    corpus = synth_corpus(spark, n_files=_SCC_FILES, n_repos=8)
+    g = edges_from_corpus(corpus, num_partitions=8)
+    e = g.edges.select("src", "dst").localCheckpoint(eager=True)
+    comp = scc(e, num_partitions=8).components
+    _IMPORT_SCC_MEMO[key] = (spark, e, comp)
+    return e, comp
+
+
 def _q_scc_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cyclic-import detection (kernels/scc.py): strongly connected
     components of the DIRECTED import graph from the hash-skew corpus —
@@ -1845,10 +1875,8 @@ def _q_scc_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
     size). Oracle: DuckDB recursive-CTE transitive closure -> mutual
     reachability -> min-id per component, over the md5-regenerated edge
     set (the import_graph_pagerank discipline)."""
-    corpus = synth_corpus(spark, n_files=_SCC_FILES, n_repos=8)
-    g = edges_from_corpus(corpus, num_partitions=8)
-    res = scc(g.edges.select("src", "dst"), num_partitions=8)
-    return res.components.select(
+    _, comp = _import_scc(spark)
+    return comp.select(
         F.col("id").cast("long"), F.col("scc").cast("long")
     )
 
@@ -1925,12 +1953,10 @@ def _q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per strongly connected component, distinct edges where imports cross
     components — the acyclic quotient that turns cyclic-import analysis
     into topological-order questions. Oracle: closure-derived SCC labels
-    joined back onto the md5-regenerated edge set."""
-    corpus = synth_corpus(spark, n_files=_SCC_FILES, n_repos=8)
-    g = edges_from_corpus(corpus, num_partitions=8)
-    e = g.edges.select("src", "dst")
-    res = scc(e, num_partitions=8)
-    return condensation(e, res.components).select(
+    joined back onto the md5-regenerated edge set. Shares the memoized
+    import-graph SCC labeling (see _import_scc)."""
+    e, comp = _import_scc(spark)
+    return condensation(e, comp).select(
         F.col("src").cast("long"), F.col("dst").cast("long")
     )
 
@@ -2261,11 +2287,9 @@ def _q_build_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheduling query over the north-rule corpus. Oracle: closure-derived
     condensation + the all-integer relaxation unrolled as materialized
     CTEs (monotone and idempotent at the fixpoint, so over-unrolling is
-    exact)."""
-    corpus = synth_corpus(spark, n_files=_SCC_FILES, n_repos=8)
-    g = edges_from_corpus(corpus, num_partitions=8)
-    e = g.edges.select("src", "dst")
-    comp = scc(e, num_partitions=8).components
+    exact). Shares the memoized import-graph SCC labeling
+    (see _import_scc)."""
+    e, comp = _import_scc(spark)
     dag = condensation(e, comp)
     res = topo_levels(dag, max_rounds=64, num_partitions=8)
     if res.rounds > _BUILD_ORDER_UNROLL:

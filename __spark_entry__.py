@@ -1998,14 +1998,34 @@ def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assortativity(edges)
 
 
-def _bc_result(spark: SparkSession, sf_dir: str):
+#: Per-(session, sf_dir) memos for the sampled-centrality substrates:
+#: five registry queries share the same sampled-source BFS levels over
+#: the co-purchase graph (sp_counts + betweenness_sampled consume the
+#: full Brandes result; harmonic/closeness/eccentricity the forward
+#: levels alone). The kernels are deterministic and their results are
+#: pinned at kernel exit, so memoized reuse is bit-identical to
+#: recomputation and every consumer stays oracle-gated end-to-end —
+#: the _IMPORT_SCC_MEMO discipline.
+_BC_MEMO: dict[tuple, tuple] = {}
+_SPL_MEMO: dict[tuple, tuple] = {}
+
+
+def _bc_seeds(spark: SparkSession, sf_dir: str):
     edges = copurchase_edges(spark, sf_dir)
     verts = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    seeds = verts.where(F.col("id") % _BC_SOURCE_MOD == 0)
+    return edges, verts.where(F.col("id") % _BC_SOURCE_MOD == 0)
+
+
+def _bc_result(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    hit = _BC_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    edges, seeds = _bc_seeds(spark, sf_dir)
     res = betweenness(edges, seeds, directed=False)
     # the oracle materializes _BC_UNROLL forward/backward levels; fail
     # HERE with the cause if a bigger SF ever outgrows the unroll
@@ -2015,7 +2035,27 @@ def _bc_result(spark: SparkSession, sf_dir: str):
             f"BFS depth {res.depth} > the oracle's {_BC_UNROLL}-level "
             f"unroll; raise _BC_UNROLL"
         )
+    _BC_MEMO[key] = (spark, res)
     return res
+
+
+def _sp_levels(spark: SparkSession, sf_dir: str):
+    """(levels, depth) of the sampled-source forward BFS — the shared
+    substrate of harmonic/closeness/eccentricity, memoized per
+    (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    hit = _SPL_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1], hit[2]
+    edges, seeds = _bc_seeds(spark, sf_dir)
+    levels, depth, _ = shortest_path_levels(edges, seeds, directed=False)
+    if depth > _BC_UNROLL:
+        raise AssertionError(
+            f"BFS depth {depth} > the oracle's {_BC_UNROLL}-level unroll; "
+            f"raise _BC_UNROLL"
+        )
+    _SPL_MEMO[key] = (spark, levels, depth)
+    return levels, depth
 
 
 def _q_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2023,20 +2063,9 @@ def _q_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kernels/betweenness.py:harmonic_centrality): h(v) = Σ_s 1/dist(s,v)
     scaled by lcm(1..unroll) = 2520 so every term — and the gated sum —
     is an exact integer. Closes the centrality family next to HyperBall's
-    approximate harmonic (this one is exact for the sample)."""
-    edges = copurchase_edges(spark, sf_dir)
-    verts = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    seeds = verts.where(F.col("id") % _BC_SOURCE_MOD == 0)
-    levels, depth, _ = shortest_path_levels(edges, seeds, directed=False)
-    if depth > _BC_UNROLL:
-        raise AssertionError(
-            f"BFS depth {depth} > the oracle's {_BC_UNROLL}-level unroll; "
-            f"raise _BC_UNROLL"
-        )
+    approximate harmonic (this one is exact for the sample). Shares the
+    memoized forward-levels substrate (_sp_levels)."""
+    levels, _depth = _sp_levels(spark, sf_dir)
     out = harmonic_centrality(levels, depth=_BC_UNROLL)
     return out.select(
         F.col("id").cast("long"),
@@ -2050,20 +2079,8 @@ def _q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kernels/betweenness.py:closeness_centrality): reached/dist_sum as
     exact longs, closeness = ONE IEEE division — completing the sampled
     centrality family (betweenness, harmonic, closeness) on the shared
-    forward-levels substrate."""
-    edges = copurchase_edges(spark, sf_dir)
-    verts = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    seeds = verts.where(F.col("id") % _BC_SOURCE_MOD == 0)
-    levels, depth, _ = shortest_path_levels(edges, seeds, directed=False)
-    if depth > _BC_UNROLL:
-        raise AssertionError(
-            f"BFS depth {depth} > the oracle's {_BC_UNROLL}-level unroll; "
-            f"raise _BC_UNROLL"
-        )
+    memoized forward-levels substrate (_sp_levels)."""
+    levels, _depth = _sp_levels(spark, sf_dir)
     out = closeness_centrality(levels)
     return out.select(
         F.col("id").cast("long"),
@@ -2078,20 +2095,9 @@ def _q_eccentricity_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled sources s of dist(s, v) — the standard BFS-sample diameter
     lower-bounding technique (e.g. Crescenzi et al., iFUB). All-integer
     (max of exact BFS levels); the max over ALL vertices of this column
-    is the graph's best sampled diameter lower bound."""
-    edges = copurchase_edges(spark, sf_dir)
-    verts = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    seeds = verts.where(F.col("id") % _BC_SOURCE_MOD == 0)
-    levels, depth, _ = shortest_path_levels(edges, seeds, directed=False)
-    if depth > _BC_UNROLL:
-        raise AssertionError(
-            f"BFS depth {depth} > the oracle's {_BC_UNROLL}-level unroll; "
-            f"raise _BC_UNROLL"
-        )
+    is the graph's best sampled diameter lower bound. Shares the
+    memoized forward-levels substrate (_sp_levels)."""
+    levels, _depth = _sp_levels(spark, sf_dir)
     return levels.groupBy("id").agg(
         F.max("dist").cast("long").alias("ecc_lb")
     ).select(F.col("id").cast("long"), "ecc_lb")
@@ -2392,6 +2398,30 @@ def _cg_corpus(spark: SparkSession) -> DataFrame:
     )
 
 
+#: Per-session memo for the extracted call graph: three registry
+#: queries (call_graph_pagerank, call_scc, dead_functions) re-extract
+#: the identical deterministic call graph from the identical synthetic
+#: corpus. Frames are pinned; reuse is bit-identical to recomputation
+#: (the _IMPORT_SCC_MEMO discipline) and each consumer stays
+#: oracle-gated end-to-end. call_edges/call_file_fanout deliberately do
+#: NOT use the memo — extraction itself is what those queries gate.
+_CG_GRAPH_MEMO: dict[int, tuple] = {}
+
+
+def _cg_graph(spark: SparkSession):
+    from paragrapher_spark.graph import call_graph_from_corpus
+
+    key = id(spark)
+    hit = _CG_GRAPH_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    g = call_graph_from_corpus(_cg_corpus(spark), num_partitions=8)
+    g.vertices = g.vertices.localCheckpoint(eager=True)
+    g.edges = g.edges.localCheckpoint(eager=True)
+    _CG_GRAPH_MEMO[key] = (spark, g)
+    return g
+
+
 def _q_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function-level CALL-GRAPH extraction (functions/extract.py
     extract_call_sites over sources/corpus.synth_callgraph_corpus_sql):
@@ -2416,9 +2446,7 @@ def _q_call_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph is cyclic (recursion), so it exercises PageRank's behavior on
     strongly-connected mass flow. Isolated (never-calling, never-called)
     functions enter via vertices= and collect teleport-only rank."""
-    from paragrapher_spark.graph import call_graph_from_corpus
-
-    g = call_graph_from_corpus(_cg_corpus(spark), num_partitions=8)
+    g = _cg_graph(spark)
     res = pagerank(
         g.edges, vertices=g.vertices.select("id"), tol=0.0, max_iter=8,
         weight_col="weight",
@@ -2480,9 +2508,7 @@ def _q_call_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     — what an inliner / stack-depth analyzer must detect before
     transforming. Same definitional transitive-closure oracle as
     scc_imports, over the arithmetic-regenerated dense-id call edges."""
-    from paragrapher_spark.graph import call_graph_from_corpus
-
-    g = call_graph_from_corpus(_cg_corpus(spark), num_partitions=8)
+    g = _cg_graph(spark)
     res = scc(g.edges.select("src", "dst"), num_partitions=8)
     return res.components.select(
         F.col("id").cast("long"), F.col("scc").cast("long")
@@ -2514,10 +2540,9 @@ def _q_dead_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE reachability from the same formula-regenerated root set,
     NOT IN over the full function table."""
     from paragrapher_spark.functions.extract import extract_functions
-    from paragrapher_spark.graph import call_graph_from_corpus
 
     corpus = _cg_corpus(spark)
-    g = call_graph_from_corpus(corpus, num_partitions=8)
+    g = _cg_graph(spark)
     funcs = extract_functions(corpus)
     roots = (
         funcs.where(
@@ -4311,18 +4336,24 @@ def _queries_by_family() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # budget re-verifies prior rounds. Correctness is order-independent;
 # this only maximizes cumulative per-round coverage.
 _GATE_ORDER = [
-    "shared_imports", "neighbor_features", "winnow_clones", "ppr_batch",
-    "triangle_count_doulion", "salsa_fixed", "eccentricity_sampled", "transitivity",
-    "near_dup_canonical", "corpus_pipeline", "maximal_matching", "eigencentrality_fixed",
-    "ppr_sweep", "harmonic_sampled", "closeness_sampled", "modularity_lp",
-    "bipartite_check", "import_impact", "package_graph", "dead_functions",
-    "mis_members", "community_conductance", "node2vec_walks", "louvain_labels",
-    "wl_colors", "msf_edges", "doc_top_terms", "katz_fixed",
-    "rich_club", "betweenness_sampled", "pseudo_diameter", "call_graph_pagerank",
-    "link_prediction", "ktruss_edges", "coreness_all", "sp_counts",
-    "neighborhood_function", "affinity_clusters", "edge_betweenness_sampled", "graph_coloring",
-    "reciprocity", "build_order", "scc_condensation", "scc_imports",
-    "call_scc", "scc_random_digraph",
+    # the 45 never-driver-gated + scc_random_digraph, cheapest-first by
+    # STANDALONE cost (max of the r5 sf0.001 sweep and the r3 pre-memo
+    # sweep) so the shared-substrate payers (SCC trio, centrality
+    # family, call-graph trio) sit late and the cheap independents gate
+    # first under a time-bounded window; memoized co-members run at
+    # marginal cost once their payer has run.
+    "doc_top_terms", "transitivity", "triangle_count_doulion", "rich_club",
+    "neighbor_features", "wl_colors", "maximal_matching", "winnow_clones",
+    "shared_imports", "ppr_batch", "eccentricity_sampled", "near_dup_canonical",
+    "closeness_sampled", "corpus_pipeline", "reciprocity", "salsa_fixed",
+    "harmonic_sampled", "node2vec_walks", "package_graph", "msf_edges",
+    "ppr_sweep", "affinity_clusters", "edge_betweenness_sampled", "mis_members",
+    "eigencentrality_fixed", "modularity_lp", "betweenness_sampled", "sp_counts",
+    "import_impact", "ktruss_edges", "katz_fixed", "louvain_labels",
+    "community_conductance", "bipartite_check", "scc_random_digraph", "link_prediction",
+    "dead_functions", "pseudo_diameter", "call_graph_pagerank", "neighborhood_function",
+    "coreness_all", "scc_imports", "build_order", "graph_coloring",
+    "call_scc", "scc_condensation",
     "token_counts", "doc_splits", "doc_packs", "doc_sample_stratified",
     "pii_scrub", "span_dedup", "doc_length_quantiles", "events_pivot",
     "dyad_census", "events_asof", "gopher_rules", "corpus_diff",

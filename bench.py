@@ -87,6 +87,19 @@ T_START = time.monotonic()
 # regardless of cores past ~8-16), which a multi-node 4N-executor cluster
 # does not share. The 2->8 figure is the honest analogue of N->4N across
 # nodes; the 8->32 figure is disclosed, not hidden.
+#
+# r5 calibration note: in mp-starved windows (4-proc memcpy aggregate
+# 0.3-2 GB/s against a healthy ~3 GB/s single-thread — co-tenant core
+# steal) NO pair measures the engine: 2->8 collapses (0.516 measured
+# floor-disabled) and even the 1->4 pair is an artifact generator,
+# because the 1-core level's steady superstep itself swings 7.3-10.5 s
+# across such windows while its single-thread probe stays healthy —
+# producing "efficiencies" from 0.62 to 0.89 depending on which level
+# the steal hits. Hence the mp floor gates EVERY level: a starved
+# window yields disclosed-rejected visits and a clean=false fallback,
+# never a plausible-but-meaningless number. Clean-window evidence
+# (r2/r3: 0.833/0.882/0.801 local, 0.952 driver, 0.823 on the 1->4
+# pair) is reproducible whenever the host is healthy.
 SCALE_CORES = [
     int(c)
     for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", f"2,8,{CPUS}").split(",")
@@ -470,6 +483,10 @@ def _scaling_ladder(sf_dir: str, ref_health: dict | None = None) -> dict:
             visits[c] += 1
             single, mp = _visit_health(r)
             r["visit"] = visits[c]
+            # both floors apply to EVERY level: mp-starved windows
+            # distort even 1-core steady times (see the calibration
+            # note on SCALE_CORES), so no level's figure is trustworthy
+            # while the aggregate probe is under the floor
             r["health_ok"] = single >= floor_single and mp >= floor_mp
             (accepted if r["health_ok"] else rejected)[c].append(r)
             if not r["health_ok"]:
@@ -515,6 +532,29 @@ def _scaling_ladder(sf_dir: str, ref_health: dict | None = None) -> dict:
         thr_lo = lo["steady_edges_per_sec"]
         thr_hi = hi["steady_edges_per_sec"]
         ratio = hi_c / lo_c
+        # paired-by-visit efficiencies: visit k of both levels runs in
+        # the same ladder round (time-adjacent windows), so each paired
+        # figure sees one host state — disclosed alongside the
+        # conservative headline (best-of-level), because under drifting
+        # interference the independent per-level minima can come from
+        # DIFFERENT windows and understate the true ratio (observed:
+        # paired 0.877 in the same record whose best-of-level read
+        # 0.722, 1-core level swinging +-20% between visits).
+        lo_by_visit = {
+            v["visit"]: v["steady_superstep_sec"]
+            for v in lo.get("visits", [])
+            if v.get("health_ok")
+        }
+        hi_by_visit = {
+            v["visit"]: v["steady_superstep_sec"]
+            for v in hi.get("visits", [])
+            if v.get("health_ok")
+        }
+        paired = [
+            round((lo_by_visit[k] / hi_by_visit[k]) / ratio, 3)
+            for k in sorted(set(lo_by_visit) & set(hi_by_visit))
+            if hi_by_visit[k] > 0
+        ]
         pairs.append(
             {
                 "cores_lo": lo_c,
@@ -525,6 +565,7 @@ def _scaling_ladder(sf_dir: str, ref_health: dict | None = None) -> dict:
                 "efficiency": round((thr_hi / thr_lo) / ratio, 3)
                 if thr_lo > 0
                 else 0.0,
+                "paired_efficiencies": paired,
                 # a pair is clean iff both its levels had accepted visits
                 "clean_window": not (
                     lo.get("from_rejected_only") or hi.get("from_rejected_only")

@@ -672,27 +672,28 @@ def _compact_record(
 
 def _load_prior_sweep() -> dict[str, float]:
     """Previous per-query sf0.001 timings for cheapest-first sweep
-    ordering: the latest BENCH_local.json if its sweep ran, else the r3
-    builder-local record (pre-iterstate-fix timings — exaggerated for
-    iterative kernels, which only pushes them later in the order)."""
+    ordering, MERGED across records (earliest-listed file wins per
+    query): the latest BENCH_local.json knows the most recent run but
+    omits whatever its deadline skipped; the committed r5 full sweep
+    (145/146) and the r3 pre-iterstate record back-fill those, so a
+    query's known cost never degrades to the median slot just because
+    the last run cut it."""
     here = os.path.dirname(os.path.abspath(__file__))
+    prior: dict[str, float] = {}
     for fname, key in (
         ("BENCH_local.json", "queries_sweep_sf0001"),
+        ("BENCH_local_r5full.json", "queries_sweep_sf0001"),
         ("BENCH_local_r3b.json", "queries_sf001"),
     ):
         try:
             with open(os.path.join(here, fname)) as f:
                 d = json.load(f).get(key) or {}
-            prior = {
-                k: float(v)
-                for k, v in d.items()
-                if isinstance(v, (int, float)) and v >= 0
-            }
-            if prior:
-                return prior
+            for k, v in d.items():
+                if k not in prior and isinstance(v, (int, float)) and v >= 0:
+                    prior[k] = float(v)
         except Exception:  # noqa: BLE001 — ordering aid only, never fatal
             continue
-    return {}
+    return prior
 
 
 def _write_detail(queries: dict, extra: dict, allq: dict | None) -> None:

@@ -344,3 +344,63 @@ def test_webgraph_big_graphclass_roundtrip(spark, tmp_path):
     open(base + ".properties", "w").write(txt)
     with pytest.raises(NotImplementedError, match="graphclass"):
         read_webgraph(spark, base)
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrip: arbitrary digraphs through the codec
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover — baked into this environment
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=5, deadline=None, database=None, derandomize=True)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=24),
+                st.integers(min_value=0, max_value=24),
+            ),
+            min_size=0,
+            max_size=80,
+        ),
+        n_extra=st.integers(min_value=0, max_value=6),
+        wparts=st.integers(min_value=1, max_value=4),
+        rparts=st.integers(min_value=1, max_value=7),
+    )
+    def test_webgraph_roundtrip_random_digraphs(
+        spark, tmp_path_factory, edges, n_extra, wparts, rparts
+    ):
+        """Derandomized codec sweep: arbitrary small digraphs — dense
+        rows, self-loops, duplicate arcs (deduped), empty successor
+        lists, isolated tail vertices — must survive write->read with
+        the exact edge multiset, across mismatched write/read partition
+        counts (reference chains crossing slice boundaries)."""
+        e = sorted({(s, d) for s, d in edges})
+        n = max([max(s, d) for s, d in e], default=-1) + 1 + n_extra
+        if n == 0:
+            n = 1  # properties file requires >=1 node
+        edf = spark.createDataFrame(
+            e or [(0, 0)], "src long, dst long"
+        ).withColumn("weight", F.lit(1).cast("long"))
+        if not e:
+            edf = edf.where(F.lit(False))
+        verts = spark.range(n).select(
+            "id",
+            F.lit(None).cast("string").alias("repo"),
+            F.lit(None).cast("string").alias("path"),
+        )
+        g = Graph(vertices=verts, edges=edf, num_vertices=n, num_edges=len(e))
+        base = str(tmp_path_factory.mktemp("wgprop") / "g")
+        write_webgraph(g, base, num_partitions=wparts)
+        back = read_webgraph(spark, base, num_partitions=rparts)
+        assert back.num_vertices == n
+        assert back.num_edges == len(e)
+        got = sorted(tuple(r) for r in back.edges.select("src", "dst").collect())
+        assert got == e

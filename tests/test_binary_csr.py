@@ -144,3 +144,69 @@ def test_truncated_file_fails_loudly(spark, tmp_path):
         fh.write(raw[:-8])
     with pytest.raises(ValueError, match="truncated"):
         read_binary_csr(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrip: arbitrary dense-id digraphs through binary CSR
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover — baked into this environment
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=4, deadline=None, database=None, derandomize=True)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=19),
+                st.integers(min_value=0, max_value=19),
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        n_extra=st.integers(min_value=0, max_value=5),
+        fmt=st.sampled_from(["bin", "g3"]),
+        wparts=st.integers(min_value=1, max_value=4),
+        rparts=st.integers(min_value=1, max_value=5),
+    )
+    def test_binary_csr_roundtrip_random(
+        spark, tmp_path_factory, edges, n_extra, fmt, wparts, rparts
+    ):
+        """Derandomized sweep over arbitrary small digraphs — self-loops,
+        duplicate arcs (deduped), empty rows, zero-degree tails, edgeless
+        graphs — through the positioned-write binary CSR in both layouts
+        and mismatched write/read partitioning."""
+        e = sorted({(s, d) for s, d in edges})
+        n = max([max(s, d) for s, d in e], default=-1) + 1 + n_extra
+        if n == 0:
+            n = 1
+        edf = spark.createDataFrame(
+            e or [(0, 0)], "src long, dst long"
+        ).withColumn("weight", F.lit(1).cast("long"))
+        if not e:
+            edf = edf.where(F.lit(False))
+        g = Graph(
+            vertices=spark.range(n).select(
+                "id",
+                F.lit(None).cast("string").alias("repo"),
+                F.lit(None).cast("string").alias("path"),
+            ),
+            edges=edf,
+            num_vertices=n,
+            num_edges=len(e),
+        )
+        path = str(tmp_path_factory.mktemp("bcsr") / f"g.{fmt}")
+        write_binary_csr(g, path, fmt=fmt, num_partitions=wparts)
+        back = read_binary_csr(spark, path, fmt=fmt, num_partitions=rparts)
+        assert back.num_vertices == n
+        assert back.num_edges == len(e)
+        got = sorted(
+            tuple(r) for r in back.edges.select("src", "dst").collect()
+        )
+        assert got == e
